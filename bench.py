@@ -1,0 +1,95 @@
+"""Benchmark: audio samples/sec/chip at 256 objects x 1024 modes.
+
+The reference's implicit real-time contract is 44 100 samples/s for ONE object
+on one CPU core (BASELINE.md); the driver north-star is >= 256 objects x 1k
+modes faster than real time on one TPU chip. This bench runs the full block
+step (force synthesis + blocked modal IIR + transfer dot + stereo mixdown) in
+steady state and reports scene audio samples/sec and the real-time factor.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline is the real-time factor (1.0 == the reference contract's
+rate on its own workload scaled to 256x1024).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(o, m, s, backend, dtype_name="float32"):
+    import dataclasses
+
+    import jax.numpy as jnp
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.solver import step_block
+    from openpbso_tpu.runtime.state import make_solver_state
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    dtype = getattr(jnp, dtype_name)
+    md = synth_mode_data(m, 8, seed=0)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=o,
+                              block_size=s, dtype=dtype)
+    state = make_solver_state(o, bank.num_modes, num_slots=8, dtype=dtype)
+    # plant one gaussian hit per object so the force path does real work
+    rng = np.random.default_rng(0)
+    slots = state.slots
+    slots = dataclasses.replace(
+        slots,
+        ftype=slots.ftype.at[:, 0].set(2),
+        width=slots.width.at[:, 0].set(40.0),
+        space=slots.space.at[:, 0, :].set(
+            jnp.asarray(rng.standard_normal((o, bank.num_modes)), dtype)))
+    state = dataclasses.replace(state, slots=slots)
+    gains = jnp.ones((o, 2), dtype)
+
+    def fn(st):
+        return step_block(st, bank, gains, block_size=s, backend=backend,
+                          compute_qnorm=False)
+
+    return fn, state
+
+
+def time_backend(fn, state, s, warmup=3, iters=20):
+    import jax
+    for _ in range(warmup):
+        state, _, mix, _ = fn(state)
+    jax.block_until_ready(mix)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _, mix, _ = fn(state)
+    jax.block_until_ready(mix)
+    dt = time.perf_counter() - t0
+    return (iters * s) / dt  # scene audio samples per second
+
+
+def main():
+    from openpbso_tpu.config import SAMPLE_RATE
+
+    o, m, s = 256, 1024, 512
+    backend = "blocked"
+    for arg in sys.argv[1:]:
+        if arg.startswith("--backend="):
+            backend = arg.split("=", 1)[1]
+        elif arg.startswith("--objects="):
+            o = int(arg.split("=", 1)[1])
+        elif arg.startswith("--modes="):
+            m = int(arg.split("=", 1)[1])
+    fn, state = build(o, m, s, backend)
+    sps = time_backend(fn, state, s)
+    rtf = sps / SAMPLE_RATE
+    print(json.dumps({
+        "metric": f"audio samples/sec/chip at {o} obj x {m} modes "
+                  f"({backend} backend); real-time factor vs 44.1 kHz",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Contact-force excitation — functional force-slot tables.
+
+The reference keeps a linked list of polymorphic ``Force`` objects per solver
+and calls virtual ``Add`` per block (modal_solver.h:206-240, forces.h). On
+TPU, forces become *data*: a fixed-size slot table of typed records, and the
+per-block time profile is synthesized on device branchlessly from the global
+sample clock. A slot's lifetime is a pure function of its start sample, so the
+device carries no per-slot state — the host recycles expired slots.
+
+Reference semantics preserved exactly (modal_solver.h:206-221): all active
+forces' *time* profiles are summed into one [S] buffer and their *spatial*
+modal amplitude vectors into one [M] buffer; the excitation is the rank-1
+product of the two sums. A force contributes its spatial term only on blocks
+where its profile is still producing.
+
+Force types (forces.h:12-16):
+
+- ``POINT``    unit impulse on the first sample of the activation block
+               (forces.h:81-90); produces for exactly one block.
+- ``GAUSSIAN`` exp(-0.5((t - 4.5w)/w)^2) with w = width samples; produces
+               while block_start < 10w (forces.h:33-48, 92-105 — the cutoff is
+               checked at block granularity, so the tail of the final block is
+               evaluated, matching the reference).
+- ``AR``       AR(2) noise for sustained contact (forces.h:107-137), handled
+               separately as the *sustained* channel with carried device state
+               (one sustained force per object, modal_solver.h:190-240).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORCE_NONE = 0
+FORCE_POINT = 1
+FORCE_GAUSSIAN = 2
+
+GAUSSIAN_CUTOFF = 5  # profile truncated after cutoff*2*width samples
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForceSlots:
+    """[O, K] typed force records + [O, K, M] spatial amplitudes."""
+    ftype: jax.Array      # [O, K] int32 (FORCE_* codes)
+    t0: jax.Array         # [O, K] int32 global sample of activation block
+    width: jax.Array      # [O, K] float32 gaussian width in samples
+    amp: jax.Array        # [O, K] float32 profile amplitude scale
+    space: jax.Array      # [O, K, M] modal amplitudes
+
+    @property
+    def num_slots(self) -> int:
+        return self.ftype.shape[1]
+
+
+def make_force_slots(num_objects: int, num_slots: int, num_modes: int,
+                     dtype=jnp.float32) -> ForceSlots:
+    o, k, m = num_objects, num_slots, num_modes
+    return ForceSlots(
+        ftype=jnp.zeros((o, k), jnp.int32),
+        t0=jnp.zeros((o, k), jnp.int32),
+        width=jnp.ones((o, k), dtype),
+        amp=jnp.ones((o, k), dtype),
+        space=jnp.zeros((o, k, m), dtype),
+    )
+
+
+def slot_duration(ftype: np.ndarray, width: np.ndarray,
+                  block_size: int) -> np.ndarray:
+    """Samples during which a slot produces (host-side recycling helper).
+
+    A slot is expired once ``block_start - t0 >= duration``; POINT forces
+    produce for one block, GAUSSIAN for ceil(10w / S) blocks (the reference
+    erases a force the first block its Add returns false).
+    """
+    point = np.asarray(ftype == FORCE_POINT, np.int64) * 1
+    gauss = np.asarray(ftype == FORCE_GAUSSIAN, np.int64) * (
+        GAUSSIAN_CUTOFF * 2 * np.maximum(width, 1.0)).astype(np.int64)
+    del block_size
+    return np.where(ftype == FORCE_POINT, point, gauss)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def force_block(
+    slots: ForceSlots,
+    block_start: jax.Array,     # [] int32 global sample index of the block
+    block_size: int,
+):
+    """Synthesize the rank-1 excitation for one block.
+
+    Returns (time_profile [O, S], space [O, M]).
+    """
+    s = block_size
+    # per-slot local time at block start (samples since activation)
+    local0 = block_start - slots.t0                       # [O, K]
+    is_point = slots.ftype == FORCE_POINT
+    is_gauss = slots.ftype == FORCE_GAUSSIAN
+
+    w = jnp.maximum(slots.width, 1.0)
+    dur_point = 1
+    dur_gauss = (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32)
+    # producing iff the block *starts* before the cutoff (reference checks
+    # count >= cutoff at Add entry only, forces.h:95)
+    producing = ((is_point & (local0 < dur_point)) |
+                 (is_gauss & (local0 < dur_gauss))) & (local0 >= 0)
+
+    # ---- time profiles, summed over slots -> [O, S]
+    t_local = local0[..., None] + jnp.arange(s, dtype=jnp.int32)  # [O, K, S]
+    point_prof = (t_local == 0).astype(slots.amp.dtype)
+    # center is truncated to int in the reference (forces.h:45)
+    center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
+    dt = (t_local.astype(slots.amp.dtype) - center[..., None]) / w[..., None]
+    gauss_prof = jnp.exp(-0.5 * dt * dt)
+    prof = jnp.where(is_point[..., None], point_prof,
+                     jnp.where(is_gauss[..., None], gauss_prof, 0.0))
+    prof = prof * (producing * slots.amp)[..., None].astype(prof.dtype)
+    time_profile = jnp.sum(prof, axis=1)
+
+    # ---- spatial amplitudes, summed over producing slots -> [O, M]
+    space = jnp.sum(
+        slots.space * producing[..., None].astype(slots.space.dtype), axis=1)
+    return time_profile, space
+
+
+# ---------------------------------------------------------------------------
+# sustained AR(2) channel
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SustainedState:
+    """Per-object sustained-force channel (modal_solver.h:190-240).
+
+    ``active`` gates the channel; while active, the block excitation is the
+    AR(2) profile times ``space`` and the slot table is ignored (the reference
+    clears other forces on sustained start, modal_solver.h:191-194).
+    """
+    active: jax.Array     # [O] bool
+    space: jax.Array      # [O, M]
+    ar_hist: jax.Array    # [O, 2] mu_tilde_{k-1}, mu_tilde_{k-2}
+    a: jax.Array          # [O, 2] AR coefficients
+    sigma: jax.Array      # [O]
+    mu: jax.Array         # [O]
+    key: jax.Array        # [O, 2] uint32 PRNG keys
+
+
+def make_sustained_state(num_objects: int, num_modes: int, seed: int = 0,
+                         dtype=jnp.float32) -> SustainedState:
+    o, m = num_objects, num_modes
+    keys = jax.random.split(jax.random.PRNGKey(seed), o)
+    return SustainedState(
+        active=jnp.zeros((o,), jnp.bool_),
+        space=jnp.zeros((o, m), dtype),
+        ar_hist=jnp.zeros((o, 2), dtype),
+        a=jnp.tile(jnp.asarray([[0.783, 0.116]], dtype), (o, 1)),
+        sigma=jnp.full((o,), 0.00148, dtype),
+        mu=jnp.full((o,), 0.142, dtype),
+        key=jnp.stack([jax.random.key_data(k) for k in keys]).astype(
+            jnp.uint32),
+    )
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def sustained_block(state: SustainedState, block_size: int):
+    """Generate one block of AR(2) profiles for every object.
+
+    Returns (new_state, time_profile [O, S], space [O, M]); inactive objects
+    produce zeros. mu_tilde_k = a1 mu_tilde_{k-1} + a2 mu_tilde_{k-2} +
+    sigma N(0,1); output mu + mu_tilde (forces.h:107-128).
+    """
+    o = state.active.shape[0]
+    dtype = state.space.dtype
+    keys = jax.vmap(jax.random.wrap_key_data)(state.key)
+    next_keys, noise_keys = jax.vmap(
+        lambda k: tuple(jax.random.split(k)))(keys)
+    noise = jax.vmap(
+        lambda k: jax.random.normal(k, (block_size,), dtype))(noise_keys)
+
+    def body(hist, n_s):
+        mu_t = state.a[:, 0] * hist[:, 0] + state.a[:, 1] * hist[:, 1]
+        mu_t = mu_t + state.sigma * n_s
+        return jnp.stack([mu_t, hist[:, 0]], axis=1), mu_t
+
+    hist, mu_tilde = jax.lax.scan(body, state.ar_hist,
+                                  jnp.swapaxes(noise, 0, 1))
+    profile = state.mu[:, None] + jnp.swapaxes(mu_tilde, 0, 1)  # [O, S]
+    gate = state.active
+    profile = profile * gate[:, None].astype(dtype)
+    space = state.space * gate[:, None].astype(dtype)
+    new_state = dataclasses.replace(
+        state,
+        ar_hist=jnp.where(gate[:, None], hist, state.ar_hist),
+        key=jax.vmap(jax.random.key_data)(next_keys).astype(jnp.uint32),
+    )
+    return new_state, profile, space

@@ -1,0 +1,168 @@
+"""Modal IIR block integrator — device backends.
+
+Semantics (all backends identical, validated against utils/oracle.py): given
+carried complex state ``z_{-1}`` per (object, mode), a rank-1 excitation
+``Q_s[m] = space[m] * time[s]`` (the reference's forceSpreadSpace x
+forceSpreadTime, modal_solver.h:206-240,262-271), and a transfer row ``t[m]``,
+produce over a block of S samples
+
+    z_s      = lam z_{s-1} + b space time_s          (q_s = Im z_s)
+    sound_s  = sum_m t_m q_s[m]                      (modal_solver.h:267-269)
+    qnorm_m  = sqrt(sum_s q_s[m]^2)                  (modal_solver.h:270-272)
+
+Backends:
+
+- ``scan``    — lax.scan over samples; reference semantics on any platform.
+- ``blocked`` — the TPU-native block form: with lam-power tables
+  ``P_d = lam^d`` (host-precomputed float64, see ops/coeffs.py),
+
+      sound = Im( sum_m t_m P_{s+1} z_{-1} )         [matmul over modes]
+            + (G (*) time)_s,  G_d = sum_m t_m Im(P_d b space)   [matmul]
+      z_out = P_S z_{-1} + b space sum_j P_{S-1-j} time_j        [matmul]
+
+  i.e. the whole block is a handful of mode-reduction matmuls plus one length-S
+  causal convolution (done via FFT) — no serial dependency, MXU-shaped, and
+  per-block rather than per-sample f32 phase rounding.
+- ``pallas_*`` variants live in ops/pallas_integrator.py.
+
+The qnorm channel (per-mode energy telemetry feeding the transfer-ball HUD) is
+optional: in the blocked form it is the only term that requires materializing
+per-mode-per-sample values, so it is computed lazily via an FFT convolution
+only when requested.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .coeffs import ModalBank
+
+
+def _mode_reduce(w: jax.Array, table: jax.Array) -> jax.Array:
+    """einsum('om,oms->os') that lowers to a true matmul for shared tables."""
+    if table.shape[0] == 1:
+        return w @ table[0]
+    return jnp.einsum("om,oms->os", w, table)
+
+
+def _weighted_gather(table: jax.Array, f: jax.Array) -> jax.Array:
+    """einsum('omd,od->om') (shared-table aware)."""
+    if table.shape[0] == 1:
+        return f @ table[0].T
+    return jnp.einsum("omd,od->om", table, f)
+
+
+def _causal_conv(g: jax.Array, f: jax.Array) -> jax.Array:
+    """Per-object causal convolution: out[s] = sum_{j<=s} g[s-j] f[j].
+
+    g, f: [O, S] -> [O, S]. FFT-based (S is a power of two in the native
+    block size, so the padded FFT length 2S is too).
+    """
+    s = g.shape[-1]
+    n = 2 * s
+    gf = jnp.fft.rfft(g, n=n, axis=-1)
+    ff = jnp.fft.rfft(f, n=n, axis=-1)
+    out = jnp.fft.irfft(gf * ff, n=n, axis=-1)[..., :s]
+    return out.astype(g.dtype)
+
+
+@partial(jax.jit, static_argnames=("compute_qnorm",))
+def step_block_scan(
+    z_re: jax.Array,            # [O, M]
+    z_im: jax.Array,            # [O, M]
+    bank: ModalBank,
+    space: jax.Array,           # [O, M]
+    time_profile: jax.Array,    # [O, S]
+    transfer: jax.Array,        # [O, M]
+    compute_qnorm: bool = False,
+):
+    """lax.scan backend. Returns (z_re, z_im, sound [O,S], qnorm [O,M]|None)."""
+    be_re = bank.b_re * space
+    be_im = bank.b_im * space
+    tmask = transfer * bank.mask
+
+    def body(carry, f_s):
+        zr, zi = carry
+        # f_s: [O] one sample of the time profile
+        zr_n = bank.lam_re * zr - bank.lam_im * zi + be_re * f_s[:, None]
+        zi_n = bank.lam_im * zr + bank.lam_re * zi + be_im * f_s[:, None]
+        sound = jnp.sum(tmask * zi_n, axis=-1)
+        out = (sound, zi_n * zi_n) if compute_qnorm else (sound, None)
+        return (zr_n, zi_n), out
+
+    (z_re, z_im), (sound, qsq) = jax.lax.scan(
+        body, (z_re, z_im), jnp.swapaxes(time_profile, 0, 1))
+    sound = jnp.swapaxes(sound, 0, 1)
+    qnorm = jnp.sqrt(jnp.sum(qsq, axis=0)) if compute_qnorm else None
+    return z_re, z_im, sound, qnorm
+
+
+@partial(jax.jit, static_argnames=("compute_qnorm",))
+def step_block_blocked(
+    z_re: jax.Array,            # [O, M]
+    z_im: jax.Array,            # [O, M]
+    bank: ModalBank,
+    space: jax.Array,           # [O, M]
+    time_profile: jax.Array,    # [O, S]
+    transfer: jax.Array,        # [O, M]
+    compute_qnorm: bool = False,
+):
+    """Block-form backend (requires bank lam-power tables of size S+1)."""
+    s = time_profile.shape[-1]
+    assert bank.pow_re is not None and bank.pow_re.shape[-1] == s + 1, (
+        "bank tables missing or built for a different block size")
+    pr, pi = bank.pow_re, bank.pow_im           # [Ot, M, S+1]
+    be_re = bank.b_re * space                   # [O, M]
+    be_im = bank.b_im * space
+    tmask = transfer * bank.mask
+
+    if bank.shared_tables:
+        # weights reduce over modes against the single shared table
+        hom = (_mode_reduce(tmask * z_im, pr[..., 1:])
+               + _mode_reduce(tmask * z_re, pi[..., 1:]))
+        g = (_mode_reduce(tmask * be_re, pi[..., :s])
+             + _mode_reduce(tmask * be_im, pr[..., :s]))
+    else:
+        hom = jnp.einsum("om,oms->os", tmask * z_im, pr[..., 1:]) + \
+              jnp.einsum("om,oms->os", tmask * z_re, pi[..., 1:])
+        g = jnp.einsum("om,oms->os", tmask * be_re, pi[..., :s]) + \
+            jnp.einsum("om,oms->os", tmask * be_im, pr[..., :s])
+    sound = hom + _causal_conv(g, time_profile)
+
+    # state at block end: z_out = lam^S z_{-1} + b*space * C,
+    # C = sum_j lam^{S-1-j} time_j
+    f_rev = time_profile[..., ::-1]
+    c_re = _weighted_gather(pr[..., :s], f_rev)
+    c_im = _weighted_gather(pi[..., :s], f_rev)
+    ps_re, ps_im = pr[..., s], pi[..., s]
+    z_re_out = ps_re * z_re - ps_im * z_im + be_re * c_re - be_im * c_im
+    z_im_out = ps_im * z_re + ps_re * z_im + be_re * c_im + be_im * c_re
+
+    qnorm = None
+    if compute_qnorm:
+        # per-mode q[o,m,s]: homogeneous part + per-mode causal convolution of
+        # the time profile with the mode's impulse kernel Im(lam^d b space).
+        n = 2 * s
+        ker = be_re[..., None] * pi[..., :s] + be_im[..., None] * pr[..., :s]
+        kf = jnp.fft.rfft(ker, n=n, axis=-1)
+        ff = jnp.fft.rfft(time_profile, n=n, axis=-1)[:, None, :]
+        conv = jnp.fft.irfft(kf * ff, n=n, axis=-1)[..., :s].astype(z_re.dtype)
+        q = (pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
+             + conv)
+        qnorm = jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
+    return z_re_out, z_im_out, sound, qnorm
+
+
+BACKENDS = {
+    "scan": step_block_scan,
+    "blocked": step_block_blocked,
+}
+
+
+def get_backend(name: str):
+    if name in BACKENDS:
+        return BACKENDS[name]
+    raise KeyError(f"unknown integrator backend {name!r}; "
+                   f"have {sorted(BACKENDS)}")

@@ -1,0 +1,248 @@
+"""ModalSession — host-side control surface over the device solver.
+
+Plays the role of the reference's message-queue API around ModalSolver
+(modal_solver.h:165-178): hits become force-slot writes, listener moves become
+transfer recomputes, sustained start/end and AR-parameter updates flip the
+sustained channel — all as *data* updates against static shapes, so the jitted
+block step never recompiles.
+
+Slot lifecycle is tracked host-side (a slot's productive lifetime is a pure
+function of its start sample, ops/forces.py), mirroring the reference's
+erase-on-exhaustion (modal_solver.h:210-221): an expired slot is recyclable.
+If all slots are busy the oldest is overwritten (the reference's force queue
+drops sends when full, modal_solver.h:330-333).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_BLOCK, UNIT_TRANSFER
+from ..ops.coeffs import ModalBank
+from ..ops.ffat import FFATMaps, compute_transfer
+from ..ops.forces import FORCE_GAUSSIAN, FORCE_POINT, ForceSlots
+from .solver import SolverConfig, default_gains, step_block
+from .state import SolverState, make_solver_state
+
+
+@partial(jax.jit, donate_argnames=("slots",))
+def _write_slot(slots: ForceSlots, obj: jax.Array, slot: jax.Array,
+                ftype: jax.Array, t0: jax.Array, width: jax.Array,
+                amp: jax.Array, space: jax.Array) -> ForceSlots:
+    return ForceSlots(
+        ftype=slots.ftype.at[obj, slot].set(ftype),
+        t0=slots.t0.at[obj, slot].set(t0),
+        width=slots.width.at[obj, slot].set(width),
+        amp=slots.amp.at[obj, slot].set(amp),
+        space=slots.space.at[obj, slot].set(space),
+    )
+
+
+@partial(jax.jit, donate_argnames=("slots",))
+def _clear_slots(slots: ForceSlots, obj: jax.Array) -> ForceSlots:
+    return ForceSlots(
+        ftype=slots.ftype.at[obj].set(0),
+        t0=slots.t0,
+        width=slots.width,
+        amp=slots.amp,
+        space=slots.space,
+    )
+
+
+class ModalSession:
+    """A batch of sounding objects driven block-by-block.
+
+    ``bank`` holds O objects x M modes; ``ffat`` is optional (unit transfer
+    when absent or when ``use_transfer`` is off, modal_solver.h:249-255).
+    """
+
+    def __init__(
+        self,
+        bank: ModalBank,
+        ffat: FFATMaps | None = None,
+        config: SolverConfig | None = None,
+        num_slots: int = 16,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.bank = bank
+        self.ffat = ffat
+        self.config = config or SolverConfig()
+        o, m = bank.num_objects, bank.num_modes
+        self.state = make_solver_state(
+            o, m, num_slots=num_slots, seed=seed, dtype=dtype)
+        self.gains = default_gains(o, dtype)
+        self.use_transfer = ffat is not None
+        self._dtype = dtype
+        # host mirror for slot recycling: absolute expiry sample per slot
+        self._expiry = np.zeros((o, num_slots), np.int64)
+        self._t0 = np.zeros((o, num_slots), np.int64)
+
+    # ------------------------------------------------------------------ events
+
+    @property
+    def sample_clock(self) -> int:
+        return int(self.state.block_start)
+
+    def _alloc_slot(self, obj: int) -> int:
+        now = self.sample_clock
+        free = np.nonzero(self._expiry[obj] <= now)[0]
+        if free.size:
+            return int(free[0])
+        return int(np.argmin(self._t0[obj]))  # overwrite the oldest
+
+    def hit(self, obj: int, space: np.ndarray, *,
+            kind: str = "point", width_us: float = 100.0,
+            amp: float = 1.0) -> None:
+        """Strike object ``obj`` with modal amplitudes ``space`` [M_audible].
+
+        ``kind``: 'point' (unit impulse) or 'gaussian' (width in microseconds,
+        converted to samples as in forces.h:42-46). The profile starts at the
+        beginning of the *next* block, like a dequeued ForceMessage.
+        """
+        from ..config import SAMPLE_RATE
+        m = self.bank.num_modes
+        vec = np.zeros((m,), np.float64)
+        space = np.asarray(space, np.float64).ravel()
+        vec[: min(space.size, m)] = space[: m]
+        if kind == "point":
+            ftype, width, dur = FORCE_POINT, 1.0, self.config.block_size
+        elif kind == "gaussian":
+            width = max(1, int(width_us / 1e6 * SAMPLE_RATE))
+            ftype, dur = FORCE_GAUSSIAN, 10 * width
+        else:
+            raise ValueError(f"unknown force kind {kind!r}")
+        slot = self._alloc_slot(obj)
+        t0 = self.sample_clock
+        self.state = dataclasses.replace(
+            self.state,
+            slots=_write_slot(
+                self.state.slots,
+                jnp.asarray(obj, jnp.int32), jnp.asarray(slot, jnp.int32),
+                jnp.asarray(ftype, jnp.int32), jnp.asarray(t0, jnp.int32),
+                jnp.asarray(float(width), self._dtype),
+                jnp.asarray(amp, self._dtype),
+                jnp.asarray(vec, self._dtype)))
+        self._t0[obj, slot] = t0
+        self._expiry[obj, slot] = t0 + dur
+
+    def clear_forces(self, obj: int | None = None) -> None:
+        """Drop all active forces (clearAllForces, modal_solver.h:186-189)."""
+        objs = np.arange(self.bank.num_objects) if obj is None else [obj]
+        slots = self.state.slots
+        for o in objs:
+            slots = _clear_slots(slots, jnp.asarray(o, jnp.int32))
+            self._expiry[o] = 0
+        sus = dataclasses.replace(
+            self.state.sustained,
+            active=self.state.sustained.active.at[np.asarray(objs)].set(False))
+        self.state = dataclasses.replace(self.state, slots=slots,
+                                         sustained=sus)
+
+    def sustained_start(self, obj: int, space: np.ndarray) -> None:
+        """Begin a sustained AR contact (modal_solver.h:190-194)."""
+        m = self.bank.num_modes
+        vec = np.zeros((m,), np.float64)
+        space = np.asarray(space, np.float64).ravel()
+        vec[: min(space.size, m)] = space[: m]
+        sus = self.state.sustained
+        self.state = dataclasses.replace(
+            self.state,
+            sustained=dataclasses.replace(
+                sus,
+                active=sus.active.at[obj].set(True),
+                space=sus.space.at[obj].set(
+                    jnp.asarray(vec, self._dtype)),
+                ar_hist=sus.ar_hist.at[obj].set(0.0)))
+
+    def sustained_update(self, obj: int, space: np.ndarray) -> None:
+        """Live-update the sustained force direction (modal_solver.h:197-199)."""
+        m = self.bank.num_modes
+        vec = np.zeros((m,), np.float64)
+        space = np.asarray(space, np.float64).ravel()
+        vec[: min(space.size, m)] = space[: m]
+        sus = self.state.sustained
+        self.state = dataclasses.replace(
+            self.state,
+            sustained=dataclasses.replace(
+                sus, space=sus.space.at[obj].set(
+                    jnp.asarray(vec, self._dtype))))
+
+    def sustained_end(self, obj: int) -> None:
+        sus = self.state.sustained
+        self.state = dataclasses.replace(
+            self.state,
+            sustained=dataclasses.replace(
+                sus, active=sus.active.at[obj].set(False)))
+
+    def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
+                      mu=0.142) -> None:
+        """Retune the AR(2) model live (forces.h:130-137; resets history)."""
+        sus = self.state.sustained
+        self.state = dataclasses.replace(
+            self.state,
+            sustained=dataclasses.replace(
+                sus,
+                a=sus.a.at[obj].set(jnp.asarray(a, self._dtype)),
+                sigma=sus.sigma.at[obj].set(sigma),
+                mu=sus.mu.at[obj].set(mu),
+                ar_hist=sus.ar_hist.at[obj].set(0.0)))
+
+    def set_listener(self, pos: np.ndarray) -> None:
+        """Update acoustic transfer for a listener at ``pos``.
+
+        ``pos``: [3] world position (shared) or [O, 3] per object. Equivalent
+        to computeTransfer + the capacity-1 latest-wins trans queue
+        (modal_solver.h:286-300: per mode |GetMapVal|).
+        """
+        if self.ffat is None or not self.use_transfer:
+            return
+        pos = jnp.asarray(pos, self._dtype)
+        if pos.ndim == 1:
+            pos = jnp.broadcast_to(pos, (self.bank.num_objects, 3))
+        transfer = compute_transfer(self.ffat, pos)
+        self.state = dataclasses.replace(
+            self.state, transfer=transfer.astype(self._dtype))
+
+    def set_use_transfer(self, use: bool) -> None:
+        """Toggle FFAT transfer vs the 1E7 unit transfer
+        (modal_solver.h:249-255)."""
+        self.use_transfer = use and self.ffat is not None
+        if not use:
+            self.state = dataclasses.replace(
+                self.state,
+                transfer=jnp.full_like(self.state.transfer, UNIT_TRANSFER))
+
+    # ------------------------------------------------------------------ audio
+
+    def step(self):
+        """Synthesize one block; returns BlockOutput-like tuple.
+
+        (sound [O,S] raw, mix [S,2] output-scaled stereo, qnorm or None)
+        """
+        self.state, sound, mix, qnorm = step_block(
+            self.state, self.bank, self.gains,
+            block_size=self.config.block_size,
+            backend=self.config.backend,
+            compute_qnorm=self.config.compute_qnorm)
+        return sound, mix, qnorm
+
+    def render(self, num_blocks: int) -> np.ndarray:
+        """Offline render: [num_blocks * S, 2] stereo float32."""
+        out = []
+        for _ in range(num_blocks):
+            _, mix, _ = self.step()
+            out.append(np.asarray(mix))
+        return np.concatenate(out, axis=0)
+
+    def render_raw(self, num_blocks: int) -> np.ndarray:
+        """Offline render of per-object raw sound: [O, num_blocks * S]."""
+        out = []
+        for _ in range(num_blocks):
+            sound, _, _ = self.step()
+            out.append(np.asarray(sound))
+        return np.concatenate(out, axis=-1)

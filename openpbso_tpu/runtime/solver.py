@@ -1,0 +1,88 @@
+"""The block synthesis step — TPU equivalent of ModalSolver::step().
+
+One call synthesizes one S-sample block for every object in the scene
+(reference modal_solver.h:181-276 synthesizes one block for one object):
+
+1. force synthesis: slot table + sustained channel -> rank-1 excitation
+   (space [O,M], time [O,S])                    (modal_solver.h:206-240)
+2. modal integration: z' = lam z + b Q, per-object sound = q . transfer
+   via the chosen backend                        (modal_solver.h:262-271)
+3. optional per-mode energy telemetry qnorm      (modal_solver.h:270-273)
+4. stereo mixdown over objects with per-object gain/pan (the batched-scene
+   extension; the reference duplicates one mono signal,
+   real_time_modal_sound.cpp:207-210)
+
+Everything is jitted with static (block_size, backend, compute_qnorm); event
+ingestion (hits, listener moves, AR params) mutates only *data*, never shapes,
+so the step never recompiles at runtime.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_BLOCK, OUTPUT_SCALE
+from ..ops.coeffs import ModalBank
+from ..ops.forces import force_block, sustained_block
+from ..ops.integrator import get_backend
+from .state import SolverState
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    block_size: int = DEFAULT_BLOCK
+    backend: str = "blocked"
+    compute_qnorm: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockOutput:
+    sound: jax.Array          # [O, S] per-object raw modal sound
+    mix: jax.Array            # [S, 2] stereo mixdown (already 1/1E10 scaled)
+    qnorm: jax.Array | None   # [O, M] per-mode energy, if requested
+
+
+@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
+def step_block(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,          # [O, 2] stereo gain/pan per object
+    *,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+    compute_qnorm: bool = False,
+) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
+    """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
+    time_imp, space_imp = force_block(state.slots, state.block_start,
+                                      block_size)
+    sus, time_sus, space_sus = sustained_block(state.sustained, block_size)
+
+    # sustained mode replaces the impact path for that object
+    # (modal_solver.h:195-204: non-sustained forces are not accumulated while
+    # a sustained force is active)
+    gate = sus.active[:, None].astype(time_imp.dtype)
+    time_profile = time_imp * (1 - gate) + time_sus
+    space = space_imp * (1 - gate[:, : 1]) + space_sus
+
+    integrate = get_backend(backend)
+    z_re, z_im, sound, qnorm = integrate(
+        state.z_re, state.z_im, bank, space, time_profile, state.transfer,
+        compute_qnorm)
+
+    mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+    new_state = dataclasses.replace(
+        state,
+        z_re=z_re,
+        z_im=z_im,
+        sustained=sus,
+        block_start=state.block_start + block_size,
+    )
+    return new_state, sound, mix.astype(jnp.float32), qnorm
+
+
+def default_gains(num_objects: int, dtype=jnp.float32) -> jax.Array:
+    """Unit mono-to-stereo gains (reference duplicates mono to L/R)."""
+    return jnp.ones((num_objects, 2), dtype)

@@ -1,0 +1,65 @@
+"""SolverState — the complete per-block carried state as one PyTree.
+
+The reference's mutable object graph (integrator ring buffer, active-force
+list, latest transfer, AR noise state — modal_solver.h:100-141) becomes a
+single immutable PyTree of [O, M]-shaped arrays threaded through the jitted
+block step. Everything the audio loop needs between blocks lives here, so a
+block step is a pure function ``(state, bank, ffat) -> (state, audio)`` that
+XLA can pipeline and the engine can double-buffer.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import UNIT_TRANSFER
+from ..ops.forces import (ForceSlots, SustainedState, make_force_slots,
+                          make_sustained_state)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    z_re: jax.Array            # [O, M] oscillator state Re(z)
+    z_im: jax.Array            # [O, M] oscillator state Im(z) (= q)
+    slots: ForceSlots          # pending/active impact forces
+    sustained: SustainedState  # sustained AR contact channel
+    transfer: jax.Array        # [O, M] latest acoustic transfer row
+    block_start: jax.Array     # [] int32 global sample index
+
+    @property
+    def num_objects(self) -> int:
+        return self.z_re.shape[0]
+
+    @property
+    def num_modes(self) -> int:
+        return self.z_re.shape[1]
+
+
+def make_solver_state(
+    num_objects: int,
+    num_modes: int,
+    *,
+    num_slots: int = 16,
+    seed: int = 0,
+    unit_transfer: bool = True,
+    dtype=jnp.float32,
+) -> SolverState:
+    """Fresh state: silent oscillators, empty force slots, unit transfer.
+
+    The unit transfer level is the reference's 1E7 (modal_solver.h:89-92) so
+    that disabling FFAT maps reproduces the same output scale.
+    """
+    o, m = num_objects, num_modes
+    transfer = (jnp.full((o, m), UNIT_TRANSFER, dtype) if unit_transfer
+                else jnp.zeros((o, m), dtype))
+    return SolverState(
+        z_re=jnp.zeros((o, m), dtype),
+        z_im=jnp.zeros((o, m), dtype),
+        slots=make_force_slots(o, num_slots, m, dtype),
+        sustained=make_sustained_state(o, m, seed, dtype),
+        transfer=transfer,
+        block_start=jnp.asarray(0, jnp.int32),
+    )

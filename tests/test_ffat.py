@@ -1,0 +1,86 @@
+"""Device FFAT lookup vs the float64 oracle cubemap math."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.ffat import build_ffat, compute_transfer
+from openpbso_tpu.utils.oracle import ffat_map_val
+from openpbso_tpu.utils.synth import synth_fatcube
+
+
+@pytest.fixture(scope="module")
+def maps():
+    return {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=11)
+            for i in range(6)}
+
+
+def test_transfer_matches_oracle(maps):
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    # listeners well outside the shell bbox (half extent 0.2)
+    for _ in range(20):
+        p = rng.uniform(-1.5, 1.5, 3)
+        if np.max(np.abs(p)) < 0.4:
+            p[np.argmax(np.abs(p))] = 0.8
+        got = np.asarray(compute_transfer(ffat, jnp.asarray(p))[0])
+        ref = np.array([ffat_map_val(maps[i], p) for i in range(6)])
+        np.testing.assert_allclose(got[:6], ref, rtol=1e-9, atol=1e-12)
+
+
+def test_transfer_f32_accuracy(maps, dberr):
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    errs = []
+    for _ in range(20):
+        p = rng.uniform(0.5, 1.5, 3) * rng.choice([-1.0, 1.0], 3)
+        got = np.asarray(compute_transfer(
+            ffat, jnp.asarray(p, jnp.float32))[0])
+        ref = np.array([ffat_map_val(maps[i], p) for i in range(6)])
+        errs.append(dberr(got[:6], ref))
+    assert max(errs) < -60.0
+
+
+def test_transfer_face_coverage(maps):
+    """Listeners straight down each axis hit all six faces consistently."""
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float64)
+    for axis in range(3):
+        for sign in (1.0, -1.0):
+            p = np.zeros(3)
+            p[axis] = sign * 1.0
+            got = np.asarray(compute_transfer(ffat, jnp.asarray(p))[0])
+            ref = np.array([ffat_map_val(maps[i], p) for i in range(6)])
+            np.testing.assert_allclose(got[:6], ref, rtol=1e-9)
+
+
+def test_transfer_edge_clamping(maps):
+    """Rays hitting near face corners exercise the clamp path
+    (ffat_solver.h:763-791)."""
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float64)
+    corners = [np.array([c0, c1, c2])
+               for c0 in (-0.999, 0.999) for c1 in (-0.999, 0.999)
+               for c2 in (-0.999, 0.999)]
+    for p in corners:
+        got = np.asarray(compute_transfer(ffat, jnp.asarray(p))[0])
+        ref = np.array([ffat_map_val(maps[i], p) for i in range(6)])
+        np.testing.assert_allclose(got[:6], ref, rtol=1e-9)
+
+
+def test_per_object_listeners(maps):
+    """[O, 3] listener batch gives per-object rows."""
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float64)
+    ps = np.array([[1.0, 0.2, -0.3], [-0.7, 0.9, 0.1], [0.0, 0.0, 2.0]])
+    got = np.asarray(compute_transfer(ffat, jnp.asarray(ps)))
+    assert got.shape[0] == 3
+    for o in range(3):
+        ref = np.array([ffat_map_val(maps[i], ps[o]) for i in range(6)])
+        np.testing.assert_allclose(got[o, :6], ref, rtol=1e-9)
+
+
+def test_missing_modes_masked(maps):
+    """Modes without maps produce zero transfer (they are excluded from the
+    reference's head(N) dot, modal_solver.h:267-269)."""
+    ffat = build_ffat(maps, num_modes=8, dtype=jnp.float64)
+    got = np.asarray(compute_transfer(
+        ffat, jnp.asarray([1.0, 1.0, 1.0]))[0])
+    assert np.all(got[6:] == 0.0)
+    assert np.all(got[:6] > 0.0)

@@ -1,0 +1,145 @@
+"""IO format tests: .modes binary, material txt, .fatcube protobuf, meta."""
+import struct
+
+import numpy as np
+import pytest
+
+from openpbso_tpu.io import (FatcubeMap, ModalMaterial, ModeData,
+                             load_all_fatcubes, load_fatcube, maps_match_bits,
+                             read_material, read_meta, read_modes,
+                             resolve_model_dir, save_fatcube, write_material,
+                             write_meta, write_modes)
+from openpbso_tpu.io.fatcube import decode_fatcube, encode_fatcube
+from openpbso_tpu.io.meta import ModelPaths, read_freq_threshold
+from openpbso_tpu.io.objmesh import icosphere, per_vertex_normals, read_obj, write_obj
+from openpbso_tpu.utils.synth import synth_fatcube, synth_mode_data, CERAMIC
+
+
+def test_modes_roundtrip(tmp_path):
+    data = synth_mode_data(num_modes=8, num_vertices=10, seed=1)
+    path = str(tmp_path / "t.modes")
+    write_modes(path, data)
+    back = read_modes(path)
+    np.testing.assert_array_equal(back.omega_squared, data.omega_squared)
+    np.testing.assert_array_equal(back.modes, data.modes)
+    assert back.num_modes == 8 and back.num_dof == 30
+
+
+def test_modes_binary_layout(tmp_path):
+    """Byte layout must match the reference (ModeData.h:62-107):
+    int32 nDOF, int32 nModes, f64 eigenvalues, f64 eigenvectors."""
+    data = ModeData(omega_squared=np.array([4.0, 9.0]),
+                    modes=np.arange(12, dtype=np.float64).reshape(2, 6))
+    path = str(tmp_path / "t.modes")
+    write_modes(path, data)
+    raw = open(path, "rb").read()
+    n_dof, n_modes = struct.unpack("<ii", raw[:8])
+    assert (n_dof, n_modes) == (6, 2)
+    vals = np.frombuffer(raw[8:], dtype="<f8")
+    np.testing.assert_array_equal(vals[:2], [4.0, 9.0])
+    np.testing.assert_array_equal(vals[2:], np.arange(12.0))
+
+
+def test_modes_audible_culling():
+    data = synth_mode_data(num_modes=16, num_vertices=5,
+                           f_low=100.0, f_high=30000.0)
+    freqs = data.frequencies_hz(CERAMIC.density)
+    n = data.num_modes_audible(CERAMIC.density, 20000.0)
+    assert n == int(np.sum(freqs <= 20000.0))
+    assert data.num_modes_audible(CERAMIC.density, 1.0) == 0
+    assert data.num_modes_audible(CERAMIC.density, 1e9) == 16
+
+
+def test_material_roundtrip(tmp_path):
+    path = str(tmp_path / "mat.txt")
+    write_material(path, CERAMIC)
+    m = read_material(path)
+    assert m.density == CERAMIC.density
+    assert m.youngs_modulus == CERAMIC.youngs_modulus
+    assert m.poisson_ratio == CERAMIC.poisson_ratio
+    assert m.alpha == CERAMIC.alpha and m.beta == CERAMIC.beta
+
+
+def test_material_comment_skipping(tmp_path):
+    path = str(tmp_path / "mat.txt")
+    with open(path, "w") as f:
+        f.write("# a comment\n# another\n2700 7.2e10 0.19 6 1e-7\n")
+    m = read_material(path)
+    assert m.density == 2700 and m.beta == 1e-7
+
+
+def test_material_damping_formulas():
+    omega = 2 * np.pi * 440.0
+    xi = CERAMIC.xi(omega)
+    assert xi == pytest.approx(0.5 * (CERAMIC.alpha / omega
+                                      + CERAMIC.beta * omega))
+    assert CERAMIC.omega_d(omega) == pytest.approx(
+        omega * np.sqrt(1 - xi ** 2))
+
+
+def test_fatcube_roundtrip(tmp_path):
+    m = synth_fatcube(3, 440.0, n=6, seed=2)
+    path = str(tmp_path / "m.fatcube")
+    save_fatcube(path, m)
+    back = load_fatcube(path)
+    assert maps_match_bits(m, back)
+    assert back.mode_id == 3 and back.k == m.k
+
+
+def test_fatcube_wire_stability():
+    """encode(decode(x)) must be byte-identical (idempotent codec)."""
+    m = synth_fatcube(0, 1000.0, n=4)
+    b1 = encode_fatcube(m)
+    b2 = encode_fatcube(decode_fatcube(b1))
+    assert b1 == b2
+
+
+def test_fatcube_load_all(tmp_path):
+    for i in (0, 2, 5):
+        save_fatcube(str(tmp_path / f"{i}.fatcube"),
+                     synth_fatcube(i, 100.0 * (i + 1), n=4))
+    (tmp_path / "ignore.txt").write_text("x")
+    maps = load_all_fatcubes(str(tmp_path))
+    assert sorted(maps) == [0, 2, 5]
+    assert maps[5].k == pytest.approx(2 * np.pi * 600.0 / 343.0)
+
+
+def test_meta_roundtrip(tmp_path):
+    paths = ModelPaths("a.obj", "b.modes", "c.txt", "d_ffat")
+    p = str(tmp_path / "m.meta")
+    write_meta(p, paths)
+    back = read_meta(p)
+    assert back == paths
+
+
+def test_resolve_model_dir(tmp_path):
+    (tmp_path / "wine.tet.obj").write_text("")
+    got = resolve_model_dir(str(tmp_path))
+    assert got.obj_file.endswith("wine.tet.obj")
+    assert got.modes_file.endswith("wine_surf.modes")
+    assert got.material_file.endswith("wine_material.txt")
+    assert got.ffat_dir.endswith("wine_ffat_maps")
+
+
+def test_freq_threshold(tmp_path):
+    assert read_freq_threshold(str(tmp_path)) == 20000.0
+    (tmp_path / "freq_threshold.txt").write_text("12345.0\n")
+    assert read_freq_threshold(str(tmp_path)) == 12345.0
+
+
+def test_obj_roundtrip(tmp_path):
+    v, f = icosphere(subdivisions=1, radius=2.0)
+    path = str(tmp_path / "s.obj")
+    write_obj(path, v, f)
+    v2, f2 = read_obj(path)
+    np.testing.assert_allclose(v2, v, atol=1e-12)
+    np.testing.assert_array_equal(f2, f)
+    assert np.allclose(np.linalg.norm(v2, axis=1), 2.0)
+
+
+def test_vertex_normals_sphere():
+    v, f = icosphere(subdivisions=2)
+    vn = per_vertex_normals(v, f)
+    # on a sphere, normals point radially outward
+    cos = np.sum(vn * v / np.linalg.norm(v, axis=1, keepdims=True), axis=1)
+    assert np.all(cos > 0.99)
