@@ -1,15 +1,21 @@
 """Benchmark: audio samples/sec/chip at 256 objects x 1024 modes.
 
-The reference's implicit real-time contract is 44 100 samples/s for ONE object
-on one CPU core (BASELINE.md); the driver north-star is >= 256 objects x 1k
-modes faster than real time on one TPU chip. This bench runs the full block
-step (force synthesis + blocked modal IIR + transfer dot + stereo mixdown) in
+The reference's implicit real-time contract is 44 100 samples/s for ONE
+object on one CPU core (BASELINE.md); the driver north-star is >= 256 objects
+x 1k modes faster than real time on one TPU chip. This bench runs the full
+block step (force synthesis + modal IIR + transfer dot + stereo mixdown) in
 steady state and reports scene audio samples/sec and the real-time factor.
 
-Prints exactly one JSON line:
+Two quantities matter and are both printed to stderr:
+- throughput: multi-block scan dispatch (step_multi) — the true device rate,
+  with per-dispatch host/tunnel overhead amortized. This is the headline.
+- latency: single-block synced dispatch — what a real-time stream pays per
+  11.6 ms deadline.
+
+Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where vs_baseline is the real-time factor (1.0 == the reference contract's
-rate on its own workload scaled to 256x1024).
+where vs_baseline is the real-time factor (1.0 == 44.1 kHz on the 256x1024
+north-star workload).
 """
 from __future__ import annotations
 
@@ -25,9 +31,11 @@ def build(o, m, s, backend, dtype_name="float32"):
 
     import jax.numpy as jnp
     from openpbso_tpu.ops.coeffs import bank_from_material
-    from openpbso_tpu.runtime.solver import step_block
     from openpbso_tpu.runtime.state import make_solver_state
     from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    if backend == "pallas":
+        from openpbso_tpu.ops import pallas_integrator  # noqa: F401
 
     dtype = getattr(jnp, dtype_name)
     md = synth_mode_data(m, 8, seed=0)
@@ -46,25 +54,41 @@ def build(o, m, s, backend, dtype_name="float32"):
             jnp.asarray(rng.standard_normal((o, bank.num_modes)), dtype)))
     state = dataclasses.replace(state, slots=slots)
     gains = jnp.ones((o, 2), dtype)
-
-    def fn(st):
-        return step_block(st, bank, gains, block_size=s, backend=backend,
-                          compute_qnorm=False)
-
-    return fn, state
+    return bank, state, gains
 
 
-def time_backend(fn, state, s, warmup=3, iters=20):
+def time_multi(bank, state, gains, s, backend, n_blocks=32, iters=8):
     import jax
-    for _ in range(warmup):
-        state, _, mix, _ = fn(state)
+    from openpbso_tpu.runtime.solver import step_multi
+    st = state
+    for _ in range(2):
+        st, mix = step_multi(st, bank, gains, n_blocks=n_blocks,
+                             block_size=s, backend=backend)
     jax.block_until_ready(mix)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, _, mix, _ = fn(state)
+        st, mix = step_multi(st, bank, gains, n_blocks=n_blocks,
+                             block_size=s, backend=backend)
     jax.block_until_ready(mix)
     dt = time.perf_counter() - t0
-    return (iters * s) / dt  # scene audio samples per second
+    return (iters * n_blocks * s) / dt
+
+
+def time_single(bank, state, gains, s, backend, iters=20):
+    import jax
+    from openpbso_tpu.runtime.solver import step_block
+    st = state
+    for _ in range(3):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=s,
+                                   backend=backend)
+    jax.block_until_ready(mix)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=s,
+                                   backend=backend)
+        np.asarray(mix)  # per-block host sync, like a real-time stream
+    dt = time.perf_counter() - t0
+    return (iters * s) / dt, dt / iters
 
 
 def main():
@@ -79,13 +103,21 @@ def main():
             o = int(arg.split("=", 1)[1])
         elif arg.startswith("--modes="):
             m = int(arg.split("=", 1)[1])
-    fn, state = build(o, m, s, backend)
-    sps = time_backend(fn, state, s)
-    rtf = sps / SAMPLE_RATE
+        elif arg.startswith("--block="):
+            s = int(arg.split("=", 1)[1])
+    bank, state, gains = build(o, m, s, backend)
+    sps_multi = time_multi(bank, state, gains, s, backend)
+    sps_single, block_latency = time_single(bank, state, gains, s, backend)
+    print(f"single-block synced: {sps_single:,.0f} samples/s "
+          f"(RTF {sps_single / SAMPLE_RATE:.2f}, "
+          f"{block_latency * 1e3:.2f} ms/block vs "
+          f"{s / SAMPLE_RATE * 1e3:.2f} ms deadline)", file=sys.stderr)
+    rtf = sps_multi / SAMPLE_RATE
     print(json.dumps({
         "metric": f"audio samples/sec/chip at {o} obj x {m} modes "
-                  f"({backend} backend); real-time factor vs 44.1 kHz",
-        "value": round(sps, 1),
+                  f"({backend} backend, multi-block dispatch); "
+                  f"real-time factor vs 44.1 kHz",
+        "value": round(sps_multi, 1),
         "unit": "samples/s",
         "vs_baseline": round(rtf, 3),
     }))

@@ -1,0 +1,222 @@
+"""real_time_modal_sound — interactive/streaming synthesizer CLI.
+
+TPU-native counterpart of the reference's main binary
+(tools/real_time_modal_sound.cpp). Mirrors its flag surface
+(CreateParser, real_time_modal_sound.cpp:42-64):
+
+  -d DIR        data directory containing the model (naming convention)
+  -name NAME    object prefix name inside -d (e.g. wine)
+  -m/-s/-t/-p   explicit mesh / modes / material / FFAT-dir paths
+  -tex PATH     accepted for compatibility (texture is GUI-only)
+
+plus TPU-build extras: --out WAV, --seconds, --block, --backend,
+--instances (batch the model O times), --listener x,y,z, --no-transfer,
+--interactive.
+
+Without a display, interaction runs over stdin (one command per line):
+
+  hit <obj> <vertex> [point|gaussian [width_us]]   strike the surface
+  sustain <obj> <vertex>                            start sustained AR force
+  arparam <obj> <a1> <a2> <sigma> <mu>              retune AR live
+  release <obj>                                     end sustained force
+  listener <x> <y> <z>                              move the listener
+  transfer on|off                                   toggle FFAT transfer
+  clear                                             clear all forces
+  stats                                             print health/latency
+  quit
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..config import DEFAULT_BLOCK, FILE_NOT_EXIST, SAMPLE_RATE
+from ..io.meta import ModelPaths, resolve_model_dir
+from ..models.modal_model import load_model
+from ..runtime.solver import SolverConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="real_time_modal_sound",
+        description="TPU-native real-time modal sound synthesizer "
+                    "(flag-compatible with the openpbso reference tool)")
+    p.add_argument("-d", dest="data_dir", default=FILE_NOT_EXIST,
+                   help="Data directory that contains the model")
+    p.add_argument("-name", dest="obj_name", default=FILE_NOT_EXIST,
+                   help="Data object prefix name, e.g. wine")
+    p.add_argument("-m", dest="mesh", default=FILE_NOT_EXIST,
+                   help="Triangle mesh for the object")
+    p.add_argument("-s", dest="surf_mode", default=FILE_NOT_EXIST,
+                   help="surface modes file")
+    p.add_argument("-t", dest="material", default=FILE_NOT_EXIST,
+                   help="modal material file")
+    p.add_argument("-p", dest="ffat_map", default=FILE_NOT_EXIST,
+                   help="ffat map folder that contains *.fatcube files")
+    p.add_argument("-tex", dest="obj_texture_map", default=FILE_NOT_EXIST,
+                   help="texture map (accepted for compatibility; unused "
+                        "in headless mode)")
+    p.add_argument("--out", default="output.wav", help="output wav path")
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--block", type=int, default=DEFAULT_BLOCK)
+    p.add_argument("--backend", default="blocked",
+                   choices=["blocked", "scan", "pallas"])
+    p.add_argument("--instances", type=int, default=1,
+                   help="number of batched instances of the model")
+    p.add_argument("--listener", default="1.0,0.5,0.5",
+                   help="listener position x,y,z")
+    p.add_argument("--no-transfer", action="store_true",
+                   help="use the unit transfer instead of FFAT maps")
+    p.add_argument("--interactive", action="store_true",
+                   help="read interaction commands from stdin")
+    p.add_argument("--hit-vertex", type=int, default=0,
+                   help="vertex struck at t=0 in non-interactive mode")
+    p.add_argument("--demo-synth", action="store_true",
+                   help="run on a generated synthetic model (no data files)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (the image's sitecustomize "
+                        "presets the TPU tunnel; env vars are too late)")
+    return p
+
+
+def resolve_paths(args) -> ModelPaths:
+    if args.data_dir != FILE_NOT_EXIST:
+        name = (args.obj_name if args.obj_name != FILE_NOT_EXIST else None)
+        return resolve_model_dir(args.data_dir, name)
+    if FILE_NOT_EXIST in (args.mesh, args.surf_mode, args.material):
+        raise SystemExit(
+            "**Usage: either input -d (and optionally -name), or specify "
+            "full paths to -m, -s, -t, and -p.")
+    return ModelPaths(args.mesh, args.surf_mode, args.material,
+                      args.ffat_map)
+
+
+def make_session(args):
+    import jax.numpy as jnp
+
+    from ..ops.coeffs import bank_from_material
+    from ..ops.ffat import build_ffat
+    from ..runtime.session import ModalSession
+    if args.backend == "pallas":
+        from ..ops import pallas_integrator  # noqa: F401 (registers backend)
+
+    if args.demo_synth:
+        import tempfile
+
+        from ..utils.synth import synth_model_dir
+        root = tempfile.mkdtemp(prefix="pbso_demo_")
+        synth_model_dir(root, "demo", num_modes=48, subdivisions=2,
+                        ffat_n=16)
+        paths = resolve_model_dir(root, "demo")
+    else:
+        paths = resolve_paths(args)
+    model = load_model(paths)
+    print(f"model: {model.num_vertices} vertices, "
+          f"{model.modes.num_modes} modes "
+          f"({model.num_modes_audible} audible), "
+          f"{len(model.ffat_maps)} FFAT maps")
+    bank = bank_from_material(
+        model.material.density,
+        model.modes.omega_squared[: model.num_modes_audible],
+        model.material.alpha, model.material.beta,
+        num_objects=args.instances, block_size=args.block,
+        dtype=jnp.float32)
+    ffat = None
+    if model.ffat_maps and not args.no_transfer:
+        ffat = build_ffat(model.ffat_maps, bank.num_modes,
+                          dtype=jnp.float32)
+    sess = ModalSession(bank, ffat=ffat,
+                        config=SolverConfig(block_size=args.block,
+                                            backend=args.backend))
+    listener = np.asarray([float(v) for v in args.listener.split(",")])
+    sess.set_listener(listener)
+    return model, sess
+
+
+def interactive_loop(engine, model, args) -> None:
+    print("interactive mode; type 'help' for commands", flush=True)
+    for line in sys.stdin:
+        toks = line.split()
+        if not toks:
+            continue
+        cmd = toks[0].lower()
+        try:
+            if cmd == "quit":
+                break
+            elif cmd == "help":
+                print(__doc__.split("stdin (one command per line):")[-1])
+            elif cmd == "hit":
+                obj, vid = int(toks[1]), int(toks[2])
+                kind = toks[3] if len(toks) > 3 else "point"
+                width = float(toks[4]) if len(toks) > 4 else 100.0
+                engine.hit(obj, model.modal_force_vertex(vid), kind=kind,
+                           width_us=width)
+            elif cmd == "sustain":
+                obj, vid = int(toks[1]), int(toks[2])
+                engine.sustained_start(obj, model.modal_force_vertex(vid))
+            elif cmd == "arparam":
+                obj = int(toks[1])
+                engine.set_ar_params(obj, (float(toks[2]), float(toks[3])),
+                                     float(toks[4]), float(toks[5]))
+            elif cmd == "release":
+                engine.sustained_end(int(toks[1]))
+            elif cmd == "listener":
+                engine.set_listener(np.asarray(
+                    [float(toks[1]), float(toks[2]), float(toks[3])]))
+            elif cmd == "transfer":
+                engine.session.set_use_transfer(toks[1] == "on")
+            elif cmd == "clear":
+                engine.clear_forces()
+            elif cmd == "stats":
+                st = engine.profiler.stats()
+                print(f"health={engine.health.health:.2f} "
+                      f"block p50={st.p50_ms:.2f}ms p99={st.p99_ms:.2f}ms "
+                      f"deadline={st.deadline_ms:.2f}ms rtf={st.rtf:.1f}"
+                      if st else "no blocks yet")
+            else:
+                print(f"unknown command: {cmd}")
+        except (IndexError, ValueError) as e:
+            print(f"bad command args: {e}")
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+        try:
+            jax.config.update("jax_platforms",
+                              "cpu" if args.platform == "cpu" else "")
+        except Exception:
+            pass
+    model, sess = make_session(args)
+
+    from ..runtime.audio import WavFileSink
+    from ..runtime.engine import StreamingEngine
+
+    sink = WavFileSink(args.out, SAMPLE_RATE, normalize=True)
+    engine = StreamingEngine(sess, sink)
+
+    if args.interactive:
+        engine.start()
+        try:
+            interactive_loop(engine, model, args)
+        finally:
+            engine.stop()
+    else:
+        # scripted run: strike every instance at t=0, stream for --seconds
+        for o in range(args.instances):
+            engine.hit(o, model.modal_force_vertex(args.hit_vertex))
+        engine.run_for(args.seconds)
+    st = engine.profiler.stats()
+    if st:
+        print(f"done: {st.count} blocks, p50 {st.p50_ms:.2f} ms, "
+              f"p99 {st.p99_ms:.2f} ms vs deadline {st.deadline_ms:.2f} ms, "
+              f"buffer health {engine.health.health:.2f}")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

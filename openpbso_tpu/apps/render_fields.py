@@ -1,0 +1,209 @@
+"""render_fields — offline visualization exporter.
+
+Headless re-design of the reference's GL viewer tools: the reference's
+``render_fields`` binary animates superposed mode shapes next to colored
+pressure-field slices and captures GL frames to numbered PNGs
+(tools/render_fields.cpp:40-169, 241-289); the main tool's HUD additionally
+shows per-mode FFAT images and the transfer ball. Without a display, this
+tool exports the same artifacts as files:
+
+- ``--mode-shapes``: per-frame OBJ meshes of sum_k U_k cos(omega_k t)
+  displacement animation (render_fields.cpp:241-261 math).
+- ``--fields DIR``: renders binary float32 field slices (the wavesolver's
+  ``*.dat`` grids, default 424x424x88 layout per render_fields.cpp:86-98)
+  to PNGs with a jet-style colormap.
+- ``--ffat-images``: per-mode cubemap face images of a FFAT map dir
+  (FFAT_Map::ConvertToImages equivalent, ffat_solver.h:1106-1122).
+- ``--transfer-ball``: icosphere OBJ with per-vertex transfer magnitudes
+  (real_time_modal_sound.cpp:917-927) written as a sidecar .npy.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..io.meta import resolve_model_dir
+from ..io.objmesh import icosphere, write_obj
+
+
+def _colormap_jet(x: np.ndarray) -> np.ndarray:
+    """[...]->[..., 3] uint8 jet-like colormap (no matplotlib needed)."""
+    x = np.clip(x, 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def _write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal PNG writer (no external deps)."""
+    import struct
+    import zlib
+    h, w = rgb.shape[:2]
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def export_mode_shapes(model, out_dir: str, *, mode_indices=None,
+                       frames: int = 24, scale: float = 1e-3) -> list[str]:
+    """OBJ animation frames of superposed mode displacement
+    (sum_k U_k cos(omega_k t), render_fields.cpp:241-261)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if mode_indices is None:
+        mode_indices = list(range(min(4, model.num_modes_audible)))
+    freqs = model.modes.frequencies_hz(model.material.density)
+    # normalize animation over one period of the slowest selected mode
+    base_f = min(freqs[i] for i in mode_indices)
+    paths = []
+    for fr in range(frames):
+        t = fr / frames / base_f
+        disp = np.zeros_like(model.vertices)
+        for k in mode_indices:
+            u = model.modes.mode_displacements(k)
+            disp += u * np.cos(2 * np.pi * freqs[k] * t)
+        v = model.vertices + scale * disp
+        path = os.path.join(out_dir, f"mode_shape_{fr:04d}.obj")
+        write_obj(path, v, model.faces)
+        paths.append(path)
+    return paths
+
+
+def render_field_slices(field_dir: str, out_dir: str, *,
+                        nx: int = 424, ny: int = 424, nz: int = 88,
+                        z_slice: int | None = None,
+                        vmin: float | None = None,
+                        vmax: float | None = None) -> list[str]:
+    """Binary float32 grid files -> colormapped PNGs
+    (render_fields.cpp:86-169)."""
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    files = [f for f in sorted(os.listdir(field_dir))
+             if f.endswith((".dat", ".bin", ".raw"))]
+    z = nz // 2 if z_slice is None else z_slice
+    for i, name in enumerate(files):
+        data = np.fromfile(os.path.join(field_dir, name), "<f4")
+        if data.size < nx * ny * nz:
+            continue
+        grid = data[: nx * ny * nz].reshape(nz, ny, nx)
+        plane = grid[z]
+        lo = vmin if vmin is not None else np.percentile(plane, 2)
+        hi = vmax if vmax is not None else np.percentile(plane, 98)
+        norm = (plane - lo) / max(hi - lo, 1e-12)
+        path = os.path.join(out_dir, f"field_{i:05d}.png")
+        _write_png(path, _colormap_jet(norm))
+        out.append(path)
+    return out
+
+
+def export_ffat_images(maps: dict, out_dir: str) -> list[str]:
+    """Per-mode, per-face amplitude PNGs (ConvertToImages equivalent:
+    the flat psi vector reshaped row-major per face,
+    ffat_solver.h:1106-1122)."""
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    for mode_id, m in sorted(maps.items()):
+        peak = float(np.abs(m.psi).max()) or 1.0
+        for face in range(6):
+            nu, nv = (int(x) for x in m.shell.n_elements[face])
+            start = int(m.shell.strides[face])
+            img = m.psi[start: start + nu * nv].reshape(nu, nv) / peak
+            path = os.path.join(out_dir, f"ffat_{mode_id:04d}_f{face}.png")
+            _write_png(path, _colormap_jet(img))
+            out.append(path)
+    return out
+
+
+def export_transfer_ball(session, out_dir: str, *,
+                         subdivisions: int = 3,
+                         radius: float = 1.0) -> tuple[str, str]:
+    """Icosphere + per-vertex transfer sum (the HUD ball colored by
+    log10(qnorm . transfer), real_time_modal_sound.cpp:917-979)."""
+    os.makedirs(out_dir, exist_ok=True)
+    v, f = icosphere(subdivisions, radius)
+    import jax.numpy as jnp
+
+    from ..ops.ffat import compute_transfer
+    vals = np.zeros(v.shape[0])
+    if session.ffat is not None:
+        # transfer per vertex direction, summed over modes
+        t = np.asarray(compute_transfer(
+            session.ffat, jnp.asarray(v, jnp.float32)))
+        vals = t.sum(axis=-1)
+    obj_path = os.path.join(out_dir, "transfer_ball.obj")
+    npy_path = os.path.join(out_dir, "transfer_ball_values.npy")
+    write_obj(obj_path, v, f)
+    np.save(npy_path, vals)
+    return obj_path, npy_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", dest="data_dir", required=False)
+    p.add_argument("-name", dest="name", default=None)
+    p.add_argument("--out-dir", default="viz")
+    p.add_argument("--mode-shapes", action="store_true")
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--fields", default=None,
+                   help="directory of binary float32 field slices")
+    p.add_argument("--ffat-images", action="store_true")
+    p.add_argument("--transfer-ball", action="store_true")
+    args = p.parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    model = None
+    if args.data_dir:
+        from ..models.modal_model import load_model
+        model = load_model(resolve_model_dir(args.data_dir, args.name))
+    if args.mode_shapes:
+        if model is None:
+            raise SystemExit("--mode-shapes needs -d")
+        paths = export_mode_shapes(model,
+                                   os.path.join(args.out_dir, "modes"),
+                                   frames=args.frames)
+        print(f"wrote {len(paths)} mode-shape frames")
+    if args.fields:
+        paths = render_field_slices(args.fields,
+                                    os.path.join(args.out_dir, "fields"))
+        print(f"wrote {len(paths)} field slices")
+    if args.ffat_images:
+        if model is None:
+            raise SystemExit("--ffat-images needs -d")
+        paths = export_ffat_images(model.ffat_maps,
+                                   os.path.join(args.out_dir, "ffat"))
+        print(f"wrote {len(paths)} FFAT face images")
+    if args.transfer_ball:
+        if model is None:
+            raise SystemExit("--transfer-ball needs -d")
+        import jax.numpy as jnp
+
+        from ..ops.coeffs import bank_from_material
+        from ..ops.ffat import build_ffat
+        from ..runtime.session import ModalSession
+        bank = bank_from_material(
+            model.material.density,
+            model.modes.omega_squared[: model.num_modes_audible],
+            model.material.alpha, model.material.beta, block_size=512,
+            dtype=jnp.float32)
+        ffat = (build_ffat(model.ffat_maps, bank.num_modes,
+                           dtype=jnp.float32)
+                if model.ffat_maps else None)
+        sess = ModalSession(bank, ffat=ffat)
+        obj, npy = export_transfer_ball(sess, args.out_dir)
+        print(f"wrote {obj} / {npy}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,280 @@
+"""StreamingEngine — the real-time producer/consumer pipeline.
+
+TPU-native re-design of the reference's three-thread architecture
+(UI thread -> [SPSC queues] -> sim thread -> [sound queue] -> audio callback;
+modal_solver.h:100-141, real_time_modal_sound.cpp:527-553):
+
+- a **synthesis thread** runs the jitted block step ahead of playback. JAX's
+  async dispatch double-buffers naturally: block k+1 is enqueued on device
+  before block k's host transfer completes.
+- a bounded **sound queue** (capacity 2, like the reference's
+  ``_queue_sound``) paces the producer: ``put`` blocks when the consumer lags
+  (the reference's infinite-retry enqueue spin, modal_solver.h:275,348-357).
+- **event queues** with the reference's exact drop semantics: force events
+  bounded at 512 with drop-on-full (modal_solver.h:129, 330-333), transfer
+  updates latest-wins capacity 1 (modal_solver.h:107,250-252), AR params
+  latest-wins (modal_solver.h:109), qnorm telemetry best-effort capacity 2
+  (modal_solver.h:272-273).
+- a 100-slot **buffer-health ring** mirrors the underrun telemetry
+  (real_time_modal_sound.cpp:74, 203-206).
+
+Thread-safety is by construction: the synthesis thread owns the SolverState;
+other threads only enqueue immutable event records.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable
+
+import numpy as np
+
+from ..config import SAMPLE_RATE
+from .profiling import BlockProfiler
+from .session import ModalSession
+
+
+@dataclasses.dataclass
+class HitEvent:
+    obj: int
+    space: np.ndarray
+    kind: str = "point"
+    width_us: float = 100.0
+    amp: float = 1.0
+
+
+@dataclasses.dataclass
+class SustainedEvent:
+    obj: int
+    action: str                      # 'start' | 'update' | 'end'
+    space: np.ndarray | None = None
+
+
+@dataclasses.dataclass
+class ArParamEvent:
+    obj: int
+    a: tuple = (0.783, 0.116)
+    sigma: float = 0.00148
+    mu: float = 0.142
+
+
+@dataclasses.dataclass
+class TransferEvent:
+    listener: np.ndarray             # [3] or [O, 3]
+
+
+@dataclasses.dataclass
+class ClearEvent:
+    obj: int | None = None
+
+
+class LatestWins:
+    """Capacity-1 slot: writers overwrite, reader takes-and-clears.
+
+    The TPU analog of the reference's capacity-1 trans/arprm queues
+    (modal_solver.h:107-109): only the newest value matters.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._value = None
+
+    def put(self, value) -> None:
+        with self._lock:
+            self._value = value
+
+    def take(self):
+        with self._lock:
+            v = self._value
+            self._value = None
+            return v
+
+
+class BufferHealth:
+    """100-slot success ring (real_time_modal_sound.cpp:74, 203-206)."""
+
+    def __init__(self, size: int = 100):
+        self._ring = np.ones(size, np.float32)
+        self._ptr = 0
+        self._lock = threading.Lock()
+
+    def record(self, ok: bool) -> None:
+        with self._lock:
+            self._ring[self._ptr] = 1.0 if ok else 0.0
+            self._ptr = (self._ptr + 1) % len(self._ring)
+
+    def snapshot(self) -> np.ndarray:
+        with self._lock:
+            return self._ring.copy()
+
+    @property
+    def health(self) -> float:
+        return float(self.snapshot().mean())
+
+
+class StreamingEngine:
+    """Runs a ModalSession continuously against an audio sink."""
+
+    def __init__(
+        self,
+        session: ModalSession,
+        sink,
+        *,
+        sound_queue_depth: int = 2,
+        force_queue_depth: int = 512,
+        qnorm_every: int = 0,
+        on_qnorm: Callable[[np.ndarray], None] | None = None,
+    ):
+        self.session = session
+        self.sink = sink
+        self._events: queue.Queue = queue.Queue(maxsize=force_queue_depth)
+        self._transfer = LatestWins()
+        self._arprm = LatestWins()
+        self._sound: queue.Queue = queue.Queue(maxsize=sound_queue_depth)
+        self._qnorm: queue.Queue = queue.Queue(maxsize=2)
+        self._qnorm_every = qnorm_every
+        self._on_qnorm = on_qnorm
+        self.health = BufferHealth()
+        self.profiler = BlockProfiler(session.config.block_size, SAMPLE_RATE)
+        self._stop = threading.Event()
+        self._synth_thread: threading.Thread | None = None
+        self._consume_thread: threading.Thread | None = None
+        self._last_block: np.ndarray | None = None
+        self._blocks_done = 0
+
+    # ----------------------------------------------------------- event API
+
+    def hit(self, obj: int, space: np.ndarray, *, kind: str = "point",
+            width_us: float = 100.0, amp: float = 1.0) -> bool:
+        """Non-blocking enqueue; drops when full (modal_solver.h:330-333)."""
+        try:
+            self._events.put_nowait(HitEvent(obj, np.asarray(space),
+                                             kind, width_us, amp))
+            return True
+        except queue.Full:
+            return False
+
+    def set_listener(self, pos: np.ndarray) -> None:
+        self._transfer.put(TransferEvent(np.asarray(pos)))
+
+    def sustained_start(self, obj: int, space: np.ndarray) -> None:
+        self._events.put(SustainedEvent(obj, "start", np.asarray(space)))
+
+    def sustained_update(self, obj: int, space: np.ndarray) -> None:
+        self._events.put(SustainedEvent(obj, "update", np.asarray(space)))
+
+    def sustained_end(self, obj: int) -> None:
+        self._events.put(SustainedEvent(obj, "end"))
+
+    def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
+                      mu=0.142) -> None:
+        self._arprm.put(ArParamEvent(obj, tuple(a), sigma, mu))
+
+    def clear_forces(self, obj: int | None = None) -> None:
+        self._events.put(ClearEvent(obj))
+
+    def latest_qnorm(self) -> np.ndarray | None:
+        try:
+            return self._qnorm.get_nowait()
+        except queue.Empty:
+            return None
+
+    # ----------------------------------------------------------- lifecycle
+
+    def _apply_events(self) -> None:
+        # <=16 events per block keeps the synthesis deadline safe while
+        # draining bursts quickly (the reference applies <=1 per block,
+        # modal_solver.h:184)
+        for _ in range(16):
+            try:
+                ev = self._events.get_nowait()
+            except queue.Empty:
+                break
+            if isinstance(ev, HitEvent):
+                self.session.hit(ev.obj, ev.space, kind=ev.kind,
+                                 width_us=ev.width_us, amp=ev.amp)
+            elif isinstance(ev, SustainedEvent):
+                if ev.action == "start":
+                    self.session.sustained_start(ev.obj, ev.space)
+                elif ev.action == "update":
+                    self.session.sustained_update(ev.obj, ev.space)
+                else:
+                    self.session.sustained_end(ev.obj)
+            elif isinstance(ev, ClearEvent):
+                self.session.clear_forces(ev.obj)
+        tr = self._transfer.take()
+        if tr is not None:
+            self.session.set_listener(tr.listener)
+        ar = self._arprm.take()
+        if ar is not None:
+            self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
+
+    def _synth_loop(self) -> None:
+        want_qnorm_every = self._qnorm_every
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            self._apply_events()
+            need_qnorm = (want_qnorm_every > 0
+                          and self._blocks_done % want_qnorm_every == 0)
+            if need_qnorm:
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=True)
+            _, mix, qnorm = self.session.step()
+            mix_np = np.asarray(mix)  # device sync point
+            if need_qnorm:
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=False)
+                try:
+                    self._qnorm.put_nowait(np.asarray(qnorm))
+                except queue.Full:
+                    pass  # telemetry is best-effort (modal_solver.h:273)
+            self.profiler.record(time.perf_counter() - t0)
+            self._blocks_done += 1
+            # pacing: blocks when the consumer is 2 blocks behind
+            while not self._stop.is_set():
+                try:
+                    self._sound.put(mix_np, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def _consume_loop(self) -> None:
+        block = self.session.config.block_size
+        silent = np.zeros((block, 2), np.float32)
+        while not self._stop.is_set():
+            try:
+                mix = self._sound.get(timeout=0.2)
+                ok = True
+            except queue.Empty:
+                # underrun: replay stale buffer like the PortAudio callback
+                # (real_time_modal_sound.cpp:203-210)
+                mix = self._last_block if self._last_block is not None \
+                    else silent
+                ok = False
+            self._last_block = mix
+            wrote = self.sink.write(mix)  # stale/silent block still plays
+            self.health.record(ok and wrote)
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._synth_thread = threading.Thread(
+            target=self._synth_loop, name="pbso-synth", daemon=True)
+        self._consume_thread = threading.Thread(
+            target=self._consume_loop, name="pbso-audio", daemon=True)
+        self._synth_thread.start()
+        self._consume_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in (self._synth_thread, self._consume_thread):
+            if t is not None:
+                t.join(timeout=5.0)
+        self.sink.close()
+
+    def run_for(self, seconds: float) -> None:
+        """Convenience: start, run, stop."""
+        self.start()
+        time.sleep(seconds)
+        self.stop()

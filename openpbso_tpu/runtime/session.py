@@ -239,6 +239,27 @@ class ModalSession:
             out.append(np.asarray(mix))
         return np.concatenate(out, axis=0)
 
+    def render_multi(self, num_blocks: int,
+                     blocks_per_dispatch: int = 16) -> np.ndarray:
+        """Offline render using multi-block device dispatch (step_multi).
+
+        Much faster than render() when per-dispatch overhead dominates;
+        events already enqueued (hits with future t0) still fire at the
+        correct sample inside the span.
+        """
+        from .solver import step_multi
+        out = []
+        done = 0
+        while done < num_blocks:
+            n = min(blocks_per_dispatch, num_blocks - done)
+            self.state, mix = step_multi(
+                self.state, self.bank, self.gains, n_blocks=n,
+                block_size=self.config.block_size,
+                backend=self.config.backend)
+            out.append(np.asarray(mix))
+            done += n
+        return np.concatenate(out, axis=0)
+
     def render_raw(self, num_blocks: int) -> np.ndarray:
         """Offline render of per-object raw sound: [O, num_blocks * S]."""
         out = []

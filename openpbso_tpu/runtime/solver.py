@@ -45,17 +45,14 @@ class BlockOutput:
     qnorm: jax.Array | None   # [O, M] per-mode energy, if requested
 
 
-@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
-def step_block(
+def _step_block_impl(
     state: SolverState,
     bank: ModalBank,
-    gains: jax.Array,          # [O, 2] stereo gain/pan per object
-    *,
-    block_size: int = DEFAULT_BLOCK,
-    backend: str = "blocked",
-    compute_qnorm: bool = False,
-) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
-    """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
+    gains: jax.Array,
+    block_size: int,
+    backend: str,
+    compute_qnorm: bool,
+):
     time_imp, space_imp = force_block(state.slots, state.block_start,
                                       block_size)
     sus, time_sus, space_sus = sustained_block(state.sustained, block_size)
@@ -81,6 +78,51 @@ def step_block(
         block_start=state.block_start + block_size,
     )
     return new_state, sound, mix.astype(jnp.float32), qnorm
+
+
+@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
+def step_block(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,          # [O, 2] stereo gain/pan per object
+    *,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+    compute_qnorm: bool = False,
+) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
+    """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
+    return _step_block_impl(state, bank, gains, block_size, backend,
+                            compute_qnorm)
+
+
+@partial(jax.jit,
+         static_argnames=("n_blocks", "block_size", "backend"))
+def step_multi(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+) -> tuple[SolverState, jax.Array]:
+    """Advance n_blocks in ONE dispatch via lax.scan.
+
+    Used for offline rendering and throughput benchmarking: per-dispatch
+    host/tunnel overhead (~ms) dominates small blocks, so batching blocks on
+    device recovers the true device rate. Force slots are stateless per block
+    (pure functions of the sample clock), so hits scheduled inside the span
+    fire at the right block automatically.
+
+    Returns (state', mix [n_blocks*S, 2]).
+    """
+    def body(st, _):
+        st, _sound, mix, _ = _step_block_impl(
+            st, bank, gains, block_size, backend, False)
+        return st, mix
+
+    state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
+    return state, mixes.reshape(n_blocks * block_size, 2)
 
 
 def default_gains(num_objects: int, dtype=jnp.float32) -> jax.Array:

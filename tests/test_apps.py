@@ -1,0 +1,91 @@
+"""CLI app smoke tests (headless, CPU)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from openpbso_tpu.apps.real_time_modal_sound import (build_argparser,
+                                                     resolve_paths)
+from openpbso_tpu.config import FILE_NOT_EXIST
+
+
+def test_argparser_flag_surface():
+    """The reference's flags -d/-name/-m/-s/-t/-p/-tex must all parse
+    (real_time_modal_sound.cpp:42-64)."""
+    p = build_argparser()
+    args = p.parse_args(["-d", "/data", "-name", "wine", "-tex", "t.png"])
+    assert args.data_dir == "/data" and args.obj_name == "wine"
+    args = p.parse_args(["-m", "a.obj", "-s", "b.modes", "-t", "c.txt",
+                         "-p", "d_ffat"])
+    assert args.mesh == "a.obj" and args.ffat_map == "d_ffat"
+
+
+def test_resolve_paths_requires_full_set():
+    p = build_argparser()
+    args = p.parse_args(["-m", "a.obj"])  # missing -s/-t
+    with pytest.raises(SystemExit):
+        resolve_paths(args)
+
+
+def test_explicit_paths():
+    p = build_argparser()
+    args = p.parse_args(["-m", "a.obj", "-s", "b.modes", "-t", "c.txt",
+                         "-p", "d"])
+    paths = resolve_paths(args)
+    assert paths.modes_file == "b.modes"
+
+
+def test_render_offline_config1(tmp_path):
+    from openpbso_tpu.apps.render_offline import run_config
+    r = run_config(1, "blocked", str(tmp_path))
+    assert r["peak"] > 0
+    assert os.path.exists(r["wav"])
+    assert r["audio_seconds"] >= 0.9
+
+
+def test_render_fields_exports(tmp_path, synth_model_root):
+    from openpbso_tpu.apps.render_fields import (export_ffat_images,
+                                                 export_mode_shapes)
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    frames = export_mode_shapes(model, str(tmp_path / "m"), frames=3)
+    assert len(frames) == 3 and os.path.exists(frames[0])
+    imgs = export_ffat_images(
+        {0: model.ffat_maps[0]}, str(tmp_path / "f"))
+    assert len(imgs) == 6
+    with open(imgs[0], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_field_slice_rendering(tmp_path):
+    from openpbso_tpu.apps.render_fields import render_field_slices
+    nx = ny = 8
+    nz = 4
+    field_dir = tmp_path / "fields"
+    field_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        rng.standard_normal(nx * ny * nz).astype("<f4").tofile(
+            str(field_dir / f"p_{i}.dat"))
+    out = render_field_slices(str(field_dir), str(tmp_path / "png"),
+                              nx=nx, ny=ny, nz=nz)
+    assert len(out) == 2
+
+
+def test_cli_demo_synth_end_to_end(tmp_path):
+    """Full subprocess run of the main CLI on a synthetic model."""
+    out = str(tmp_path / "demo.wav")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "openpbso_tpu.apps.real_time_modal_sound",
+         "--demo-synth", "--seconds", "0.7", "--out", out,
+         "--block", "256", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "wrote" in r.stdout

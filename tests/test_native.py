@@ -1,0 +1,100 @@
+"""Native C++ components: SPSC ring + fatcube decoder (ctypes)."""
+import numpy as np
+import pytest
+
+from openpbso_tpu.io.fatcube import (decode_fatcube, encode_fatcube,
+                                     maps_match_bits)
+from openpbso_tpu.utils.synth import synth_fatcube
+
+native = pytest.importorskip("openpbso_tpu.native.bindings")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load_native()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_spsc_push_pop_order(lib):
+    ring = native.NativeSpscRing(4, (8,))
+    for i in range(4):
+        assert ring.try_push(np.full(8, float(i), np.float32))
+    assert not ring.try_push(np.zeros(8, np.float32))  # full
+    for i in range(4):
+        out = ring.try_pop()
+        assert out is not None and out[0] == float(i)
+    assert ring.try_pop() is None  # empty
+
+
+def test_spsc_pacing_semantics(lib):
+    """Capacity-2 ring behaves like the reference sound queue: producer
+    try_push fails when 2 ahead (modal_solver.h:130, 275)."""
+    ring = native.NativeSpscRing(2, (4,))
+    a = np.ones(4, np.float32)
+    assert ring.try_push(a) and ring.try_push(a)
+    assert not ring.try_push(a)
+    ring.try_pop()
+    assert ring.try_push(a)
+
+
+def test_spsc_overwrite_latest_wins(lib):
+    ring = native.NativeSpscRing(1, (2,))
+    ring.push_overwrite(np.asarray([1.0, 1.0], np.float32))
+    ring.push_overwrite(np.asarray([2.0, 2.0], np.float32))
+    assert ring.dropped == 1
+    out = ring.try_pop()
+    assert out[0] == 2.0
+
+
+def test_spsc_threaded_stream(lib):
+    """Producer/consumer threads stream 500 blocks without loss or
+    reordering."""
+    import threading
+    ring = native.NativeSpscRing(8, (16,))
+    n = 500
+    received = []
+
+    def produce():
+        i = 0
+        while i < n:
+            if ring.try_push(np.full(16, float(i), np.float32)):
+                i += 1
+
+    def consume():
+        while len(received) < n:
+            out = ring.try_pop()
+            if out is not None:
+                received.append(float(out[0]))
+
+    tp = threading.Thread(target=produce)
+    tc = threading.Thread(target=consume)
+    tp.start(); tc.start()
+    tp.join(10); tc.join(10)
+    assert received == [float(i) for i in range(n)]
+
+
+def test_native_fatcube_decode_bit_parity(lib):
+    for seed in range(3):
+        m = synth_fatcube(seed, 440.0 * (seed + 1), n=7 + seed, seed=seed)
+        data = encode_fatcube(m)
+        nat = native.native_decode_fatcube(data)
+        assert nat is not None
+        assert maps_match_bits(m, nat)
+        assert maps_match_bits(decode_fatcube(data), nat)
+
+
+def test_native_fatcube_rejects_garbage(lib):
+    assert native.native_decode_fatcube(b"\x99\x01garbage") is None
+    assert native.native_decode_fatcube(b"") is None
+
+
+def test_native_load_all(tmp_path, lib):
+    from openpbso_tpu.io.fatcube import save_fatcube
+    from openpbso_tpu.native.bindings import load_all_fatcubes_native
+    for i in (1, 4):
+        save_fatcube(str(tmp_path / f"{i}.fatcube"),
+                     synth_fatcube(i, 100.0 * i, n=5))
+    maps = load_all_fatcubes_native(str(tmp_path))
+    assert sorted(maps) == [1, 4]
