@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def build(o, m, s, backend, dtype_name="float32"):
+def build(o, m, s, backend, dtype_name="float32", hetero=False):
     import dataclasses
 
     import jax.numpy as jnp
@@ -39,9 +39,26 @@ def build(o, m, s, backend, dtype_name="float32"):
 
     dtype = getattr(jnp, dtype_name)
     md = synth_mode_data(m, 8, seed=0)
-    bank = bank_from_material(CERAMIC.density, md.omega_squared,
-                              CERAMIC.alpha, CERAMIC.beta, num_objects=o,
-                              block_size=s, dtype=dtype)
+    if hetero:
+        # every object gets its own mode bank (no shared lam tables)
+        from openpbso_tpu.ops.coeffs import (build_modal_bank,
+                                             lambda_from_modes)
+        rng0 = np.random.default_rng(7)
+        lams, bs, valids = [], [], []
+        for i in range(o):
+            mdi = synth_mode_data(m, 8, seed=100 + i,
+                                  f_low=100.0 + i, f_high=15000.0 + 3 * i)
+            lam, b, valid = lambda_from_modes(
+                CERAMIC.density, mdi.omega_squared, CERAMIC.alpha,
+                CERAMIC.beta)
+            lams.append(lam); bs.append(b); valids.append(valid)
+        bank = build_modal_bank(np.stack(lams), np.stack(bs),
+                                np.stack(valids), block_size=s,
+                                shared=False, dtype=dtype)
+    else:
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=o, block_size=s, dtype=dtype)
     state = make_solver_state(o, bank.num_modes, num_slots=8, dtype=dtype)
     # plant one gaussian hit per object so the force path does real work
     rng = np.random.default_rng(0)
@@ -64,12 +81,13 @@ def time_multi(bank, state, gains, s, backend, n_blocks=32, iters=8):
     for _ in range(2):
         st, mix = step_multi(st, bank, gains, n_blocks=n_blocks,
                              block_size=s, backend=backend)
-    jax.block_until_ready(mix)
+    np.asarray(mix)  # full host sync: block_until_ready alone is not
+    # trustworthy through the axon remote-execution tunnel
     t0 = time.perf_counter()
     for _ in range(iters):
         st, mix = step_multi(st, bank, gains, n_blocks=n_blocks,
                              block_size=s, backend=backend)
-    jax.block_until_ready(mix)
+    np.asarray(mix)
     dt = time.perf_counter() - t0
     return (iters * n_blocks * s) / dt
 
@@ -81,7 +99,7 @@ def time_single(bank, state, gains, s, backend, iters=20):
     for _ in range(3):
         st, _, mix, _ = step_block(st, bank, gains, block_size=s,
                                    backend=backend)
-    jax.block_until_ready(mix)
+    np.asarray(mix)
     t0 = time.perf_counter()
     for _ in range(iters):
         st, _, mix, _ = step_block(st, bank, gains, block_size=s,
@@ -96,6 +114,7 @@ def main():
 
     o, m, s = 256, 1024, 512
     backend = "blocked"
+    hetero = False
     for arg in sys.argv[1:]:
         if arg.startswith("--backend="):
             backend = arg.split("=", 1)[1]
@@ -105,7 +124,9 @@ def main():
             m = int(arg.split("=", 1)[1])
         elif arg.startswith("--block="):
             s = int(arg.split("=", 1)[1])
-    bank, state, gains = build(o, m, s, backend)
+        elif arg == "--hetero":
+            hetero = True
+    bank, state, gains = build(o, m, s, backend, hetero=hetero)
     sps_multi = time_multi(bank, state, gains, s, backend)
     sps_single, block_latency = time_single(bank, state, gains, s, backend)
     print(f"single-block synced: {sps_single:,.0f} samples/s "
@@ -115,7 +136,8 @@ def main():
     rtf = sps_multi / SAMPLE_RATE
     print(json.dumps({
         "metric": f"audio samples/sec/chip at {o} obj x {m} modes "
-                  f"({backend} backend, multi-block dispatch); "
+                  f"({backend}{'/hetero' if hetero else ''} backend, "
+                  f"multi-block dispatch); "
                   f"real-time factor vs 44.1 kHz",
         "value": round(sps_multi, 1),
         "unit": "samples/s",

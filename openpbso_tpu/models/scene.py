@@ -1,0 +1,129 @@
+"""Scene — batched assembly of many sounding objects.
+
+The reference runs exactly one object per process
+(real_time_modal_sound.cpp:518-525). The TPU build's unit of execution is a
+*scene*: O object instances (possibly of different models, materials, and
+mode counts) packed into the [O, M] arrays the solver consumes. Instances of
+the same model share lam-power tables and FFAT textures; heterogeneous
+scenes get per-object rows.
+
+Each instance carries a world position and stereo gain; listener updates
+translate one world listener into per-object relative positions (the
+reference's single object sits at the origin) with optional 1/r distance
+attenuation on the gains.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import DEFAULT_BLOCK
+from .modal_model import ModalSoundModel
+
+
+@dataclasses.dataclass
+class SceneInstance:
+    model: ModalSoundModel
+    position: np.ndarray                 # [3] world position
+    gain: float = 1.0
+    pan: float = 0.0                     # -1 (left) .. +1 (right)
+
+
+class Scene:
+    """Builds and owns the device session for a set of instances."""
+
+    def __init__(self, instances: list[SceneInstance], *,
+                 block_size: int = DEFAULT_BLOCK,
+                 backend: str = "auto",
+                 num_slots: int = 16,
+                 use_ffat: bool = True,
+                 dtype=None):
+        import jax.numpy as jnp
+
+        from ..ops.coeffs import build_modal_bank, lambda_from_modes
+        from ..ops.ffat import build_ffat_hetero
+        from ..runtime.session import ModalSession
+        from ..runtime.solver import SolverConfig
+
+        if not instances:
+            raise ValueError("scene needs at least one instance")
+        dtype = dtype or jnp.float32
+        self.instances = instances
+        o = len(instances)
+        n_modes = [inst.model.num_modes_audible for inst in instances]
+        m_max = max(n_modes)
+
+        lam = np.zeros((o, m_max), np.complex128)
+        b = np.zeros((o, m_max), np.complex128)
+        valid = np.zeros((o, m_max), bool)
+        for i, inst in enumerate(instances):
+            mdl = inst.model
+            n = mdl.num_modes_audible
+            li, bi, vi = lambda_from_modes(
+                mdl.material.density, mdl.modes.omega_squared[:n],
+                mdl.material.alpha, mdl.material.beta)
+            lam[i, :n] = li
+            b[i, :n] = bi
+            valid[i, :n] = vi
+        shared = all(inst.model is instances[0].model for inst in instances)
+        self.bank = build_modal_bank(lam, b, valid, block_size=block_size,
+                                     shared=shared, dtype=dtype)
+
+        ffat = None
+        if use_ffat and any(inst.model.ffat_maps for inst in instances):
+            if shared:
+                from ..ops.ffat import build_ffat
+                ffat = build_ffat(instances[0].model.ffat_maps,
+                                  self.bank.num_modes, dtype=dtype)
+            else:
+                ffat = build_ffat_hetero(
+                    [inst.model.ffat_maps for inst in instances],
+                    self.bank.num_modes, dtype=dtype)
+        self.session = ModalSession(
+            self.bank, ffat=ffat,
+            config=SolverConfig(block_size=block_size, backend=backend),
+            num_slots=num_slots, dtype=dtype)
+
+        self.positions = np.stack([np.asarray(i.position, np.float64)
+                                   for i in instances])
+        gains = np.zeros((o, 2))
+        for i, inst in enumerate(instances):
+            left = inst.gain * (1.0 - max(inst.pan, 0.0))
+            right = inst.gain * (1.0 + min(inst.pan, 0.0))
+            gains[i] = (left, right)
+        self._base_gains = gains
+        self.session.gains = jnp.asarray(gains, dtype)
+
+    # ------------------------------------------------------------------ API
+
+    @property
+    def num_objects(self) -> int:
+        return len(self.instances)
+
+    def hit(self, index: int, vertex: int, **kw) -> None:
+        """Strike instance ``index`` at mesh vertex ``vertex``."""
+        space = self.instances[index].model.modal_force_vertex(vertex)
+        self.session.hit(index, space, **kw)
+
+    def set_listener(self, world_pos: np.ndarray,
+                     distance_attenuation: bool = False) -> None:
+        """One world listener -> per-object relative transfer lookups."""
+        import jax.numpy as jnp
+        world_pos = np.asarray(world_pos, np.float64)
+        rel = world_pos[None, :] - self.positions      # [O, 3]
+        self.session.set_listener(rel)
+        if distance_attenuation:
+            r = np.maximum(np.linalg.norm(rel, axis=1), 1e-3)
+            att = (1.0 / r)[:, None]
+            self.session.gains = jnp.asarray(self._base_gains * att,
+                                             self.session.gains.dtype)
+
+    def step(self):
+        return self.session.step()
+
+    def render(self, num_blocks: int) -> np.ndarray:
+        return self.session.render(num_blocks)
+
+    def render_multi(self, num_blocks: int, **kw) -> np.ndarray:
+        return self.session.render_multi(num_blocks, **kw)

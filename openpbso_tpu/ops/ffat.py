@@ -121,6 +121,36 @@ def build_ffat(
     return FFATMaps(geom=geom, cell_size=jnp.asarray(cell, dtype))
 
 
+def build_ffat_hetero(per_object_maps: list[dict[int, FatcubeMap]],
+                      num_modes: int, *, dtype=jnp.float32) -> FFATMaps:
+    """Per-object FFAT maps (heterogeneous scene): geometry axis Og = O."""
+    singles = [build_ffat(maps, num_modes, dtype=dtype)
+               for maps in per_object_maps]
+    p_max = max(f.geom.psi.shape[-1] for f in singles)
+
+    def cat(get, pad_psi=False):
+        parts = []
+        for f in singles:
+            a = get(f)
+            if pad_psi and a.shape[-1] < p_max:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, p_max - a.shape[-1])))
+            parts.append(a)
+        return jnp.concatenate(parts, axis=0)
+
+    geom = DeviceFFAT(
+        psi=cat(lambda f: f.geom.psi, pad_psi=True),
+        k=cat(lambda f: f.geom.k),
+        center=cat(lambda f: f.geom.center),
+        bbox_low=cat(lambda f: f.geom.bbox_low),
+        bbox_top=cat(lambda f: f.geom.bbox_top),
+        low_corners=cat(lambda f: f.geom.low_corners),
+        n_elements=cat(lambda f: f.geom.n_elements),
+        strides=cat(lambda f: f.geom.strides),
+        mode_mask=cat(lambda f: f.geom.mode_mask),
+    )
+    return FFATMaps(geom=geom, cell_size=cat(lambda f: f.cell_size))
+
+
 @jax.jit
 def compute_transfer(ffat: FFATMaps, listener: jax.Array) -> jax.Array:
     """Transfer magnitudes |Psi(dir)/(k r)| for every (object, mode).

@@ -37,6 +37,7 @@ import numpy as np
 FORCE_NONE = 0
 FORCE_POINT = 1
 FORCE_GAUSSIAN = 2
+FORCE_HERTZ = 3
 
 GAUSSIAN_CUTOFF = 5  # profile truncated after cutoff*2*width samples
 
@@ -98,24 +99,37 @@ def force_block(
     local0 = block_start - slots.t0                       # [O, K]
     is_point = slots.ftype == FORCE_POINT
     is_gauss = slots.ftype == FORCE_GAUSSIAN
+    is_hertz = slots.ftype == FORCE_HERTZ
 
     w = jnp.maximum(slots.width, 1.0)
     dur_point = 1
     dur_gauss = (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32)
+    dur_hertz = w.astype(jnp.int32)  # width = contact duration in samples
     # producing iff the block *starts* before the cutoff (reference checks
     # count >= cutoff at Add entry only, forces.h:95)
     producing = ((is_point & (local0 < dur_point)) |
-                 (is_gauss & (local0 < dur_gauss))) & (local0 >= 0)
+                 (is_gauss & (local0 < dur_gauss)) |
+                 (is_hertz & (local0 < dur_hertz))) & (local0 >= 0)
 
     # ---- time profiles, summed over slots -> [O, S]
     t_local = local0[..., None] + jnp.arange(s, dtype=jnp.int32)  # [O, K, S]
+    tf = t_local.astype(slots.amp.dtype)
     point_prof = (t_local == 0).astype(slots.amp.dtype)
     # center is truncated to int in the reference (forces.h:45)
     center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
-    dt = (t_local.astype(slots.amp.dtype) - center[..., None]) / w[..., None]
+    dt = (tf - center[..., None]) / w[..., None]
     gauss_prof = jnp.exp(-0.5 * dt * dt)
+    # Hertzian contact pulse: sin(pi t/tau)^{3/2} over one contact time tau
+    # (Hertz impact theory; the half-sine^{3/2} shape used for rigid-body
+    # contact force trains). Masked per sample — unlike the gaussian, the
+    # pulse is identically zero outside [0, tau).
+    ph = jnp.clip(tf / w[..., None], 0.0, 1.0)
+    hertz_prof = jnp.sin(jnp.pi * ph) ** 1.5 * \
+        ((t_local >= 0) & (tf < w[..., None])).astype(slots.amp.dtype)
     prof = jnp.where(is_point[..., None], point_prof,
-                     jnp.where(is_gauss[..., None], gauss_prof, 0.0))
+                     jnp.where(is_gauss[..., None], gauss_prof,
+                               jnp.where(is_hertz[..., None], hertz_prof,
+                                         0.0)))
     prof = prof * (producing * slots.amp)[..., None].astype(prof.dtype)
     time_profile = jnp.sum(prof, axis=1)
 

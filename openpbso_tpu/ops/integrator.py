@@ -161,7 +161,22 @@ BACKENDS = {
 }
 
 
+def resolve_backend_name(name: str) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, the blocked XLA form
+    elsewhere (the Pallas interpreter is correctness-only on CPU)."""
+    if name != "auto":
+        return name
+    import jax
+    if jax.default_backend() == "tpu":
+        from . import pallas_integrator  # noqa: F401 (registers 'pallas')
+        return "pallas"
+    return "blocked"
+
+
 def get_backend(name: str):
+    name = resolve_backend_name(name)
+    if name == "pallas" and name not in BACKENDS:
+        from . import pallas_integrator  # noqa: F401
     if name in BACKENDS:
         return BACKENDS[name]
     raise KeyError(f"unknown integrator backend {name!r}; "

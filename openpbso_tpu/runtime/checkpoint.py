@@ -1,0 +1,75 @@
+"""State persistence + live model hot-swap.
+
+The reference's persistent-state story (SURVEY.md section 5) is FFAT/mode
+file serialization plus a runtime model hot-swap that parks the sim thread
+(LoadNewModel, real_time_modal_sound.cpp:347-474). The TPU equivalents:
+
+- :func:`save_state` / :func:`load_state` — full SolverState snapshot to one
+  ``.npz`` (every oscillator, force slot, sustained channel, and the sample
+  clock), so a long render or live session can pause and resume exactly.
+- :func:`swap_model` — build a new session from new model data while
+  preserving the host-side engine wiring; the analog of the reference's
+  mutex+condvar sim-thread parking is simply pausing the StreamingEngine,
+  swapping the session object, and restarting (state is immutable data, so
+  there is no torn-state hazard to guard).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .state import SolverState
+
+
+def _flatten(state: SolverState) -> dict[str, np.ndarray]:
+    import jax
+    leaves, treedef = jax.tree.flatten(state)
+    out = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    return out
+
+
+def save_state(path: str, state: SolverState) -> None:
+    np.savez_compressed(path, **_flatten(state))
+
+
+def load_state(path: str, template: SolverState) -> SolverState:
+    """Restore a snapshot into the dtype/sharding of ``template``.
+
+    Shapes must match (same scene dimensions); dtypes are cast to the
+    template's.
+    """
+    import jax
+    import jax.numpy as jnp
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    restored = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != "
+                f"template {leaf.shape}")
+        restored.append(jnp.asarray(arr, leaf.dtype))
+    return jax.tree.unflatten(treedef, restored)
+
+
+def swap_model(engine, new_session) -> None:
+    """Hot-swap the engine's model mid-stream (LoadNewModel equivalent).
+
+    Pauses synthesis, replaces the session (new bank/FFAT/state), restarts.
+    In-flight audio blocks from the old model drain to the sink first.
+    """
+    was_running = engine._synth_thread is not None and \
+        engine._synth_thread.is_alive()
+    if was_running:
+        engine._stop.set()
+        for t in (engine._synth_thread, engine._consume_thread):
+            if t is not None:
+                t.join(timeout=5.0)
+    engine.session = new_session
+    engine.profiler = type(engine.profiler)(
+        new_session.config.block_size,
+        44100)
+    if was_running:
+        engine.start()

@@ -126,9 +126,16 @@ class StreamingEngine:
         force_queue_depth: int = 512,
         qnorm_every: int = 0,
         on_qnorm: Callable[[np.ndarray], None] | None = None,
+        lookahead: int = 1,
     ):
+        """``lookahead`` > 1 synthesizes that many blocks per device
+        dispatch (step_multi) — latency rises to lookahead * block/rate but
+        per-dispatch overhead amortizes, which is the difference between
+        underrun and headroom on high-RTT device links (e.g. a tunneled
+        TPU). Events still apply between dispatches."""
         self.session = session
         self.sink = sink
+        self.lookahead = max(1, int(lookahead))
         self._events: queue.Queue = queue.Queue(maxsize=force_queue_depth)
         self._transfer = LatestWins()
         self._arprm = LatestWins()
@@ -211,34 +218,46 @@ class StreamingEngine:
         if ar is not None:
             self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
 
-    def _synth_loop(self) -> None:
-        want_qnorm_every = self._qnorm_every
-        while not self._stop.is_set():
-            t0 = time.perf_counter()
-            self._apply_events()
-            need_qnorm = (want_qnorm_every > 0
-                          and self._blocks_done % want_qnorm_every == 0)
-            if need_qnorm:
+    def _synth_once(self) -> list[np.ndarray]:
+        """One synthesis dispatch -> list of host audio blocks."""
+        want_qnorm = (self._qnorm_every > 0
+                      and self._blocks_done % self._qnorm_every == 0)
+        if self.lookahead == 1 or want_qnorm:
+            if want_qnorm:
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=True)
             _, mix, qnorm = self.session.step()
             mix_np = np.asarray(mix)  # device sync point
-            if need_qnorm:
+            if want_qnorm:
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=False)
                 try:
                     self._qnorm.put_nowait(np.asarray(qnorm))
                 except queue.Full:
                     pass  # telemetry is best-effort (modal_solver.h:273)
-            self.profiler.record(time.perf_counter() - t0)
-            self._blocks_done += 1
-            # pacing: blocks when the consumer is 2 blocks behind
-            while not self._stop.is_set():
-                try:
-                    self._sound.put(mix_np, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            return [mix_np]
+        # lookahead dispatch: one device round trip for L blocks
+        mix = self.session.render_multi(self.lookahead,
+                                        blocks_per_dispatch=self.lookahead)
+        s = self.session.config.block_size
+        return [mix[i * s:(i + 1) * s] for i in range(self.lookahead)]
+
+    def _synth_loop(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            self._apply_events()
+            blocks = self._synth_once()
+            per_block = (time.perf_counter() - t0) / len(blocks)
+            for mix_np in blocks:
+                self.profiler.record(per_block)
+                self._blocks_done += 1
+                # pacing: blocks when the consumer lags sound_queue_depth
+                while not self._stop.is_set():
+                    try:
+                        self._sound.put(mix_np, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
     def _consume_loop(self) -> None:
         block = self.session.config.block_size

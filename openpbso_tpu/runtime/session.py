@@ -114,6 +114,10 @@ class ModalSession:
         elif kind == "gaussian":
             width = max(1, int(width_us / 1e6 * SAMPLE_RATE))
             ftype, dur = FORCE_GAUSSIAN, 10 * width
+        elif kind == "hertz":
+            from ..ops.forces import FORCE_HERTZ
+            width = max(1, int(width_us / 1e6 * SAMPLE_RATE))
+            ftype, dur = FORCE_HERTZ, width
         else:
             raise ValueError(f"unknown force kind {kind!r}")
         slot = self._alloc_slot(obj)

@@ -34,7 +34,7 @@ from .state import SolverState
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     block_size: int = DEFAULT_BLOCK
-    backend: str = "blocked"
+    backend: str = "auto"   # pallas on TPU, blocked elsewhere
     compute_qnorm: bool = False
 
 

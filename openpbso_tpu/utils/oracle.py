@@ -117,6 +117,28 @@ class OracleGaussianForce:
         return True
 
 
+class OracleHertzForce:
+    """Hertzian contact pulse sin(pi t/tau)^{3/2} over one contact time.
+
+    Not in the reference's forces.h; included for the BASELINE.json Hertz
+    contact-train configs (same block-level lifecycle as the other forces).
+    """
+
+    def __init__(self, duration_us: float, sample_rate: int = SAMPLE_RATE):
+        self.tau = max(1, int(duration_us / 1e6 * sample_rate))
+        self.count = 0
+
+    def add(self, buf: np.ndarray) -> bool:
+        if self.count >= self.tau:
+            return False
+        n = buf.shape[0]
+        t = self.count + np.arange(n)
+        live = t < self.tau
+        buf[live] += np.sin(np.pi * t[live] / self.tau) ** 1.5
+        self.count += n
+        return True
+
+
 class OracleARForce:
     """AR(2) sustained contact force (forces.h:107-137, Pai et al. 2001).
 

@@ -164,3 +164,40 @@ def test_sustained_space_replaces_impacts():
     # mode 1 (the impact's direction) must stay silent
     assert float(jnp.abs(st2.z_im[0, 1])) == 0.0
     assert float(jnp.abs(st2.z_im[0, 0])) > 0.0
+
+
+def test_hertz_force_profile():
+    """Hertz pulse sin(pi t/tau)^1.5 over one contact time, then silent."""
+    from openpbso_tpu.ops.forces import FORCE_HERTZ
+    from openpbso_tpu.utils.oracle import OracleHertzForce
+    s = 64
+    tau = 150  # samples (~3.4 ms contact)
+    spc = np.array([1.0, 2.0])
+    slots = _slots_with(1, 1, 2,
+                        [(0, 0, FORCE_HERTZ, 0, float(tau), 1.0, spc)])
+    oracle = OracleHertzForce(tau / SAMPLE_RATE * 1e6)
+    assert oracle.tau == tau
+    for blk in range(4):
+        tp, sp = force_block(slots, jnp.asarray(blk * s, jnp.int32), s)
+        ref = np.zeros(s)
+        alive = oracle.add(ref)
+        np.testing.assert_allclose(np.asarray(tp[0]), ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sp[0]),
+                                   spc if alive else np.zeros(2))
+
+
+def test_hertz_session_kind():
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+    md = synth_mode_data(8, 4)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              block_size=128, dtype=jnp.float64)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"),
+                        dtype=jnp.float64)
+    sess.hit(0, np.ones(8), kind="hertz", width_us=2000.0)
+    _, mix, _ = sess.step()
+    assert float(jnp.abs(mix).max()) > 0

@@ -143,3 +143,24 @@ def test_vertex_normals_sphere():
     # on a sphere, normals point radially outward
     cos = np.sum(vn * v / np.linalg.norm(v, axis=1, keepdims=True), axis=1)
     assert np.all(cos > 0.99)
+
+
+def test_vector_io_roundtrips(tmp_path):
+    from openpbso_tpu.io.vectors import (read_complex_vector,
+                                         read_vector_ascii,
+                                         read_vector_binary,
+                                         write_complex_vector,
+                                         write_vector_ascii,
+                                         write_vector_binary)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(17)
+    pa = str(tmp_path / "v.txt")
+    write_vector_ascii(pa, v)
+    np.testing.assert_allclose(read_vector_ascii(pa), v, rtol=1e-15)
+    pb = str(tmp_path / "v.bin")
+    write_vector_binary(pb, v)
+    np.testing.assert_array_equal(read_vector_binary(pb), v)
+    c = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    pc = str(tmp_path / "v.cplx")
+    write_complex_vector(pc, c)
+    np.testing.assert_array_equal(read_complex_vector(pc), c)
