@@ -115,6 +115,7 @@ def main():
     o, m, s = 256, 1024, 512
     backend = "blocked"
     hetero = False
+    nblocks = 32
     for arg in sys.argv[1:]:
         if arg.startswith("--backend="):
             backend = arg.split("=", 1)[1]
@@ -126,8 +127,11 @@ def main():
             s = int(arg.split("=", 1)[1])
         elif arg == "--hetero":
             hetero = True
+        elif arg.startswith("--nblocks="):
+            nblocks = int(arg.split("=", 1)[1])
     bank, state, gains = build(o, m, s, backend, hetero=hetero)
-    sps_multi = time_multi(bank, state, gains, s, backend)
+    sps_multi = time_multi(bank, state, gains, s, backend,
+                           n_blocks=nblocks)
     sps_single, block_latency = time_single(bank, state, gains, s, backend)
     print(f"single-block synced: {sps_single:,.0f} samples/s "
           f"(RTF {sps_single / SAMPLE_RATE:.2f}, "

@@ -78,6 +78,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the image's sitecustomize "
                         "presets the TPU tunnel; env vars are too late)")
+    p.add_argument("--lookahead", type=int, default=1,
+                   help="blocks synthesized per device dispatch (amortizes "
+                        "dispatch latency at the cost of event latency)")
     return p
 
 
@@ -196,7 +199,7 @@ def main(argv=None) -> int:
     from ..runtime.engine import StreamingEngine
 
     sink = WavFileSink(args.out, SAMPLE_RATE, normalize=True)
-    engine = StreamingEngine(sess, sink)
+    engine = StreamingEngine(sess, sink, lookahead=args.lookahead)
 
     if args.interactive:
         engine.start()

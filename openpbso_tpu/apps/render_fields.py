@@ -148,12 +148,45 @@ def export_transfer_ball(session, out_dir: str, *,
     return obj_path, npy_path
 
 
+def render_mode_shape_frames(model, out_dir: str, *, mode_indices=None,
+                             frames: int = 24, scale: float = 1e-3,
+                             size: int = 512) -> list[str]:
+    """PNG stills of the mode-shape animation, matcap-shaded — the headless
+    equivalent of the reference viewer's captured GL frames
+    (render_fields.cpp:40-84 CapturePlugin + matcap_shader.h)."""
+    from .softrender import default_matcap, render_mesh
+    os.makedirs(out_dir, exist_ok=True)
+    if mode_indices is None:
+        mode_indices = list(range(min(4, model.num_modes_audible)))
+    freqs = model.modes.frequencies_hz(model.material.density)
+    base_f = min(freqs[i] for i in mode_indices)
+    mc = default_matcap()
+    radius = np.abs(model.vertices).max()
+    paths = []
+    for fr in range(frames):
+        t = fr / frames / base_f
+        disp = np.zeros_like(model.vertices)
+        for k in mode_indices:
+            u = model.modes.mode_displacements(k)
+            disp += u * np.cos(2 * np.pi * freqs[k] * t)
+        v = model.vertices + scale * disp
+        img = render_mesh(v, model.faces, width=size, height=size,
+                          eye=np.asarray([1.6, 1.2, 2.2]) * radius,
+                          matcap=mc)
+        path = os.path.join(out_dir, f"frame_{fr:04d}.png")
+        _write_png(path, img)
+        paths.append(path)
+    return paths
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-d", dest="data_dir", required=False)
     p.add_argument("-name", dest="name", default=None)
     p.add_argument("--out-dir", default="viz")
     p.add_argument("--mode-shapes", action="store_true")
+    p.add_argument("--render-frames", action="store_true",
+                   help="matcap-shaded PNG stills of the mode animation")
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--fields", default=None,
                    help="directory of binary float32 field slices")
@@ -173,6 +206,13 @@ def main(argv=None) -> int:
                                    os.path.join(args.out_dir, "modes"),
                                    frames=args.frames)
         print(f"wrote {len(paths)} mode-shape frames")
+    if args.render_frames:
+        if model is None:
+            raise SystemExit("--render-frames needs -d")
+        paths = render_mode_shape_frames(
+            model, os.path.join(args.out_dir, "stills"),
+            frames=args.frames)
+        print(f"wrote {len(paths)} matcap stills")
     if args.fields:
         paths = render_field_slices(args.fields,
                                     os.path.join(args.out_dir, "fields"))

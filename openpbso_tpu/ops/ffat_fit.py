@@ -1,0 +1,229 @@
+"""FFAT map construction: fitting transfer maps from wavesolver pressures.
+
+The runtime only *evaluates* maps (ops/ffat.py); this module is the offline
+half that *builds* them from Dirichlet pressure samples on concentric
+cubemap shells, covering the reference's map-construction components:
+
+- Harmonic-Shells 1-map model (complex):  p(x) ~ h0(kr) Psi(theta, phi),
+  h0 = -i e^{-ikr}/(kr). ``solve_harmonic_shell`` inverts it per sample,
+  ``reconstruct_harmonic_shell`` evaluates it
+  (reference FFAT_Solver<T,1>::Solve/Reconstruct, ffat_solver.h:298-330).
+- 3-map amplitude model: documented as |p|^2 = c1/(kr) + c2/(kr)^2 +
+  c3/(kr)^3 but implemented with the single 1/(kr) basis term — the
+  per-direction fit is a least squares of |p| against 1/(kr) over the
+  shells (reference FFAT_Solver<T,3>::Solve via degenerate 1-column SVD,
+  ffat_solver.h:872-897; Reconstruct :899-906; power Scaling :908-930).
+- ``fit_ffat_map``: builds a runtime FatcubeMap from per-shell pressure
+  grids (FFAT_Map<T,3>::Solve, ffat_solver.h:993-1062 — sampling the outer
+  shell's cell centers through every shell).
+- ``compress_map`` / ``decompress_psi``: per-face max-normalized uint8
+  quantization of Psi — the portable stand-in for the reference's
+  JPEG-roundtrip Compress (ffat_solver.h:1124-1178, which shells out to
+  OpenCV; quality-65 JPEG of smooth lobes is dominated by the 8-bit
+  quantization this reproduces).
+- ``cubemap_eval_points``: the evaluation-mesh generator handed to the
+  wavesolver (CubemapMesh, ffat_solver.h:93-102, 333-403) in point form.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.fatcube import CubemapShell, FatcubeMap
+
+
+# ---------------------------------------------------------------------------
+# Harmonic-Shells complex 1-map model
+# ---------------------------------------------------------------------------
+
+def solve_harmonic_shell(k: float, points: np.ndarray, center: np.ndarray,
+                         pressures: np.ndarray) -> np.ndarray:
+    """Psi_i = p_i / h0(k r_i), h0 = -i e^{-ikr}/(kr)
+    (ffat_solver.h:298-315)."""
+    r = np.linalg.norm(points - center[None, :], axis=1)
+    kr = k * r
+    h0 = -1j * np.exp(-1j * kr) / kr
+    return np.asarray(pressures) / h0
+
+
+def reconstruct_harmonic_shell(k: float, point: np.ndarray,
+                               center: np.ndarray,
+                               psi: complex) -> complex:
+    """p = h0(kr) Psi (ffat_solver.h:317-330)."""
+    kr = k * np.linalg.norm(np.asarray(point) - np.asarray(center))
+    return complex(-1j * np.exp(-1j * kr) / kr * psi)
+
+
+# ---------------------------------------------------------------------------
+# 3-map amplitude model (single 1/(kr) basis, per reference implementation)
+# ---------------------------------------------------------------------------
+
+def solve_amplitude(k: float, radii: np.ndarray,
+                    pressures: np.ndarray) -> np.ndarray:
+    """Per-direction least-squares fit of |p| against 1/(kr).
+
+    radii, pressures: [N_directions, N_shells]. Returns Psi [N_directions].
+    Equivalent to the reference's 1-column SVD solve
+    (ffat_solver.h:872-897): psi = <b, |p|> / <b, b> with b = 1/(kr).
+    """
+    basis = 1.0 / (k * np.asarray(radii, np.float64))
+    mag = np.abs(np.asarray(pressures))
+    return np.sum(basis * mag, axis=1) / np.sum(basis * basis, axis=1)
+
+
+def reconstruct_amplitude(k: float, r: float, psi: float) -> float:
+    """|Psi/(kr)| (ffat_solver.h:899-906)."""
+    return abs(psi / (k * r))
+
+
+def power_scaling(k: float, radii: np.ndarray, pressures: np.ndarray,
+                  psi: np.ndarray) -> tuple[np.ndarray, float]:
+    """Global power correction (FFAT_Solver<T,3>::Scaling semantics):
+    scale Psi so total reconstructed power matches the measured power."""
+    basis = 1.0 / (k * np.asarray(radii, np.float64))
+    recon = psi[:, None] * basis
+    meas = np.abs(pressures)
+    denom = float(np.sum(recon * recon))
+    scale = float(np.sum(recon * meas) / denom) if denom > 0 else 1.0
+    return psi * scale, scale
+
+
+# ---------------------------------------------------------------------------
+# map construction
+# ---------------------------------------------------------------------------
+
+def cubemap_eval_points(shell: CubemapShell) -> np.ndarray:
+    """[N_quads, 3] cell-center evaluation points in flat-index order
+    (stride[face] + u * Nv + v), the point-form CubemapMesh."""
+    pts = []
+    for face in range(6):
+        dk = face // 2
+        di, dj = (dk + 1) % 3, (dk + 2) % 3
+        nu, nv = (int(x) for x in shell.n_elements[face])
+        for u in range(nu):
+            for v in range(nv):
+                p = np.zeros(3)
+                p[di] = shell.low_corners[face, di] \
+                    + (u + 0.5) * shell.cell_size
+                p[dj] = shell.low_corners[face, dj] \
+                    + (v + 0.5) * shell.cell_size
+                p[dk] = shell.low_corners[face, dk]
+                pts.append(p)
+    return np.asarray(pts)
+
+
+def fit_ffat_map(mode_id: int, k: float,
+                 shells: list[CubemapShell],
+                 shell_pressures: list[np.ndarray],
+                 *, power_scale: bool = False) -> FatcubeMap:
+    """Fit a runtime FatcubeMap from complex pressures on >= 2 shells.
+
+    ``shell_pressures[s]`` holds one complex pressure per quad of
+    ``shells[s]`` in flat-index order. Directions are the outer shell's
+    cell centers; each direction's radius/pressure per shell comes from the
+    ray intersection + bilinear interpolation on that shell — the same
+    sampling the reference does against the wavesolver grid
+    (ffat_solver.h:1008-1052). The outer shell (last entry, the reference's
+    ``_shells[2]``) becomes the stored runtime shell.
+    """
+    from ..utils.oracle import ffat_intersect, ffat_interpolate
+    if len(shells) < 2:
+        raise ValueError("need at least 2 shells to fit the radial decay")
+    outer = shells[-1]
+    dirs = cubemap_eval_points(outer)
+    n_dir = dirs.shape[0]
+    n_sh = len(shells)
+    radii = np.zeros((n_dir, n_sh))
+    pres = np.zeros((n_dir, n_sh), np.complex128)
+    for s, (sh, pr) in enumerate(zip(shells, shell_pressures)):
+        holder = FatcubeMap(mode_id=mode_id, k=k, center=sh.center,
+                            shell=sh, psi=np.zeros(sh.total_quads))
+        for d in range(n_dir):
+            surf, cell = ffat_intersect(holder, dirs[d])
+            stencil, weights = ffat_interpolate(holder, surf, cell)
+            radii[d, s] = np.linalg.norm(surf - sh.center)
+            val = 0.0 + 0.0j
+            for (face, u, v), w in zip(stencil, weights):
+                idx = int(sh.strides[face]) \
+                    + u * int(sh.n_elements[face, 1]) + v
+                val += w * pr[idx]
+            pres[d, s] = val
+    psi = solve_amplitude(k, radii, pres)
+    if power_scale:
+        psi, _ = power_scaling(k, radii, pres, psi)
+    return FatcubeMap(mode_id=mode_id, k=k, center=outer.center.copy(),
+                      shell=outer, psi=psi)
+
+
+def resample_to_uniform(m: FatcubeMap, center: np.ndarray, half_extent: float,
+                        dim: int) -> FatcubeMap:
+    """Resample a map onto a uniform dim x dim cubemap around ``center``.
+
+    The reference resamples ragged wavesolver-grid maps onto equal-pixel
+    cubes (ResampleToUniformCube, ffat_solver.h:524-594); here the new
+    shell's cell centers are pushed through the map's own lookup and
+    re-fit so far-field values are preserved.
+    """
+    from ..utils.oracle import ffat_map_val
+    from ..utils.synth import synth_cubemap_shell
+    shell = synth_cubemap_shell(np.asarray(center, np.float64),
+                                half_extent, dim)
+    pts = cubemap_eval_points(shell)
+    psi = np.empty(pts.shape[0])
+    for i, p in enumerate(pts):
+        # invert the 1/(kr) reconstruct at the sample radius
+        amp = ffat_map_val(m, p)
+        psi[i] = amp * m.k * np.linalg.norm(p - m.center)
+    return FatcubeMap(mode_id=m.mode_id, k=m.k, center=shell.center,
+                      shell=shell, psi=psi,
+                      is_compressed=m.is_compressed)
+
+
+def map_to_trimesh(m: FatcubeMap) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """(V [4Q,3], F [2Q,3], per-vertex amplitude [4Q]) visualization mesh
+    of a map's quads (ConvertToTriMesh/QuadFromMapInd,
+    ffat_solver.h:596-658, 843-870)."""
+    verts, faces, amps = [], [], []
+    sh = m.shell
+    h = sh.cell_size
+    for face in range(6):
+        dk = face // 2
+        di, dj = (dk + 1) % 3, (dk + 2) % 3
+        nu, nv = (int(x) for x in sh.n_elements[face])
+        for u in range(nu):
+            for v in range(nv):
+                c = np.zeros(3)
+                c[di] = sh.low_corners[face, di] + (u + 0.5) * h
+                c[dj] = sh.low_corners[face, dj] + (v + 0.5) * h
+                c[dk] = sh.low_corners[face, dk]
+                base = len(verts)
+                for (su, sv) in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                    p = c.copy()
+                    p[di] += su * h / 2
+                    p[dj] += sv * h / 2
+                    verts.append(p)
+                faces.append([base, base + 1, base + 2])
+                faces.append([base + 2, base + 3, base])
+                val = m.psi[int(sh.strides[face]) + u * nv + v]
+                amps.extend([val] * 4)
+    return (np.asarray(verts), np.asarray(faces, np.int32),
+            np.asarray(amps))
+
+
+# ---------------------------------------------------------------------------
+# compression (portable equivalent of the JPEG roundtrip)
+# ---------------------------------------------------------------------------
+
+def compress_map(m: FatcubeMap) -> FatcubeMap:
+    """Per-face max-normalized uint8 quantization of Psi
+    (the quantization core of ffat_solver.h:1124-1178's JPEG roundtrip)."""
+    psi_c = np.empty_like(m.psi)
+    for face in range(6):
+        nu, nv = (int(x) for x in m.shell.n_elements[face])
+        start = int(m.shell.strides[face])
+        seg = m.psi[start: start + nu * nv]
+        peak = float(np.max(np.abs(seg))) or 1.0
+        q = np.round(np.clip(seg / peak, -1.0, 1.0) * 255.0)
+        psi_c[start: start + nu * nv] = q * peak / 255.0
+    return FatcubeMap(mode_id=m.mode_id, k=m.k, center=m.center.copy(),
+                      shell=m.shell, psi=psi_c, is_compressed=True)

@@ -278,6 +278,20 @@ class StreamingEngine:
 
     def start(self) -> None:
         self._stop.clear()
+        # Warm the jit cache synchronously BEFORE spawning threads: a first
+        # compile can take seconds-to-minutes (remote TPU), and a daemon
+        # thread abandoned inside a native compile call aborts the process
+        # at interpreter exit. The warmup block is real audio — enqueue it.
+        t0 = time.perf_counter()
+        self._apply_events()
+        for mix_np in self._synth_once():
+            self.profiler.record(time.perf_counter() - t0)
+            self._blocks_done += 1
+            try:
+                self._sound.put_nowait(mix_np)
+            except queue.Full:
+                pass
+            t0 = time.perf_counter()
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)
         self._consume_thread = threading.Thread(
@@ -288,7 +302,11 @@ class StreamingEngine:
     def stop(self) -> None:
         self._stop.set()
         for t in (self._synth_thread, self._consume_thread):
-            if t is not None:
+            if t is None:
+                continue
+            # wait as long as it takes: killing a thread inside a native
+            # device call aborts the whole process at exit
+            while t.is_alive():
                 t.join(timeout=5.0)
         self.sink.close()
 

@@ -89,3 +89,17 @@ def test_cli_demo_synth_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
     assert "wrote" in r.stdout
+
+
+def test_softrender_matcap_stills(tmp_path, synth_model_root):
+    from openpbso_tpu.apps.render_fields import render_mode_shape_frames
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    frames = render_mode_shape_frames(model, str(tmp_path), frames=2,
+                                      size=96)
+    assert len(frames) == 2
+    with open(frames[0], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    # frames differ (the mesh moves)
+    assert open(frames[0], "rb").read() != open(frames[1], "rb").read()

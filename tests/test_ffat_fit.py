@@ -1,0 +1,139 @@
+"""FFAT map fitting (the offline Solve path) round-trips with the runtime."""
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.ffat_fit import (compress_map, cubemap_eval_points,
+                                       fit_ffat_map, power_scaling,
+                                       reconstruct_amplitude,
+                                       reconstruct_harmonic_shell,
+                                       solve_amplitude, solve_harmonic_shell)
+from openpbso_tpu.utils.oracle import ffat_map_val
+from openpbso_tpu.utils.synth import synth_cubemap_shell
+
+K = 2 * np.pi * 500.0 / 343.0
+CENTER = np.zeros(3)
+
+
+def _radiating_pressure(points: np.ndarray, psi_fn) -> np.ndarray:
+    """Synthetic monopole-like field p = -i e^{-ikr}/(kr) * Psi(dir)."""
+    r = np.linalg.norm(points - CENTER[None, :], axis=1)
+    dirs = (points - CENTER[None, :]) / r[:, None]
+    kr = K * r
+    return -1j * np.exp(-1j * kr) / kr * psi_fn(dirs)
+
+
+def test_harmonic_shell_solve_reconstruct_roundtrip():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.3, 1.0, (20, 3)) * rng.choice([-1, 1], (20, 3))
+    psi_true = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+    r = np.linalg.norm(pts, axis=1)
+    p = -1j * np.exp(-1j * K * r) / (K * r) * psi_true
+    psi = solve_harmonic_shell(K, pts, CENTER, p)
+    np.testing.assert_allclose(psi, psi_true, rtol=1e-10)
+    back = reconstruct_harmonic_shell(K, pts[3], CENTER, psi[3])
+    assert back == pytest.approx(p[3], rel=1e-10)
+
+
+def test_amplitude_fit_exact_for_1_over_kr():
+    """A field that is exactly Psi/(kr) must be recovered exactly."""
+    rng = np.random.default_rng(1)
+    psi_true = rng.uniform(0.5, 2.0, 10)
+    radii = rng.uniform(0.2, 1.0, (10, 3))
+    pres = psi_true[:, None] / (K * radii)
+    psi = solve_amplitude(K, radii, pres)
+    np.testing.assert_allclose(psi, psi_true, rtol=1e-12)
+    assert reconstruct_amplitude(K, 2.0, psi[0]) == pytest.approx(
+        psi_true[0] / (K * 2.0))
+
+
+def test_power_scaling_identity_when_exact():
+    rng = np.random.default_rng(2)
+    psi = rng.uniform(0.5, 2.0, 6)
+    radii = rng.uniform(0.2, 1.0, (6, 3))
+    pres = psi[:, None] / (K * radii)
+    scaled, s = power_scaling(K, radii, pres, psi)
+    assert s == pytest.approx(1.0, abs=1e-12)
+    np.testing.assert_allclose(scaled, psi)
+
+
+def test_eval_points_flat_order():
+    shell = synth_cubemap_shell(CENTER, 0.2, 4)
+    pts = cubemap_eval_points(shell)
+    assert pts.shape == (6 * 16, 3)
+    # first face (+x): all points on the bbox top x plane
+    np.testing.assert_allclose(pts[:16, 0], shell.bbox_top[0])
+    # face 1 (-x): on the bbox low x plane
+    np.testing.assert_allclose(pts[16:32, 0], shell.bbox_low[0])
+
+
+def test_fit_roundtrip_through_runtime_lookup():
+    """Fit from synthetic shell pressures -> runtime GetMapVal must
+    reproduce the analytic |p| at far listeners within the model error."""
+    rng = np.random.default_rng(3)
+    axes = rng.standard_normal((2, 3))
+
+    def psi_fn(dirs):
+        out = np.ones(dirs.shape[0])
+        for ax in axes:
+            out = out + 0.3 * np.tanh(dirs @ ax)
+        return out * 1e6
+
+    shells = [synth_cubemap_shell(CENTER, he, 12)
+              for he in (0.2, 0.3, 0.45)]
+    pressures = [_radiating_pressure(cubemap_eval_points(sh), psi_fn)
+                 for sh in shells]
+    m = fit_ffat_map(5, K, shells, pressures)
+    assert m.mode_id == 5 and m.psi.shape == (6 * 144,)
+    # evaluate at far listeners: |p| = |Psi/(kr)| with |h0|=1/(kr)
+    for _ in range(10):
+        p = rng.uniform(0.8, 1.6, 3) * rng.choice([-1.0, 1.0], 3)
+        got = ffat_map_val(m, p)
+        r = np.linalg.norm(p)
+        expect = abs(psi_fn((p / r)[None, :])[0]) / (K * r)
+        assert got == pytest.approx(expect, rel=0.08)
+
+
+def test_compress_map_quantization():
+    from openpbso_tpu.io.fatcube import FatcubeMap
+    shell = synth_cubemap_shell(CENTER, 0.2, 6)
+    rng = np.random.default_rng(4)
+    psi = rng.uniform(0.0, 1e6, shell.total_quads)
+    m = compress_map(FatcubeMap(mode_id=0, k=K, center=CENTER,
+                                shell=shell, psi=psi))
+    assert m.is_compressed
+    # quantization error bounded by half a step of the per-face peak
+    err = np.abs(m.psi - psi)
+    assert err.max() <= psi.max() / 255.0 + 1e-9
+    # round-trip through the wire format keeps the flag
+    from openpbso_tpu.io.fatcube import decode_fatcube, encode_fatcube
+    back = decode_fatcube(encode_fatcube(m))
+    assert back.is_compressed
+    np.testing.assert_array_equal(back.psi, m.psi)
+
+
+def test_resample_to_uniform_preserves_far_field():
+    from openpbso_tpu.ops.ffat_fit import resample_to_uniform
+    from openpbso_tpu.utils.synth import synth_fatcube
+    m = synth_fatcube(2, 700.0, n=14, seed=9)
+    m2 = resample_to_uniform(m, m.center, 0.3, 10)
+    assert m2.shell.n_elements[0, 0] == 10
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        p = rng.uniform(0.9, 1.8, 3) * rng.choice([-1.0, 1.0], 3)
+        a = ffat_map_val(m, p)
+        b = ffat_map_val(m2, p)
+        assert b == pytest.approx(a, rel=0.15)  # resampling interpolation
+
+
+def test_map_to_trimesh():
+    from openpbso_tpu.ops.ffat_fit import map_to_trimesh
+    from openpbso_tpu.utils.synth import synth_fatcube
+    m = synth_fatcube(0, 440.0, n=4)
+    v, f, a = map_to_trimesh(m)
+    q = 6 * 16
+    assert v.shape == (4 * q, 3)
+    assert f.shape == (2 * q, 3)
+    assert a.shape == (4 * q,)
+    # vertices lie on the shell bbox surface
+    on_surface = (np.isclose(np.abs(v), 0.2).any(axis=1))
+    assert on_surface.all()
