@@ -38,7 +38,14 @@ class Scene:
                  backend: str = "auto",
                  num_slots: int = 16,
                  use_ffat: bool = True,
+                 binaural: bool = False,
+                 ear_distance: float = 0.18,
                  dtype=None):
+        """``binaural`` gives each logical object two solver rows (left/right
+        ear) with independent FFAT lookups per ear — true interaural level
+        differences from the transfer maps (the reference duplicates one
+        mono signal to both channels, real_time_modal_sound.cpp:207-210).
+        Hits/forces are mirrored to both rows automatically."""
         import jax.numpy as jnp
 
         from ..ops.coeffs import build_modal_bank, lambda_from_modes
@@ -49,6 +56,12 @@ class Scene:
         if not instances:
             raise ValueError("scene needs at least one instance")
         dtype = dtype or jnp.float32
+        self.binaural = binaural
+        self.ear_distance = ear_distance
+        self.logical_instances = instances
+        if binaural:
+            # row 2i = left ear, row 2i+1 = right ear of logical object i
+            instances = [inst for inst in instances for _ in range(2)]
         self.instances = instances
         o = len(instances)
         n_modes = [inst.model.num_modes_audible for inst in instances]
@@ -89,9 +102,13 @@ class Scene:
                                    for i in instances])
         gains = np.zeros((o, 2))
         for i, inst in enumerate(instances):
-            left = inst.gain * (1.0 - max(inst.pan, 0.0))
-            right = inst.gain * (1.0 + min(inst.pan, 0.0))
-            gains[i] = (left, right)
+            if binaural:
+                # even rows feed only the left channel, odd rows the right
+                gains[i, i % 2] = inst.gain
+            else:
+                left = inst.gain * (1.0 - max(inst.pan, 0.0))
+                right = inst.gain * (1.0 + min(inst.pan, 0.0))
+                gains[i] = (left, right)
         self._base_gains = gains
         self.session.gains = jnp.asarray(gains, dtype)
 
@@ -102,16 +119,35 @@ class Scene:
         return len(self.instances)
 
     def hit(self, index: int, vertex: int, **kw) -> None:
-        """Strike instance ``index`` at mesh vertex ``vertex``."""
-        space = self.instances[index].model.modal_force_vertex(vertex)
-        self.session.hit(index, space, **kw)
+        """Strike logical instance ``index`` at mesh vertex ``vertex``."""
+        if self.binaural:
+            space = self.logical_instances[index].model.modal_force_vertex(
+                vertex)
+            self.session.hit(2 * index, space, **kw)
+            self.session.hit(2 * index + 1, space, **kw)
+        else:
+            space = self.instances[index].model.modal_force_vertex(vertex)
+            self.session.hit(index, space, **kw)
 
     def set_listener(self, world_pos: np.ndarray,
-                     distance_attenuation: bool = False) -> None:
-        """One world listener -> per-object relative transfer lookups."""
+                     distance_attenuation: bool = False,
+                     ear_axis=(1.0, 0.0, 0.0)) -> None:
+        """One world listener -> per-object relative transfer lookups.
+
+        In binaural mode the two rows of each logical object look up the
+        transfer maps from the left/right ear positions (listener +-
+        ear_distance/2 along ``ear_axis``)."""
         import jax.numpy as jnp
         world_pos = np.asarray(world_pos, np.float64)
-        rel = world_pos[None, :] - self.positions      # [O, 3]
+        if self.binaural:
+            ear = np.asarray(ear_axis, np.float64)
+            ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
+            ears = np.where((np.arange(len(self.instances)) % 2 == 0)[:, None],
+                            (world_pos - ear)[None, :],
+                            (world_pos + ear)[None, :])
+            rel = ears - self.positions
+        else:
+            rel = world_pos[None, :] - self.positions  # [O, 3]
         self.session.set_listener(rel)
         if distance_attenuation:
             r = np.maximum(np.linalg.norm(rel, axis=1), 1e-3)

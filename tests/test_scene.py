@@ -106,3 +106,23 @@ def test_checkpoint_shape_mismatch(two_models, tmp_path):
                    dtype=jnp.float64)
     with pytest.raises(ValueError):
         load_state(path, bigger.session.state)
+
+
+def test_binaural_interaural_difference(two_models):
+    """Off-axis listener must produce different left/right channels from
+    the two ear FFAT lookups; the mono reference path would not."""
+    ma, _ = two_models
+    scene = Scene([SceneInstance(ma, np.zeros(3))], block_size=128,
+                  backend="blocked", binaural=True, ear_distance=0.4,
+                  dtype=jnp.float64)
+    assert scene.num_objects == 2  # two solver rows for one logical object
+    # listener to the +x side: right ear (further +x) differs from left
+    scene.set_listener(np.asarray([0.9, 0.1, 0.2]))
+    t = np.asarray(scene.session.state.transfer)
+    assert not np.allclose(t[0, :12], t[1, :12])
+    scene.hit(0, 4)
+    audio = scene.render(4)
+    l, r = audio[:, 0], audio[:, 1]
+    assert np.abs(l).max() > 0 and np.abs(r).max() > 0
+    diff = np.linalg.norm(l - r) / np.linalg.norm(l + r)
+    assert diff > 1e-3  # genuine interaural difference
