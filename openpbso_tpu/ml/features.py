@@ -108,8 +108,7 @@ def short_term_features(signal: np.ndarray, sr: int = SAMPLE_RATE,
 
     fb = _mel_filterbank(26, n_fft, sr)
     mel_e = np.log(np.maximum(spec ** 2 @ fb.T, 1e-12))
-    mfcc = np.real(np.fft.fft(mel_e, axis=1))[:, :13]  # DCT-ish via FFT
-    # proper DCT-II
+    # 13 MFCCs via DCT-II of the log-mel energies
     k = np.arange(26)
     dct = np.cos(np.pi * np.outer(np.arange(13), (2 * k + 1)) / (2 * 26))
     mfcc = mel_e @ dct.T
@@ -131,3 +130,26 @@ def clip_features(signal: np.ndarray, sr: int = SAMPLE_RATE) -> np.ndarray:
     (the reference aggregates clips the same way for SVM training)."""
     st = short_term_features(signal, sr)
     return np.concatenate([st.mean(axis=0), st.std(axis=0)])
+
+
+def embed_features(x: np.ndarray, method: str = "pca",
+                   n_components: int = 2, seed: int = 0) -> np.ndarray:
+    """2-D embedding of clip feature vectors for visual inspection
+    (the reference's t-SNE/PCA plots in scripts/features.py)."""
+    x = np.asarray(x, np.float64)
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    sd[sd == 0] = 1.0
+    xs = (x - mu) / sd
+    if method == "pca":
+        u, s, vt = np.linalg.svd(xs, full_matrices=False)
+        return u[:, :n_components] * s[:n_components]
+    if method == "tsne":
+        try:
+            from sklearn.manifold import TSNE
+        except ImportError as e:
+            raise RuntimeError("t-SNE needs scikit-learn") from e
+        per = min(30.0, max(2.0, (len(xs) - 1) / 3))
+        return TSNE(n_components=n_components, random_state=seed,
+                    perplexity=per, init="pca").fit_transform(xs)
+    raise ValueError(f"unknown embedding method {method!r}")

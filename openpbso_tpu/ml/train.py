@@ -132,3 +132,32 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def plot_results_png(results: list[TrainResult], path: str) -> None:
+    """Accuracy bar chart PNG (the reference's scripts/plot_bar.py output)
+    rendered without matplotlib."""
+    from ..apps.render_fields import _write_png
+    w, h = 640, 360
+    img = np.full((h, w, 3), 250, np.uint8)
+    groups = sorted({r.feature_group for r in results})
+    classifiers = sorted({r.classifier for r in results})
+    colors = {"LinearSVC": (70, 110, 210), "SGD": (220, 130, 60)}
+    n = len(groups)
+    bar_w = max(8, (w - 80) // (n * (len(classifiers) + 1)))
+    base_y = h - 40
+    for gi, g in enumerate(groups):
+        for ci, c in enumerate(classifiers):
+            rs = [r for r in results
+                  if r.feature_group == g and r.classifier == c]
+            if not rs:
+                continue
+            acc = rs[0].accuracy_mean
+            x0 = 50 + gi * (len(classifiers) + 1) * bar_w + ci * bar_w
+            bh = int(acc * (h - 80))
+            img[base_y - bh: base_y, x0: x0 + bar_w - 2] = \
+                colors.get(c, (120, 120, 120))
+    # axis line
+    img[base_y: base_y + 2, 40: w - 20] = 30
+    img[40: base_y, 48: 50] = 30
+    _write_png(path, img)

@@ -79,3 +79,26 @@ def test_classification_end_to_end():
     assert len(labels) == 3 and x.shape[0] >= 9
     grid = train_linear_svc(x, y, cv=3)
     assert grid.best_score_ > 0.5  # chance is 1/3
+
+
+def test_embed_features_pca():
+    from openpbso_tpu.ml.features import embed_features
+    rng = np.random.default_rng(0)
+    # two well-separated clusters must stay separated in PCA space
+    a = rng.standard_normal((15, 10)) + 8.0
+    b = rng.standard_normal((15, 10)) - 8.0
+    e = embed_features(np.vstack([a, b]), "pca")
+    assert e.shape == (30, 2)
+    da = e[:15, 0].mean()
+    db = e[15:, 0].mean()
+    assert abs(da - db) > 3.0
+
+
+def test_plot_results_png(tmp_path):
+    from openpbso_tpu.ml.train import TrainResult, plot_results_png
+    rs = [TrainResult("LinearSVC", "all", 0.9, 0.05, 1.0, 10),
+          TrainResult("SGD", "mfcc", 0.6, 0.1, None, 10)]
+    path = str(tmp_path / "bar.png")
+    plot_results_png(rs, path)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
