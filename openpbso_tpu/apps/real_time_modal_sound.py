@@ -178,6 +178,20 @@ def interactive_loop(engine, model, args) -> None:
                       f"block p50={st.p50_ms:.2f}ms p99={st.p99_ms:.2f}ms "
                       f"deadline={st.deadline_ms:.2f}ms rtf={st.rtf:.1f}"
                       if st else "no blocks yet")
+            elif cmd == "qnorm":
+                # per-mode energy telemetry (the transfer-ball data feed,
+                # modal_solver.h:153-159); prints the top modes
+                q = engine.latest_qnorm()
+                if q is None:
+                    if engine._qnorm_every == 0:
+                        engine._qnorm_every = 4
+                    print("qnorm telemetry enabled (may trigger a one-time "
+                          "compile); ask again shortly")
+                else:
+                    row = np.asarray(q[0])
+                    top = np.argsort(row)[::-1][:8]
+                    print("top modes:",
+                          " ".join(f"{i}:{row[i]:.3g}" for i in top))
             else:
                 print(f"unknown command: {cmd}")
         except (IndexError, ValueError) as e:

@@ -205,3 +205,43 @@ def test_multi_object_batching(dberr):
             jnp.zeros((1, m_pad)), jnp.zeros((1, m_pad)), bank1,
             space[i: i + 1], time_prof[i: i + 1], transfer[i: i + 1], False)
         assert dberr(np.asarray(batched[i]), np.asarray(single[0])) < -120
+
+
+def test_step_multi_equals_step_block_sequence(dberr):
+    """step_multi(n) must equal n sequential step_block calls (forces fire
+    at the right sample inside the span; state threads through)."""
+    import dataclasses
+    from openpbso_tpu.runtime.solver import step_block, step_multi
+    from openpbso_tpu.runtime.state import make_solver_state
+    md = _modes(n=10, seed=8)
+    s = 128
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              block_size=s, dtype=jnp.float64)
+    state = make_solver_state(1, bank.num_modes, num_slots=4,
+                              dtype=jnp.float64)
+    slots = state.slots
+    # one hit now, one scheduled mid-span (block 2)
+    slots = dataclasses.replace(
+        slots,
+        ftype=slots.ftype.at[0, 0].set(1).at[0, 1].set(2),
+        t0=slots.t0.at[0, 1].set(2 * s),
+        width=slots.width.at[0, 1].set(20.0),
+        space=slots.space.at[0, 0, :].set(1.0).at[0, 1, :].set(0.5))
+    state = dataclasses.replace(state, slots=slots)
+    gains = jnp.ones((1, 2), jnp.float64)
+
+    st_a = state
+    mixes = []
+    for _ in range(4):
+        st_a, _, mix, _ = step_block(st_a, bank, gains, block_size=s,
+                                     backend="blocked")
+        mixes.append(np.asarray(mix))
+    seq = np.concatenate(mixes, axis=0)
+
+    st_b, multi = step_multi(state, bank, gains, n_blocks=4, block_size=s,
+                             backend="blocked")
+    assert dberr(np.asarray(multi), seq) < -200 or \
+        np.array_equal(np.asarray(multi), seq)
+    assert dberr(np.asarray(st_b.z_im), np.asarray(st_a.z_im)) < -200 or \
+        np.array_equal(np.asarray(st_b.z_im), np.asarray(st_a.z_im))

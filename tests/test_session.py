@@ -148,3 +148,36 @@ def test_slot_recycling():
         sess.hit(0, np.ones(md.num_modes), kind="gaussian", width_us=5000.0)
     sess.step()
     assert True  # no exception; 2 slots cycled through 6 hits
+
+
+def test_ffat_render_matches_oracle_with_transfer(synth_model_root, dberr):
+    """Config-2 class: full FFAT transfer in the loop, waveform vs oracle."""
+    paths = resolve_model_dir(synth_model_root, "synth")
+    model = load_model(paths)
+    n = model.num_modes_audible
+    s = 256
+    bank = bank_from_material(
+        model.material.density, model.modes.omega_squared[:n],
+        model.material.alpha, model.material.beta,
+        block_size=s, dtype=jnp.float64)
+    ffat = build_ffat(model.ffat_maps, bank.num_modes, dtype=jnp.float64)
+    sess = ModalSession(bank, ffat=ffat,
+                        config=SolverConfig(block_size=s, backend="blocked"),
+                        dtype=jnp.float64)
+    listener = np.asarray([0.9, 0.4, 0.3])
+    sess.set_listener(listener)
+    space = model.modal_force_vertex(7)
+    sess.hit(0, space, kind="gaussian", width_us=250.0)
+    got = sess.render_raw(8)[0]
+
+    from openpbso_tpu.utils.oracle import (OracleGaussianForce, OracleSolver,
+                                           ffat_map_val, iir_coefficients)
+    c1, c2, c3 = iir_coefficients(
+        model.material.density, model.modes.omega_squared[:n],
+        model.material.alpha, model.material.beta, 1.0 / 44100)
+    transfer = np.array([ffat_map_val(model.ffat_maps[i], listener)
+                         for i in range(n)])
+    oracle = OracleSolver(c1, c2, c3, s, transfer=transfer)
+    oracle.hit(space, OracleGaussianForce(250.0))
+    ref = oracle.render(8)
+    assert dberr(got, ref) < -100
