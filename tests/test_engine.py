@@ -97,3 +97,26 @@ def test_wav_sink_roundtrip(tmp_path):
         assert w.getnframes() == 64
         frames = np.frombuffer(w.readframes(64), "<i2")
         assert abs(int(frames[0]) - int(0.5 * 32767)) <= 1
+
+
+def test_underrun_stale_replay():
+    """When synthesis can't keep up, the consumer replays the last block and
+    marks the health ring (real_time_modal_sound.cpp:203-210 semantics)."""
+    import queue
+    import threading
+    sink = RawCollectorSink()
+    engine, md = _engine(sink, s=128)
+    # don't start the synth thread: hand-feed one block, then starve
+    block = np.full((128, 2), 0.25, np.float32)
+    engine._sound.put(block)
+    t = threading.Thread(target=engine._consume_loop, daemon=True)
+    engine._stop.clear()
+    t.start()
+    time.sleep(0.8)
+    engine._stop.set()
+    t.join(5.0)
+    audio = sink.blocks
+    assert len(audio) >= 2              # consumed + replayed stale blocks
+    np.testing.assert_array_equal(audio[0], block)
+    np.testing.assert_array_equal(audio[1], block)  # stale replay
+    assert engine.health.health < 1.0   # underruns recorded

@@ -73,3 +73,32 @@ def test_sharded_multi_block_continuity(dberr):
                                         block_size=s, backend="blocked")
         chunks_ref.append(np.asarray(ref_mix))
     assert dberr(np.concatenate(chunks_sp), np.concatenate(chunks_ref)) < -90
+
+
+def test_sharded_hetero_bank(dberr):
+    """Per-object lam tables shard over the obj axis."""
+    import numpy as np
+    from openpbso_tpu.ops.coeffs import build_modal_bank, lambda_from_modes
+    s, o = 128, 8
+    lams, bs, vs = [], [], []
+    for i in range(o):
+        md = synth_mode_data(16, 4, seed=50 + i)
+        lam, b, v = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                      CERAMIC.alpha, CERAMIC.beta)
+        lams.append(lam); bs.append(b); vs.append(v)
+    bank = build_modal_bank(np.stack(lams), np.stack(bs), np.stack(vs),
+                            block_size=s, shared=False, dtype=jnp.float32)
+    assert not bank.shared_tables
+    state = make_solver_state(o, bank.num_modes, num_slots=2,
+                              dtype=jnp.float32)
+    slots = state.slots
+    slots = dataclasses.replace(slots, ftype=slots.ftype.at[:, 0].set(1),
+                                space=slots.space.at[:, 0, :].set(1.0))
+    state = dataclasses.replace(state, slots=slots)
+    gains = jnp.ones((o, 2), jnp.float32)
+    ref_state, ref_sound, ref_mix, _ = step_block(
+        state, bank, gains, block_size=s, backend="blocked")
+    mesh = make_mesh(4, 2)
+    step = make_sharded_step(mesh, bank, block_size=s, backend="blocked")
+    out = step(shard_state(mesh, state), shard_bank(mesh, bank), gains)
+    assert dberr(np.asarray(out[2]), np.asarray(ref_mix)) < -100
