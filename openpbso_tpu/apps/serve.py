@@ -1,0 +1,78 @@
+"""pbso-serve — network audio synthesis server CLI.
+
+Serves a model (or a generated synthetic one) over TCP: clients send JSON
+commands (hit/listener/sustain/...) and receive the live PCM stream. See
+runtime/server.py for the protocol.
+
+    python -m openpbso_tpu.apps.serve --demo-synth --port 9473
+    python -m openpbso_tpu.apps.serve -d /data/models -name wine
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..config import DEFAULT_BLOCK, FILE_NOT_EXIST
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", dest="data_dir", default=FILE_NOT_EXIST)
+    p.add_argument("-name", dest="obj_name", default=FILE_NOT_EXIST)
+    p.add_argument("-m", dest="mesh", default=FILE_NOT_EXIST)
+    p.add_argument("-s", dest="surf_mode", default=FILE_NOT_EXIST)
+    p.add_argument("-t", dest="material", default=FILE_NOT_EXIST)
+    p.add_argument("-p", dest="ffat_map", default=FILE_NOT_EXIST)
+    p.add_argument("-tex", dest="obj_texture_map", default=FILE_NOT_EXIST)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9473)
+    p.add_argument("--block", type=int, default=DEFAULT_BLOCK)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "blocked", "scan", "pallas"])
+    p.add_argument("--instances", type=int, default=1)
+    p.add_argument("--lookahead", type=int, default=1)
+    p.add_argument("--no-transfer", action="store_true")
+    p.add_argument("--listener", default="1.0,0.5,0.5",
+                   help="initial listener position x,y,z")
+    p.add_argument("--demo-synth", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--one-shot", action="store_true",
+                   help="serve a single connection then exit")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        try:
+            jax.config.update("jax_platforms",
+                              "cpu" if args.platform == "cpu" else "")
+        except Exception:
+            pass
+
+    from .real_time_modal_sound import make_session
+    from ..runtime.server import AudioServer
+
+    model, first_session = make_session(args)
+    sessions = [first_session]
+
+    def make():
+        if sessions:
+            return sessions.pop()
+        _, sess = make_session(args)
+        return sess
+
+    srv = AudioServer(make, model=model, host=args.host, port=args.port,
+                      lookahead=args.lookahead)
+    print(f"serving on {srv.address[0]}:{srv.address[1]} "
+          f"(block {args.block}, backend {args.backend})", flush=True)
+    try:
+        if args.one_shot:
+            srv.serve_one()
+        else:
+            srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -150,6 +150,10 @@ class StreamingEngine:
         self._consume_thread: threading.Thread | None = None
         self._last_block: np.ndarray | None = None
         self._blocks_done = 0
+        # failure detection: a dead synthesis pipeline must be observable,
+        # not a silent stream of stale blocks (the reference's sim thread
+        # can die invisibly; SURVEY section 5 'failure detection: none')
+        self.error: BaseException | None = None
 
     # ----------------------------------------------------------- event API
 
@@ -243,6 +247,13 @@ class StreamingEngine:
         return [mix[i * s:(i + 1) * s] for i in range(self.lookahead)]
 
     def _synth_loop(self) -> None:
+        try:
+            self._synth_loop_inner()
+        except BaseException as e:  # noqa: BLE001 — surfaced via .error
+            self.error = e
+            self._stop.set()
+
+    def _synth_loop_inner(self) -> None:
         while not self._stop.is_set():
             t0 = time.perf_counter()
             self._apply_events()
@@ -310,8 +321,17 @@ class StreamingEngine:
                 t.join(timeout=5.0)
         self.sink.close()
 
+    @property
+    def healthy(self) -> bool:
+        """False once the synthesis pipeline has died (see .error)."""
+        return self.error is None and not self._stop.is_set()
+
     def run_for(self, seconds: float) -> None:
-        """Convenience: start, run, stop."""
+        """Convenience: start, run, stop. Raises if synthesis died."""
         self.start()
-        time.sleep(seconds)
+        deadline = time.monotonic() + seconds
+        while time.monotonic() < deadline and self.healthy:
+            time.sleep(min(0.1, max(0.0, deadline - time.monotonic())))
         self.stop()
+        if self.error is not None:
+            raise RuntimeError("synthesis pipeline failed") from self.error

@@ -1,0 +1,223 @@
+"""Network audio server — the serving deployment surface.
+
+The reference couples synthesis to a local PortAudio device; a production
+deployment serves synthesized audio to remote clients instead. This module
+streams the engine's output over TCP:
+
+- client -> server: newline-delimited JSON commands, the same event surface
+  as the interactive CLI::
+
+    {"cmd": "hit", "obj": 0, "vertex": 12, "kind": "gaussian",
+     "width_us": 200.0}
+    {"cmd": "hit_space", "obj": 0, "space": [..]}   (raw modal amplitudes)
+    {"cmd": "listener", "pos": [x, y, z]}
+    {"cmd": "sustain", "obj": 0, "vertex": 3} / {"cmd": "release", "obj": 0}
+    {"cmd": "arparam", "obj": 0, "a": [a1, a2], "sigma": s, "mu": m}
+    {"cmd": "clear"} / {"cmd": "stats"} / {"cmd": "quit"}
+
+- server -> client: a 16-byte header (``PBSO`` + uint32 sample_rate +
+  uint32 channels + uint32 block_size), then length-prefixed raw
+  little-endian float32 stereo blocks as they are synthesized. JSON
+  replies (stats, errors) interleave in-band with the sentinel length
+  0xFFFFFFFF followed by their own length + payload.
+
+One client at a time (the synthesis engine is a singleton); additional
+connections are refused with a JSON error.
+"""
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+
+import numpy as np
+
+from ..config import SAMPLE_RATE
+
+MAGIC = b"PBSO"
+JSON_MARKER = 0xFFFFFFFF
+
+
+class _SocketSink:
+    """Audio sink that writes framed PCM to a connected socket."""
+
+    def __init__(self, conn: socket.socket, block_size: int):
+        self._conn = conn
+        self._lock = threading.Lock()
+        self.closed = False
+        header = MAGIC + struct.pack("<III", SAMPLE_RATE, 2, block_size)
+        conn.sendall(header)
+
+    def write(self, block: np.ndarray) -> bool:
+        data = np.ascontiguousarray(block, "<f4").tobytes()
+        try:
+            with self._lock:
+                self._conn.sendall(struct.pack("<I", len(data)) + data)
+            return True
+        except OSError:
+            self.closed = True
+            return False
+
+    def send_json(self, obj) -> None:
+        payload = json.dumps(obj).encode()
+        try:
+            with self._lock:
+                self._conn.sendall(struct.pack("<II", JSON_MARKER,
+                                               len(payload)) + payload)
+        except OSError:
+            self.closed = True
+
+    def close(self) -> None:
+        try:
+            self._conn.shutdown(socket.SHUT_WR)
+        except OSError:
+            pass
+
+
+class AudioServer:
+    """Serve one engine over TCP. Use serve_forever() or serve_one()."""
+
+    def __init__(self, make_session, model=None, host: str = "127.0.0.1",
+                 port: int = 0, lookahead: int = 1):
+        """``make_session()`` -> a fresh ModalSession per connection;
+        ``model`` (optional) enables vertex-addressed hits."""
+        self._make_session = make_session
+        self._model = model
+        self._lookahead = lookahead
+        self._sock = socket.create_server((host, port))
+        self.address = self._sock.getsockname()
+
+    def serve_one(self, timeout: float | None = None) -> None:
+        """Accept a single client, stream until it quits/disconnects."""
+        self._sock.settimeout(timeout)
+        conn, _ = self._sock.accept()
+        conn.settimeout(None)
+        try:
+            self._handle(conn)
+        finally:
+            conn.close()
+
+    def serve_forever(self) -> None:
+        while True:
+            self.serve_one()
+
+    def close(self) -> None:
+        self._sock.close()
+
+    # ------------------------------------------------------------------
+
+    def _handle(self, conn: socket.socket) -> None:
+        from .engine import StreamingEngine
+        session = self._make_session()
+        block = session.config.block_size
+        sink = _SocketSink(conn, block)
+        engine = StreamingEngine(session, sink, lookahead=self._lookahead)
+        engine.start()
+        try:
+            buf = b""
+            while not sink.closed and engine.healthy:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not line.strip():
+                        continue
+                    if self._dispatch(engine, sink, line):
+                        return
+        finally:
+            engine.stop()
+
+    def _space_for(self, msg) -> np.ndarray:
+        if "space" in msg:
+            return np.asarray(msg["space"], np.float64)
+        if self._model is None:
+            raise ValueError("vertex-addressed commands need a model")
+        return self._model.modal_force_vertex(int(msg["vertex"]))
+
+    def _dispatch(self, engine, sink, line: bytes) -> bool:
+        """Apply one command; returns True on quit."""
+        try:
+            msg = json.loads(line)
+            cmd = msg.get("cmd")
+            if cmd == "quit":
+                return True
+            elif cmd in ("hit", "hit_space"):
+                engine.hit(int(msg.get("obj", 0)), self._space_for(msg),
+                           kind=msg.get("kind", "point"),
+                           width_us=float(msg.get("width_us", 100.0)),
+                           amp=float(msg.get("amp", 1.0)))
+            elif cmd == "listener":
+                engine.set_listener(np.asarray(msg["pos"], np.float64))
+            elif cmd == "sustain":
+                engine.sustained_start(int(msg.get("obj", 0)),
+                                       self._space_for(msg))
+            elif cmd == "release":
+                engine.sustained_end(int(msg.get("obj", 0)))
+            elif cmd == "arparam":
+                engine.set_ar_params(int(msg.get("obj", 0)),
+                                     tuple(msg.get("a", (0.783, 0.116))),
+                                     float(msg.get("sigma", 0.00148)),
+                                     float(msg.get("mu", 0.142)))
+            elif cmd == "clear":
+                engine.clear_forces()
+            elif cmd == "stats":
+                st = engine.profiler.stats()
+                sink.send_json({
+                    "health": engine.health.health,
+                    "blocks": engine._blocks_done,
+                    "p50_ms": st.p50_ms if st else None,
+                    "p99_ms": st.p99_ms if st else None,
+                })
+            else:
+                sink.send_json({"error": f"unknown cmd {cmd!r}"})
+        except (KeyError, ValueError, TypeError,
+                json.JSONDecodeError) as e:
+            sink.send_json({"error": str(e)})
+        return False
+
+
+# ---------------------------------------------------------------------------
+# client helper (used by tests and demo scripts)
+# ---------------------------------------------------------------------------
+
+
+class AudioClient:
+    """Minimal blocking client for AudioServer streams."""
+
+    def __init__(self, host: str, port: int):
+        self._conn = socket.create_connection((host, port), timeout=30)
+        header = self._recv_exact(16)
+        if header[:4] != MAGIC:
+            raise ValueError("bad stream magic")
+        self.sample_rate, self.channels, self.block_size = struct.unpack(
+            "<III", header[4:])
+        self.messages: list[dict] = []
+
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self._conn.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("stream closed")
+            out += chunk
+        return out
+
+    def send(self, **msg) -> None:
+        self._conn.sendall(json.dumps(msg).encode() + b"\n")
+
+    def read_block(self) -> np.ndarray:
+        """Next PCM block (JSON side-messages are collected in .messages)."""
+        while True:
+            (n,) = struct.unpack("<I", self._recv_exact(4))
+            if n == JSON_MARKER:
+                (ln,) = struct.unpack("<I", self._recv_exact(4))
+                self.messages.append(json.loads(self._recv_exact(ln)))
+                continue
+            data = self._recv_exact(n)
+            return np.frombuffer(data, "<f4").reshape(-1, self.channels)
+
+    def close(self) -> None:
+        self._conn.close()

@@ -120,3 +120,26 @@ def test_underrun_stale_replay():
     np.testing.assert_array_equal(audio[0], block)
     np.testing.assert_array_equal(audio[1], block)  # stale replay
     assert engine.health.health < 1.0   # underruns recorded
+
+
+def test_synth_failure_is_observable():
+    """A dying synthesis thread must surface via .error / .healthy instead
+    of silently streaming stale blocks."""
+    sink = RawCollectorSink()
+    engine, md = _engine(sink)
+
+    def boom():
+        raise RuntimeError("injected device failure")
+
+    engine.session.step = boom  # fault injection
+    engine._synth_once = lambda: (_ for _ in ()).throw(
+        RuntimeError("injected device failure"))
+    try:
+        engine.start()
+    except RuntimeError:
+        # warmup path may surface it synchronously — also acceptable
+        return
+    time.sleep(0.3)
+    assert not engine.healthy
+    assert isinstance(engine.error, RuntimeError)
+    engine.stop()

@@ -1,0 +1,71 @@
+"""TCP audio server: command surface + PCM streaming."""
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.coeffs import bank_from_material
+from openpbso_tpu.runtime.server import AudioClient, AudioServer
+from openpbso_tpu.runtime.session import ModalSession
+from openpbso_tpu.runtime.solver import SolverConfig
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+BLOCK = 256
+
+
+@pytest.fixture
+def server():
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()  # warm jit before the stream starts
+        return sess
+
+    srv = AudioServer(make_session)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    yield srv, md
+    srv.close()
+    t.join(timeout=10)
+
+
+def test_stream_hit_and_audio(server):
+    srv, md = server
+    c = AudioClient(*srv.address)
+    assert c.sample_rate == 44100
+    assert c.channels == 2
+    assert c.block_size == BLOCK
+    c.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+           kind="gaussian", width_us=2000.0)
+    peak = 0.0
+    for _ in range(30):
+        block = c.read_block()
+        assert block.shape == (BLOCK, 2)
+        peak = max(peak, float(np.abs(block).max()))
+        if peak > 0:
+            break
+    assert peak > 0.0
+    # stats round trip
+    c.send(cmd="stats")
+    for _ in range(50):
+        c.read_block()
+        if c.messages:
+            break
+    assert c.messages and "health" in c.messages[0]
+    # malformed command -> error reply, stream stays alive
+    c._conn.sendall(b"this is not json\n")
+    for _ in range(50):
+        c.read_block()
+        if len(c.messages) >= 2:
+            break
+    assert "error" in c.messages[-1]
+    c.send(cmd="quit")
+    c.close()
