@@ -18,7 +18,6 @@ All math is elementwise/gather (VPU-friendly), runs at listener-update rate
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ file serialization plus a runtime model hot-swap that parks the sim thread
 """
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

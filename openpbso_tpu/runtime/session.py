@@ -26,7 +26,7 @@ from ..ops.coeffs import ModalBank
 from ..ops.ffat import FFATMaps, compute_transfer
 from ..ops.forces import FORCE_GAUSSIAN, FORCE_POINT, ForceSlots
 from .solver import SolverConfig, default_gains, step_block
-from .state import SolverState, make_solver_state
+from .state import make_solver_state
 
 
 @partial(jax.jit, donate_argnames=("slots",))
