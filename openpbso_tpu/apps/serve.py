@@ -50,6 +50,7 @@ def main(argv=None) -> int:
     from ..runtime.server import AudioServer
 
     model, first_session = make_session(args)
+    first_session.step()  # compile the block step BEFORE accepting clients
     sessions = [first_session]
 
     def make():

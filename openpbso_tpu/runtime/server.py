@@ -187,8 +187,9 @@ class AudioServer:
 class AudioClient:
     """Minimal blocking client for AudioServer streams."""
 
-    def __init__(self, host: str, port: int):
-        self._conn = socket.create_connection((host, port), timeout=30)
+    def __init__(self, host: str, port: int, timeout: float = 300.0):
+        # generous default: the server may be jit-compiling its first block
+        self._conn = socket.create_connection((host, port), timeout=timeout)
         header = self._recv_exact(16)
         if header[:4] != MAGIC:
             raise ValueError("bad stream magic")
