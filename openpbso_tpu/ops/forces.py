@@ -93,6 +93,12 @@ def force_block(
     """Synthesize the rank-1 excitation for one block.
 
     Returns (time_profile [O, S], space [O, M]).
+
+    Contract: slot ``t0`` values are block-aligned (the session/engine
+    always activates forces at the next block boundary, matching the
+    reference's block-granular force dequeue, modal_solver.h:184). A
+    mid-block t0 would begin producing only at the following block
+    boundary with the profile's leading samples skipped.
     """
     s = block_size
     # per-slot local time at block start (samples since activation)

@@ -100,8 +100,9 @@ class ModalSession:
             amp: float = 1.0) -> None:
         """Strike object ``obj`` with modal amplitudes ``space`` [M_audible].
 
-        ``kind``: 'point' (unit impulse) or 'gaussian' (width in microseconds,
-        converted to samples as in forces.h:42-46). The profile starts at the
+        ``kind``: 'point' (unit impulse), 'gaussian' (width in microseconds,
+        converted to samples as in forces.h:42-46), or 'hertz' (width =
+        contact duration in microseconds). The profile starts at the
         beginning of the *next* block, like a dequeued ForceMessage.
         """
         from ..config import SAMPLE_RATE
