@@ -69,19 +69,22 @@ def make_force_slots(num_objects: int, num_slots: int, num_modes: int,
     )
 
 
-def slot_duration(ftype: np.ndarray, width: np.ndarray,
-                  block_size: int) -> np.ndarray:
+def slot_duration(ftype: int, width: float, block_size: int) -> int:
     """Samples during which a slot produces (host-side recycling helper).
 
     A slot is expired once ``block_start - t0 >= duration``; POINT forces
-    produce for one block, GAUSSIAN for ceil(10w / S) blocks (the reference
-    erases a force the first block its Add returns false).
+    produce for one block (the reference erases a force the first block its
+    Add returns false), GAUSSIAN for cutoff*2*width samples, HERTZ for one
+    contact time (width samples). Must mirror the device-side ``producing``
+    predicate in :func:`force_block`.
     """
-    point = np.asarray(ftype == FORCE_POINT, np.int64) * 1
-    gauss = np.asarray(ftype == FORCE_GAUSSIAN, np.int64) * (
-        GAUSSIAN_CUTOFF * 2 * np.maximum(width, 1.0)).astype(np.int64)
-    del block_size
-    return np.where(ftype == FORCE_POINT, point, gauss)
+    if ftype == FORCE_POINT:
+        return block_size
+    if ftype == FORCE_GAUSSIAN:
+        return int(GAUSSIAN_CUTOFF * 2 * max(width, 1.0))
+    if ftype == FORCE_HERTZ:
+        return int(max(width, 1.0))
+    return 0
 
 
 @partial(jax.jit, static_argnames=("block_size",))

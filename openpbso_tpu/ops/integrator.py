@@ -118,17 +118,12 @@ def step_block_blocked(
     be_im = bank.b_im * space
     tmask = transfer * bank.mask
 
-    if bank.shared_tables:
-        # weights reduce over modes against the single shared table
-        hom = (_mode_reduce(tmask * z_im, pr[..., 1:])
-               + _mode_reduce(tmask * z_re, pi[..., 1:]))
-        g = (_mode_reduce(tmask * be_re, pi[..., :s])
-             + _mode_reduce(tmask * be_im, pr[..., :s]))
-    else:
-        hom = jnp.einsum("om,oms->os", tmask * z_im, pr[..., 1:]) + \
-              jnp.einsum("om,oms->os", tmask * z_re, pi[..., 1:])
-        g = jnp.einsum("om,oms->os", tmask * be_re, pi[..., :s]) + \
-            jnp.einsum("om,oms->os", tmask * be_im, pr[..., :s])
+    # _mode_reduce lowers to a true [O,M]@[M,S] matmul for shared tables
+    # and a batched einsum otherwise
+    hom = (_mode_reduce(tmask * z_im, pr[..., 1:])
+           + _mode_reduce(tmask * z_re, pi[..., 1:]))
+    g = (_mode_reduce(tmask * be_re, pi[..., :s])
+         + _mode_reduce(tmask * be_im, pr[..., :s]))
     sound = hom + _causal_conv(g, time_profile)
 
     # state at block end: z_out = lam^S z_{-1} + b*space * C,

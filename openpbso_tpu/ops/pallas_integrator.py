@@ -128,10 +128,17 @@ def step_block_pallas(
         return (jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
                 if pad else x)
 
-    # packed 2D chunk tables [O_pad*Cp, M]: row o*Cp + d = lam_o^d
+    # packed 2D chunk tables [O_tiles_needed*OT*Cp, M]: row o*Cp+d = lam_o^d.
+    # Shared banks materialize only ONE tile's worth (OBJ_TILE copies) and
+    # every grid program maps to block 0 — not O per-object copies.
+    shared = bank.shared_tables
+
     def to_chunk_table(tbl):
         t3 = jnp.moveaxis(tbl[..., : chunk + 1], -1, 1)      # [Og, C+1, M]
         t3 = jnp.pad(t3, ((0, 0), (0, cp - chunk - 1), (0, 0)))
+        if shared:
+            t3 = jnp.broadcast_to(t3, (OBJ_TILE, cp, m))
+            return t3.reshape(OBJ_TILE * cp, m)
         t3 = jnp.broadcast_to(t3, (o, cp, m))
         return padded(t3).reshape(o_pad * cp, m)
 
@@ -146,7 +153,8 @@ def step_block_pallas(
     f_p = padded(time_profile)
 
     row = lambda i: (i, 0)
-    spec_tbl = pl.BlockSpec((OBJ_TILE * cp, m), row,
+    tbl_map = (lambda i: (0, 0)) if shared else row
+    spec_tbl = pl.BlockSpec((OBJ_TILE * cp, m), tbl_map,
                             memory_space=pltpu.VMEM)
     spec_m = pl.BlockSpec((OBJ_TILE, m), row, memory_space=pltpu.VMEM)
     spec_s = pl.BlockSpec((OBJ_TILE, s), row, memory_space=pltpu.VMEM)

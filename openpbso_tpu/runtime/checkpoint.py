@@ -53,22 +53,52 @@ def load_state(path: str, template: SolverState) -> SolverState:
     return jax.tree.unflatten(treedef, restored)
 
 
+def save_session(path: str, session) -> None:
+    """Snapshot a ModalSession: device state + host slot-recycling mirrors.
+
+    load_state alone restores the device arrays but not the session's
+    _expiry/_t0 mirrors, which would let the next hit() overwrite a slot
+    that is still producing; this pair keeps them in sync.
+    """
+    data = _flatten(session.state)
+    data["_session_expiry"] = session._expiry
+    data["_session_t0"] = session._t0
+    np.savez_compressed(path, **data)
+
+
+def load_session(path: str, session) -> None:
+    """Restore a save_session snapshot into ``session`` (shapes must match)."""
+    session.state = load_state(path, session.state)
+    data = np.load(path)
+    if "_session_expiry" in data:
+        if data["_session_expiry"].shape != session._expiry.shape:
+            raise ValueError("checkpoint slot mirrors do not match the "
+                             "session's slot table shape")
+        session._expiry[...] = data["_session_expiry"]
+        session._t0[...] = data["_session_t0"]
+
+
 def swap_model(engine, new_session) -> None:
     """Hot-swap the engine's model mid-stream (LoadNewModel equivalent).
 
     Pauses synthesis, replaces the session (new bank/FFAT/state), restarts.
     In-flight audio blocks from the old model drain to the sink first.
     """
+    from ..config import SAMPLE_RATE
     was_running = engine._synth_thread is not None and \
         engine._synth_thread.is_alive()
     if was_running:
         engine._stop.set()
         for t in (engine._synth_thread, engine._consume_thread):
-            if t is not None:
+            if t is None:
+                continue
+            # wait as long as it takes (see engine.stop): abandoning a
+            # thread inside a device call leaves TWO synth threads racing
+            # once start() clears the stop flag
+            while t.is_alive():
                 t.join(timeout=5.0)
     engine.session = new_session
     engine.profiler = type(engine.profiler)(
-        new_session.config.block_size,
-        44100)
+        new_session.config.block_size, SAMPLE_RATE)
     if was_running:
         engine.start()

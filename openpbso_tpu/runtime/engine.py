@@ -289,20 +289,30 @@ class StreamingEngine:
 
     def start(self) -> None:
         self._stop.clear()
-        # Warm the jit cache synchronously BEFORE spawning threads: a first
-        # compile can take seconds-to-minutes (remote TPU), and a daemon
-        # thread abandoned inside a native compile call aborts the process
-        # at interpreter exit. The warmup block is real audio — enqueue it.
-        t0 = time.perf_counter()
-        self._apply_events()
-        for mix_np in self._synth_once():
-            self.profiler.record(time.perf_counter() - t0)
-            self._blocks_done += 1
-            try:
-                self._sound.put_nowait(mix_np)
-            except queue.Full:
-                pass
-            t0 = time.perf_counter()
+        # Warm EVERY jit variant the steady-state loop will use BEFORE
+        # spawning threads: a first compile can take seconds-to-minutes
+        # (remote TPU), and a daemon thread abandoned inside a native
+        # compile call aborts the process at interpreter exit. Warmup runs
+        # against a snapshot of the state so no synthesized audio is
+        # dropped and the stream starts from the same sample.
+        saved_state = self.session.state
+        saved_blocks = self._blocks_done
+        if self.lookahead > 1:
+            self.session.render_multi(self.lookahead,
+                                      blocks_per_dispatch=self.lookahead)
+            self.session.state = saved_state
+        # the plain (no-qnorm) single-step variant always runs (qnorm blocks
+        # and the lookahead warmup above use other variants)
+        self.session.step()
+        if self._qnorm_every > 0:
+            self.session.config = dataclasses.replace(
+                self.session.config, compute_qnorm=True)
+            self.session.step()
+            self.session.config = dataclasses.replace(
+                self.session.config, compute_qnorm=False)
+        self.session.state = saved_state
+        self._blocks_done = saved_blocks
+
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)
         self._consume_thread = threading.Thread(

@@ -42,8 +42,12 @@ JSON_MARKER = 0xFFFFFFFF
 class _SocketSink:
     """Audio sink that writes framed PCM to a connected socket."""
 
-    def __init__(self, conn: socket.socket, block_size: int):
+    def __init__(self, conn: socket.socket, block_size: int,
+                 send_timeout: float = 30.0):
         self._conn = conn
+        # a client that stops reading must not wedge the consume thread
+        # (and thereby engine.stop) forever: bound every send
+        conn.settimeout(send_timeout)
         self._lock = threading.Lock()
         self.closed = False
         header = MAGIC + struct.pack("<III", SAMPLE_RATE, 2, block_size)
@@ -55,7 +59,7 @@ class _SocketSink:
             with self._lock:
                 self._conn.sendall(struct.pack("<I", len(data)) + data)
             return True
-        except OSError:
+        except (OSError, socket.timeout):
             self.closed = True
             return False
 
@@ -65,7 +69,7 @@ class _SocketSink:
             with self._lock:
                 self._conn.sendall(struct.pack("<II", JSON_MARKER,
                                                len(payload)) + payload)
-        except OSError:
+        except (OSError, socket.timeout):
             self.closed = True
 
     def close(self) -> None:
@@ -116,8 +120,15 @@ class AudioServer:
         engine.start()
         try:
             buf = b""
+            # one shared socket timeout bounds BOTH recv (so engine/sink
+            # health is re-checked periodically) and the sink's sends (so a
+            # non-draining client cannot wedge the consume thread)
+            conn.settimeout(5.0)
             while not sink.closed and engine.healthy:
-                chunk = conn.recv(4096)
+                try:
+                    chunk = conn.recv(4096)
+                except socket.timeout:
+                    continue
                 if not chunk:
                     break
                 buf += chunk
@@ -127,6 +138,9 @@ class AudioServer:
                         continue
                     if self._dispatch(engine, sink, line):
                         return
+            if not engine.healthy and engine.error is not None:
+                sink.send_json({"error": f"synthesis failed: "
+                                         f"{engine.error!r}"})
         finally:
             engine.stop()
 

@@ -110,17 +110,18 @@ class ModalSession:
         vec = np.zeros((m,), np.float64)
         space = np.asarray(space, np.float64).ravel()
         vec[: min(space.size, m)] = space[: m]
+        from ..ops.forces import FORCE_HERTZ, slot_duration
         if kind == "point":
-            ftype, width, dur = FORCE_POINT, 1.0, self.config.block_size
+            ftype, width = FORCE_POINT, 1.0
         elif kind == "gaussian":
+            ftype = FORCE_GAUSSIAN
             width = max(1, int(width_us / 1e6 * SAMPLE_RATE))
-            ftype, dur = FORCE_GAUSSIAN, 10 * width
         elif kind == "hertz":
-            from ..ops.forces import FORCE_HERTZ
+            ftype = FORCE_HERTZ
             width = max(1, int(width_us / 1e6 * SAMPLE_RATE))
-            ftype, dur = FORCE_HERTZ, width
         else:
             raise ValueError(f"unknown force kind {kind!r}")
+        dur = slot_duration(ftype, width, self.config.block_size)
         slot = self._alloc_slot(obj)
         t0 = self.sample_clock
         self.state = dataclasses.replace(
