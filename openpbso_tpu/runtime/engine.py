@@ -240,11 +240,14 @@ class StreamingEngine:
                 except queue.Full:
                     pass  # telemetry is best-effort (modal_solver.h:273)
             return [mix_np]
-        # lookahead dispatch: one device round trip for L blocks
-        mix = self.session.render_multi(self.lookahead,
-                                        blocks_per_dispatch=self.lookahead)
-        s = self.session.config.block_size
-        return [mix[i * s:(i + 1) * s] for i in range(self.lookahead)]
+        # lookahead: L async single-block dispatches, one host sync at the
+        # end — amortizes per-dispatch latency like a scan, but reuses the
+        # already-compiled step (a scan is a separate, much larger compile)
+        mixes = []
+        for _ in range(self.lookahead):
+            _, mix, _ = self.session.step()
+            mixes.append(mix)
+        return [np.asarray(m) for m in mixes]
 
     def _synth_loop(self) -> None:
         try:
@@ -297,12 +300,8 @@ class StreamingEngine:
         # dropped and the stream starts from the same sample.
         saved_state = self.session.state
         saved_blocks = self._blocks_done
-        if self.lookahead > 1:
-            self.session.render_multi(self.lookahead,
-                                      blocks_per_dispatch=self.lookahead)
-            self.session.state = saved_state
-        # the plain (no-qnorm) single-step variant always runs (qnorm blocks
-        # and the lookahead warmup above use other variants)
+        # the plain (no-qnorm) single-step variant covers both the
+        # lookahead=1 path and the pipelined lookahead path
         self.session.step()
         if self._qnorm_every > 0:
             self.session.config = dataclasses.replace(
