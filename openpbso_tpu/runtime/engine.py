@@ -240,14 +240,18 @@ class StreamingEngine:
                 except queue.Full:
                     pass  # telemetry is best-effort (modal_solver.h:273)
             return [mix_np]
-        # lookahead: L async single-block dispatches, one host sync at the
-        # end — amortizes per-dispatch latency like a scan, but reuses the
-        # already-compiled step (a scan is a separate, much larger compile)
+        # lookahead: L async single-block dispatches, ONE host transfer at
+        # the end — amortizes per-dispatch latency like a scan but reuses
+        # the already-compiled step (a scan is a separate, much larger
+        # compile), and fetches all L blocks in a single stacked transfer
+        # (each separate np.asarray costs a full round trip on remote links)
+        import jax.numpy as jnp
         mixes = []
         for _ in range(self.lookahead):
             _, mix, _ = self.session.step()
             mixes.append(mix)
-        return [np.asarray(m) for m in mixes]
+        stacked = np.asarray(jnp.stack(mixes))
+        return list(stacked)
 
     def _synth_loop(self) -> None:
         try:
@@ -301,12 +305,17 @@ class StreamingEngine:
         saved_state = self.session.state
         saved_blocks = self._blocks_done
         # the plain (no-qnorm) single-step variant covers both the
-        # lookahead=1 path and the pipelined lookahead path
-        self.session.step()
+        # lookahead=1 path and the pipelined lookahead path. np.asarray is
+        # the sync that actually forces the compile here — step() alone
+        # dispatches asynchronously and the compile would land in the synth
+        # thread after all.
+        _, mix, _ = self.session.step()
+        np.asarray(mix)
         if self._qnorm_every > 0:
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=True)
-            self.session.step()
+            _, mix, _ = self.session.step()
+            np.asarray(mix)
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=False)
         self.session.state = saved_state
