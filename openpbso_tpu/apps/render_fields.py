@@ -127,9 +127,17 @@ def export_ffat_images(maps: dict, out_dir: str) -> list[str]:
 
 def export_transfer_ball(session, out_dir: str, *,
                          subdivisions: int = 3,
-                         radius: float = 1.0) -> tuple[str, str]:
-    """Icosphere + per-vertex transfer sum (the HUD ball colored by
-    log10(qnorm . transfer), real_time_modal_sound.cpp:917-979)."""
+                         radius: float = 1.0,
+                         qnorm: np.ndarray | None = None
+                         ) -> tuple[str, str]:
+    """Icosphere + per-vertex transfer values (the HUD ball colored by
+    log10(qnorm . transfer), real_time_modal_sound.cpp:917-979).
+
+    With ``qnorm`` (per-mode energy from the engine's telemetry channel,
+    shape [M] or [O, M] reduced over objects) the export reproduces the
+    reference's live coloring: each direction weighted by the modes that
+    are currently ringing; without it, the static sum over modes.
+    """
     os.makedirs(out_dir, exist_ok=True)
     v, f = icosphere(subdivisions, radius)
     import jax.numpy as jnp
@@ -137,10 +145,16 @@ def export_transfer_ball(session, out_dir: str, *,
     from ..ops.ffat import compute_transfer
     vals = np.zeros(v.shape[0])
     if session.ffat is not None:
-        # transfer per vertex direction, summed over modes
+        # transfer per vertex direction: [V, M]
         t = np.asarray(compute_transfer(
             session.ffat, jnp.asarray(v, jnp.float32)))
-        vals = t.sum(axis=-1)
+        if qnorm is not None:
+            w = np.asarray(qnorm, np.float64)
+            if w.ndim == 2:
+                w = w.sum(axis=0)
+            vals = t[:, : w.shape[0]] @ w
+        else:
+            vals = t.sum(axis=-1)
     obj_path = os.path.join(out_dir, "transfer_ball.obj")
     npy_path = os.path.join(out_dir, "transfer_ball_values.npy")
     write_obj(obj_path, v, f)

@@ -103,3 +103,32 @@ def test_softrender_matcap_stills(tmp_path, synth_model_root):
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
     # frames differ (the mesh moves)
     assert open(frames[0], "rb").read() != open(frames[1], "rb").read()
+
+
+def test_transfer_ball_qnorm_weighting(tmp_path, synth_model_root):
+    """qnorm-weighted transfer ball differs from the static sum (the
+    reference's live qnorm.transfer coloring)."""
+    import jax.numpy as jnp
+    from openpbso_tpu.apps.render_fields import export_transfer_ball
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.session import ModalSession
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    bank = bank_from_material(
+        model.material.density, model.modes.omega_squared,
+        model.material.alpha, model.material.beta, block_size=128,
+        dtype=jnp.float32)
+    ffat = build_ffat(model.ffat_maps, bank.num_modes, dtype=jnp.float32)
+    sess = ModalSession(bank, ffat=ffat)
+    _, v_static = export_transfer_ball(sess, str(tmp_path / "a"),
+                                       subdivisions=1)
+    q = np.zeros(bank.num_modes)
+    q[0] = 1.0  # only mode 0 ringing
+    _, v_weighted = export_transfer_ball(sess, str(tmp_path / "b"),
+                                         subdivisions=1, qnorm=q)
+    a = np.load(v_static)
+    b = np.load(v_weighted)
+    assert a.shape == b.shape
+    assert not np.allclose(a / a.max(), b / b.max())
