@@ -156,20 +156,27 @@ BACKENDS = {
 }
 
 
-def resolve_backend_name(name: str) -> str:
-    """'auto' -> the fused Pallas kernel on TPU, the blocked XLA form
-    elsewhere (the Pallas interpreter is correctness-only on CPU)."""
+def resolve_backend_name(name: str, bank: ModalBank | None = None) -> str:
+    """'auto' -> the best backend for the platform and bank layout.
+
+    On TPU: the blocked matmul form wins for *shared* banks (one [M, S]
+    table, pure MXU); the fused Pallas kernel wins for *heterogeneous*
+    banks (per-object tables would be [O, M, S]-sized HBM traffic in the
+    blocked form). Elsewhere: blocked (the Pallas interpreter is
+    correctness-only on CPU).
+    """
     if name != "auto":
         return name
     import jax
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and (
+            bank is None or not bank.shared_tables):
         from . import pallas_integrator  # noqa: F401 (registers 'pallas')
         return "pallas"
     return "blocked"
 
 
-def get_backend(name: str):
-    name = resolve_backend_name(name)
+def get_backend(name: str, bank: ModalBank | None = None):
+    name = resolve_backend_name(name, bank)
     if name == "pallas" and name not in BACKENDS:
         from . import pallas_integrator  # noqa: F401
     if name in BACKENDS:

@@ -79,7 +79,7 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
     per-shard object/mode rows integrate locally and the stereo mix is
     psum-reduced over both mesh axes.
     """
-    integrate = get_backend(backend)
+    integrate = get_backend(backend, bank)
 
     def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
         time_imp, space_imp = force_block(state.slots, state.block_start,

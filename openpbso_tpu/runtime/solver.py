@@ -64,7 +64,7 @@ def _step_block_impl(
     time_profile = time_imp * (1 - gate) + time_sus
     space = space_imp * (1 - gate[:, : 1]) + space_sus
 
-    integrate = get_backend(backend)
+    integrate = get_backend(backend, bank)
     z_re, z_im, sound, qnorm = integrate(
         state.z_re, state.z_im, bank, space, time_profile, state.transfer,
         compute_qnorm)
