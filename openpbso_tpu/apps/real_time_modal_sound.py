@@ -172,6 +172,25 @@ def interactive_loop(engine, model, args) -> None:
                 engine.session.set_use_transfer(toks[1] == "on")
             elif cmd == "clear":
                 engine.clear_forces()
+            elif cmd == "load":
+                # hot-swap to a new model from a 4-line .meta descriptor
+                # (the reference's LoadNewModel file-dialog flow,
+                # real_time_modal_sound.cpp:347-474)
+                from ..io.meta import read_meta
+                from ..runtime.checkpoint import swap_model
+                meta = read_meta(toks[1])
+                new_args = args
+                new_args.data_dir = FILE_NOT_EXIST
+                new_args.mesh = meta.obj_file
+                new_args.surf_mode = meta.modes_file
+                new_args.material = meta.material_file
+                new_args.ffat_map = meta.ffat_dir
+                new_args.demo_synth = False
+                model, new_sess = make_session(new_args)
+                new_sess.step()  # warm before swapping the live stream
+                swap_model(engine, new_sess)
+                print(f"loaded {toks[1]}: {model.num_modes_audible} "
+                      f"audible modes")
             elif cmd == "stats":
                 st = engine.profiler.stats()
                 print(f"health={engine.health.health:.2f} "
@@ -194,7 +213,7 @@ def interactive_loop(engine, model, args) -> None:
                           " ".join(f"{i}:{row[i]:.3g}" for i in top))
             else:
                 print(f"unknown command: {cmd}")
-        except (IndexError, ValueError) as e:
+        except (IndexError, ValueError, OSError) as e:
             print(f"bad command args: {e}")
 
 
