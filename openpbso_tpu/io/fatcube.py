@@ -271,7 +271,7 @@ def decode_fatcube(data: bytes) -> FatcubeMap:
     shell = None
     is_compressed = False
     psi_cols: list[np.ndarray] = []
-    mode_id = -1
+    mode_id = 0  # proto3 default when the field is omitted (mode 0 maps)
     for field, wt, payload in _iter_fields(map3_buf):
         if field == 1 and wt == _WT_64BIT:
             k = struct.unpack("<d", payload)[0]
@@ -321,8 +321,9 @@ def encode_fatcube(m: FatcubeMap) -> bytes:
         _encode_key(map3, 4, _WT_VARINT)
         _write_varint(map3, 1)
     _encode_len_field(map3, 5, _encode_mat([np.asarray(m.psi, np.float64)]))
-    _encode_key(map3, 6, _WT_VARINT)
-    _write_varint(map3, int(m.mode_id))
+    if m.mode_id != 0:  # proto3 omits default-valued scalar fields
+        _encode_key(map3, 6, _WT_VARINT)
+        _write_varint(map3, int(m.mode_id))
 
     out = bytearray()
     _encode_len_field(out, 1, bytes(map3))
