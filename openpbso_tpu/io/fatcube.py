@@ -236,17 +236,17 @@ def _decode_shell(buf: bytes) -> CubemapShell:
     for field, wt, payload in _iter_fields(buf):
         if field == 1 and wt == _WT_64BIT:
             cell_size = struct.unpack("<d", payload)[0]
-        elif field == 2:
+        elif field == 2 and wt == _WT_LEN:
             low_corners = _decode_mat(payload)
-        elif field == 3:
+        elif field == 3 and wt == _WT_LEN:
             n_elements = _decode_mat_i(payload)
-        elif field == 4:
+        elif field == 4 and wt == _WT_LEN:
             strides = _decode_vec_i(payload)
-        elif field == 5:
+        elif field == 5 and wt == _WT_LEN:
             center = _decode_vec(payload)
-        elif field == 6:
+        elif field == 6 and wt == _WT_LEN:
             bbox_low = _decode_vec(payload)
-        elif field == 7:
+        elif field == 7 and wt == _WT_LEN:
             bbox_top = _decode_vec(payload)
     return CubemapShell(
         cell_size=cell_size,
@@ -275,15 +275,15 @@ def decode_fatcube(data: bytes) -> FatcubeMap:
     for field, wt, payload in _iter_fields(map3_buf):
         if field == 1 and wt == _WT_64BIT:
             k = struct.unpack("<d", payload)[0]
-        elif field == 2:
+        elif field == 2 and wt == _WT_LEN:
             center = _decode_vec(payload)
-        elif field == 3:
+        elif field == 3 and wt == _WT_LEN:
             shell = _decode_shell(payload)
-        elif field == 4:
+        elif field == 4 and wt == _WT_VARINT:
             is_compressed = bool(payload)
-        elif field == 5:
+        elif field == 5 and wt == _WT_LEN:
             psi_cols = _decode_mat(payload)
-        elif field == 6:
+        elif field == 6 and wt == _WT_VARINT:
             mode_id = int(np.int32(np.uint32(payload & 0xFFFFFFFF)))
     if shell is None:
         raise ValueError("fatcube file missing shell geometry")

@@ -164,3 +164,45 @@ def test_vector_io_roundtrips(tmp_path):
     pc = str(tmp_path / "v.cplx")
     write_complex_vector(pc, c)
     np.testing.assert_array_equal(read_complex_vector(pc), c)
+
+
+def test_fatcube_decoder_fuzz():
+    """Random and mutated buffers must raise cleanly, never crash/hang."""
+    from openpbso_tpu.io.fatcube import decode_fatcube, encode_fatcube
+    from openpbso_tpu.utils.synth import synth_fatcube
+    rng = np.random.default_rng(0)
+    good = encode_fatcube(synth_fatcube(1, 500.0, n=5))
+    for i in range(120):
+        if i < 60:  # pure noise
+            buf = rng.integers(0, 256, rng.integers(0, 200),
+                               dtype=np.uint8).tobytes()
+        else:  # mutate valid bytes (truncation + bit flips)
+            b = bytearray(good[: rng.integers(1, len(good))])
+            for _ in range(rng.integers(1, 8)):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            buf = bytes(b)
+        try:
+            decode_fatcube(buf)
+        except (ValueError, IndexError, OverflowError):
+            pass
+
+
+def test_native_fatcube_decoder_fuzz():
+    pytest.importorskip("openpbso_tpu.native.bindings")
+    from openpbso_tpu.native.bindings import load_native, native_decode_fatcube
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    from openpbso_tpu.io.fatcube import encode_fatcube
+    from openpbso_tpu.utils.synth import synth_fatcube
+    rng = np.random.default_rng(1)
+    good = encode_fatcube(synth_fatcube(1, 500.0, n=5))
+    for i in range(120):
+        if i < 60:
+            buf = rng.integers(0, 256, rng.integers(0, 200),
+                               dtype=np.uint8).tobytes()
+        else:
+            b = bytearray(good[: rng.integers(1, len(good))])
+            for _ in range(rng.integers(1, 8)):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            buf = bytes(b)
+        native_decode_fatcube(buf)  # None or a map; never a crash
