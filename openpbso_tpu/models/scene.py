@@ -40,12 +40,19 @@ class Scene:
                  use_ffat: bool = True,
                  binaural: bool = False,
                  ear_distance: float = 0.18,
+                 listener_offsets: np.ndarray | None = None,
                  dtype=None):
         """``binaural`` gives each logical object two solver rows (left/right
         ear) with independent FFAT lookups per ear — true interaural level
         differences from the transfer maps (the reference duplicates one
         mono signal to both channels, real_time_modal_sound.cpp:207-210).
-        Hits/forces are mirrored to both rows automatically."""
+        Hits/forces are mirrored to both rows automatically.
+
+        ``listener_offsets`` [L, 3] generalizes this to L listeners: each
+        logical object gets L solver rows, listener l's transfer is looked
+        up from ``listener + offsets[l]``, and the mix has L output
+        channels (one per listener). ``binaural`` is the L=2 special case
+        with offsets ±ear_distance/2 along the ear axis."""
         import jax.numpy as jnp
 
         from ..ops.coeffs import build_modal_bank, lambda_from_modes
@@ -59,9 +66,17 @@ class Scene:
         self.binaural = binaural
         self.ear_distance = ear_distance
         self.logical_instances = instances
-        if binaural:
-            # row 2i = left ear, row 2i+1 = right ear of logical object i
-            instances = [inst for inst in instances for _ in range(2)]
+        if binaural and listener_offsets is not None:
+            raise ValueError("pass either binaural or listener_offsets")
+        self._offsets = (np.asarray(listener_offsets, np.float64)
+                         if listener_offsets is not None else None)
+        self.num_listeners = (2 if binaural
+                              else (len(self._offsets)
+                                    if self._offsets is not None else 1))
+        if self.num_listeners > 1:
+            # row i*L + l = listener l's copy of logical object i
+            instances = [inst for inst in instances
+                         for _ in range(self.num_listeners)]
         self.instances = instances
         o = len(instances)
         n_modes = [inst.model.num_modes_audible for inst in instances]
@@ -100,11 +115,12 @@ class Scene:
 
         self.positions = np.stack([np.asarray(i.position, np.float64)
                                    for i in instances])
-        gains = np.zeros((o, 2))
+        n_ch = self.num_listeners if self.num_listeners > 1 else 2
+        gains = np.zeros((o, n_ch))
         for i, inst in enumerate(instances):
-            if binaural:
-                # even rows feed only the left channel, odd rows the right
-                gains[i, i % 2] = inst.gain
+            if self.num_listeners > 1:
+                # each row feeds only its listener's output channel
+                gains[i, i % self.num_listeners] = inst.gain
             else:
                 left = inst.gain * (1.0 - max(inst.pan, 0.0))
                 right = inst.gain * (1.0 + min(inst.pan, 0.0))
@@ -120,11 +136,12 @@ class Scene:
 
     def hit(self, index: int, vertex: int, **kw) -> None:
         """Strike logical instance ``index`` at mesh vertex ``vertex``."""
-        if self.binaural:
+        ll = self.num_listeners
+        if ll > 1:
             space = self.logical_instances[index].model.modal_force_vertex(
                 vertex)
-            self.session.hit(2 * index, space, **kw)
-            self.session.hit(2 * index + 1, space, **kw)
+            for l in range(ll):
+                self.session.hit(ll * index + l, space, **kw)
         else:
             space = self.instances[index].model.modal_force_vertex(vertex)
             self.session.hit(index, space, **kw)
@@ -139,13 +156,15 @@ class Scene:
         ear_distance/2 along ``ear_axis``)."""
         import jax.numpy as jnp
         world_pos = np.asarray(world_pos, np.float64)
-        if self.binaural:
-            ear = np.asarray(ear_axis, np.float64)
-            ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
-            ears = np.where((np.arange(len(self.instances)) % 2 == 0)[:, None],
-                            (world_pos - ear)[None, :],
-                            (world_pos + ear)[None, :])
-            rel = ears - self.positions
+        if self.num_listeners > 1:
+            if self.binaural:
+                ear = np.asarray(ear_axis, np.float64)
+                ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
+                offsets = np.stack([-ear, ear])
+            else:
+                offsets = self._offsets
+            rows = np.arange(len(self.instances)) % self.num_listeners
+            rel = (world_pos[None, :] + offsets[rows]) - self.positions
         else:
             rel = world_pos[None, :] - self.positions  # [O, 3]
         self.session.set_listener(rel)

@@ -24,9 +24,9 @@ from ..config import SAMPLE_RATE
 
 class WavFileSink:
     def __init__(self, path: str, sample_rate: int = SAMPLE_RATE,
-                 normalize: bool = False):
+                 normalize: bool = False, channels: int = 2):
         self._wave = wave.open(path, "wb")
-        self._wave.setnchannels(2)
+        self._wave.setnchannels(channels)
         self._wave.setsampwidth(2)
         self._wave.setframerate(sample_rate)
         self._normalize = normalize

@@ -279,7 +279,8 @@ class StreamingEngine:
 
     def _consume_loop(self) -> None:
         block = self.session.config.block_size
-        silent = np.zeros((block, 2), np.float32)
+        channels = int(self.session.gains.shape[-1])
+        silent = np.zeros((block, channels), np.float32)
         while not self._stop.is_set():
             try:
                 mix = self._sound.get(timeout=0.2)

@@ -43,14 +43,15 @@ class _SocketSink:
     """Audio sink that writes framed PCM to a connected socket."""
 
     def __init__(self, conn: socket.socket, block_size: int,
-                 send_timeout: float = 30.0):
+                 send_timeout: float = 30.0, channels: int = 2):
         self._conn = conn
         # a client that stops reading must not wedge the consume thread
         # (and thereby engine.stop) forever: bound every send
         conn.settimeout(send_timeout)
         self._lock = threading.Lock()
         self.closed = False
-        header = MAGIC + struct.pack("<III", SAMPLE_RATE, 2, block_size)
+        header = MAGIC + struct.pack("<III", SAMPLE_RATE, channels,
+                                     block_size)
         conn.sendall(header)
 
     def write(self, block: np.ndarray) -> bool:
@@ -115,7 +116,8 @@ class AudioServer:
         from .engine import StreamingEngine
         session = self._make_session()
         block = session.config.block_size
-        sink = _SocketSink(conn, block)
+        sink = _SocketSink(conn, block,
+                           channels=int(session.gains.shape[-1]))
         engine = StreamingEngine(session, sink, lookahead=self._lookahead)
         engine.start()
         try:

@@ -126,3 +126,36 @@ def test_binaural_interaural_difference(two_models):
     assert np.abs(l).max() > 0 and np.abs(r).max() > 0
     diff = np.linalg.norm(l - r) / np.linalg.norm(l + r)
     assert diff > 1e-3  # genuine interaural difference
+
+
+def test_multi_listener_scene(two_models):
+    """L listeners -> L output channels, each from its own FFAT lookups."""
+    ma, _ = two_models
+    offsets = np.asarray([[0.0, 0.0, 0.0],
+                          [1.0, 0.0, 0.0],
+                          [0.0, 1.5, 0.0]])
+    scene = Scene([SceneInstance(ma, np.zeros(3))], block_size=128,
+                  backend="blocked", listener_offsets=offsets,
+                  dtype=jnp.float64)
+    assert scene.num_listeners == 3
+    assert scene.num_objects == 3                 # 1 logical x 3 listeners
+    assert scene.session.gains.shape == (3, 3)    # one channel per listener
+    scene.set_listener(np.asarray([0.8, 0.2, 0.1]))
+    t = np.asarray(scene.session.state.transfer)
+    # three distinct lookups
+    assert not np.allclose(t[0, :12], t[1, :12])
+    assert not np.allclose(t[1, :12], t[2, :12])
+    scene.hit(0, 4)
+    audio = scene.render(4)
+    assert audio.shape == (4 * 128, 3)
+    for ch in range(3):
+        assert np.abs(audio[:, ch]).max() > 0
+    # channels differ (different listener positions)
+    assert not np.allclose(audio[:, 0], audio[:, 1])
+
+
+def test_binaural_rejects_conflicting_args(two_models):
+    ma, _ = two_models
+    with pytest.raises(ValueError):
+        Scene([SceneInstance(ma, np.zeros(3))], binaural=True,
+              listener_offsets=np.zeros((2, 3)))
