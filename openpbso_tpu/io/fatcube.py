@@ -74,13 +74,19 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
             val, pos = _read_varint(buf, pos)
             yield field, wt, val
         elif wt == _WT_64BIT:
+            if n - pos < 8:
+                raise ValueError("truncated 64-bit field")
             yield field, wt, buf[pos:pos + 8]
             pos += 8
         elif wt == _WT_32BIT:
+            if n - pos < 4:
+                raise ValueError("truncated 32-bit field")
             yield field, wt, buf[pos:pos + 4]
             pos += 4
         elif wt == _WT_LEN:
             ln, pos = _read_varint(buf, pos)
+            if ln > n - pos:
+                raise ValueError("truncated length-delimited field")
             yield field, wt, buf[pos:pos + ln]
             pos += ln
         else:

@@ -39,8 +39,9 @@ def read_material(path: str) -> ModalMaterial:
     line = None
     with open(path) as f:
         for raw in f:
-            if raw.startswith("#"):
-                continue
+            stripped = raw.strip()
+            if not stripped or stripped.startswith("#"):
+                continue  # blank lines and comments (istream-style skipping)
             line = raw
             break
     if line is None:

@@ -173,6 +173,11 @@ class Scene:
             att = (1.0 / r)[:, None]
             self.session.gains = jnp.asarray(self._base_gains * att,
                                              self.session.gains.dtype)
+        else:
+            # restore base gains so a previous attenuated update cannot
+            # leave stale 1/r factors for the old listener position
+            self.session.gains = jnp.asarray(self._base_gains,
+                                             self.session.gains.dtype)
 
     def step(self):
         return self.session.step()

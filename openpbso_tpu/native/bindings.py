@@ -83,6 +83,7 @@ class NativeSpscRing:
         self._lib = lib
         self._shape = tuple(block_shape)
         self._floats = int(np.prod(block_shape))
+        self._capacity = int(capacity)
         self._ring = lib.spsc_create(capacity, self._floats)
         if not self._ring:
             raise MemoryError("spsc_create failed")
@@ -94,6 +95,14 @@ class NativeSpscRing:
             self._ring, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
 
     def push_overwrite(self, block: np.ndarray) -> None:
+        """Latest-wins push: when full, overwrite the newest pending block.
+
+        Requires capacity >= 2 (the consumer only reads the tail slot, so
+        overwriting head-1 is race-free; with capacity 1 it would not be).
+        """
+        if self._capacity < 2:
+            raise ValueError("push_overwrite needs capacity >= 2 "
+                             "(torn-read safety)")
         a = np.ascontiguousarray(block, np.float32)
         self._lib.spsc_push_overwrite(
             self._ring, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

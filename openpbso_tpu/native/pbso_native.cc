@@ -71,17 +71,18 @@ int spsc_try_push(SpscRing* r, const float* block) {
 }
 
 // push_overwrite: latest-wins semantics (the reference's capacity-1
-// transfer queue behavior when combined with capacity=1).
+// transfer queue *behavior*: a newer value replaces the pending one).
+// When full, the NEWEST slot (head-1) is overwritten in place — the
+// consumer only ever reads the tail slot, so with capacity >= 2 the
+// producer never touches a slot the consumer may be copying from (with
+// capacity 1 head-1 == tail and a torn read would be possible; the
+// bindings enforce capacity >= 2 for this call).
 void spsc_push_overwrite(SpscRing* r, const float* block) {
-  if (!spsc_try_push(r, block)) {
-    // consume one stale entry then push; safe only when the caller accepts
-    // relaxed SPSC discipline on overflow (telemetry/latest-wins channels).
-    int64_t tail = r->tail.load(std::memory_order_relaxed);
-    r->tail.compare_exchange_strong(tail, tail + 1,
-                                    std::memory_order_acq_rel);
-    r->dropped.fetch_add(1, std::memory_order_relaxed);
-    spsc_try_push(r, block);
-  }
+  if (spsc_try_push(r, block)) return;
+  const int64_t head = r->head.load(std::memory_order_relaxed);
+  std::memcpy(r->data + ((head - 1) % r->capacity) * r->block_floats, block,
+              sizeof(float) * r->block_floats);
+  r->dropped.fetch_add(1, std::memory_order_relaxed);
 }
 
 // try_pop: returns 1 on success, 0 when empty (audio side replays stale).
@@ -293,14 +294,20 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
       }
     } else if (field == 4 && wt == 0) {
       out->is_compressed = static_cast<int32_t>(map3.varint());
-    } else if (field == 5 && wt == 2) {          // psi: mat (one column)
+    } else if (field == 5 && wt == 2) {          // psi: mat
+      // keep only the FIRST column, matching the Python codec and the
+      // reference writer (Psi is serialized as a single [N,1] column,
+      // ffat_map_serialize.h:149-159); later columns are skipped
       Cursor mat = map3.sub(map3.varint());
+      bool have_col = false;
       while (mat.ok && mat.p < mat.end) {
         const uint64_t k3 = mat.varint();
         if ((k3 >> 3) == 1 && (k3 & 7) == 2) {
-          out->psi_count += read_vec(
-              mat.sub(mat.varint()), out->psi ? out->psi + 0 : nullptr,
-              out->psi_capacity);
+          Cursor col = mat.sub(mat.varint());
+          if (!have_col) {
+            out->psi_count = read_vec(col, out->psi, out->psi_capacity);
+            have_col = true;
+          }
         } else {
           mat.skip(k3 & 7);
         }

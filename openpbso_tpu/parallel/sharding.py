@@ -79,29 +79,15 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
     per-shard object/mode rows integrate locally and the stereo mix is
     psum-reduced over both mesh axes.
     """
-    integrate = get_backend(backend, bank)
+    from ..runtime.solver import _step_block_impl
 
     def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
-        time_imp, space_imp = force_block(state.slots, state.block_start,
-                                          block_size)
-        sus, time_sus, space_sus = sustained_block(state.sustained,
-                                                   block_size)
-        gate = sus.active[:, None].astype(time_imp.dtype)
-        time_profile = time_imp * (1 - gate) + time_sus
-        space = space_imp * (1 - gate[:, :1]) + space_sus
-
-        z_re, z_im, sound, qnorm = integrate(
-            state.z_re, state.z_im, bank, space, time_profile,
-            state.transfer, compute_qnorm)
-        # transfer dot was over the local mode slice only -> partial sums
-        sound = jax.lax.psum(sound, "mode")
-        from ..config import OUTPUT_SCALE
-        mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
-        mix = jax.lax.psum(mix, "obj")
-        new_state = dataclasses.replace(
-            state, z_re=z_re, z_im=z_im, sustained=sus,
-            block_start=state.block_start + block_size)
-        return new_state, sound, mix.astype(jnp.float32), qnorm
+        # the single shared block-step implementation, with mesh axis names
+        # so the transfer dot (partial over mode shards) and stereo mix
+        # (partial over object shards) are psum-reduced
+        return _step_block_impl(state, bank, gains, block_size, backend,
+                                compute_qnorm, mode_axis="mode",
+                                obj_axis="obj")
 
     specs_in = (state_specs(), bank_specs(bank), P("obj", None))
     specs_out = (state_specs(), P("obj", None), P(), None)
@@ -113,17 +99,19 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
     return jax.jit(sharded)
 
 
+def _put(mesh: Mesh, x, spec):
+    if x is None:
+        return None  # table-less banks (scan backend) have None leaves
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def shard_state(mesh: Mesh, state: SolverState) -> SolverState:
     specs = state_specs()
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        state, specs,
-        is_leaf=lambda x: x is None)
+    return jax.tree.map(lambda x, s: _put(mesh, x, s), state, specs,
+                        is_leaf=lambda x: x is None)
 
 
 def shard_bank(mesh: Mesh, bank: ModalBank) -> ModalBank:
     specs = bank_specs(bank)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        bank, specs,
-        is_leaf=lambda x: x is None)
+    return jax.tree.map(lambda x, s: _put(mesh, x, s), bank, specs,
+                        is_leaf=lambda x: x is None)

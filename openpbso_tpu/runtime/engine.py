@@ -157,11 +157,23 @@ class StreamingEngine:
 
     # ----------------------------------------------------------- event API
 
+    VALID_KINDS = ("point", "gaussian", "hertz")
+
     def hit(self, obj: int, space: np.ndarray, *, kind: str = "point",
             width_us: float = 100.0, amp: float = 1.0) -> bool:
-        """Non-blocking enqueue; drops when full (modal_solver.h:330-333)."""
+        """Non-blocking enqueue; drops when full (modal_solver.h:330-333).
+
+        Validates here, on the producer thread: a bad event applied inside
+        the synthesis thread would kill the whole stream.
+        """
+        if kind not in self.VALID_KINDS:
+            raise ValueError(f"unknown force kind {kind!r}")
+        if not 0 <= int(obj) < self.session.bank.num_objects:
+            raise IndexError(
+                f"object {obj} out of range "
+                f"[0, {self.session.bank.num_objects})")
         try:
-            self._events.put_nowait(HitEvent(obj, np.asarray(space),
+            self._events.put_nowait(HitEvent(int(obj), np.asarray(space),
                                              kind, width_us, amp))
             return True
         except queue.Full:

@@ -81,6 +81,7 @@ class ModalSession:
         # host mirror for slot recycling: absolute expiry sample per slot
         self._expiry = np.zeros((o, num_slots), np.int64)
         self._t0 = np.zeros((o, num_slots), np.int64)
+        self._last_listener: np.ndarray | None = None
 
     # ------------------------------------------------------------------ events
 
@@ -205,6 +206,7 @@ class ModalSession:
         to computeTransfer + the capacity-1 latest-wins trans queue
         (modal_solver.h:286-300: per mode |GetMapVal|).
         """
+        self._last_listener = np.asarray(pos, np.float64)
         if self.ffat is None or not self.use_transfer:
             return
         pos = jnp.asarray(pos, self._dtype)
@@ -222,6 +224,11 @@ class ModalSession:
             self.state = dataclasses.replace(
                 self.state,
                 transfer=jnp.full_like(self.state.transfer, UNIT_TRANSFER))
+        elif self._last_listener is not None:
+            # re-enable must take effect immediately (the reference's toggle
+            # just resumes consuming computeTransfer results; here we
+            # recompute from the remembered listener position)
+            self.set_listener(self._last_listener)
 
     # ------------------------------------------------------------------ audio
 

@@ -52,7 +52,12 @@ def _step_block_impl(
     block_size: int,
     backend: str,
     compute_qnorm: bool,
+    mode_axis: str | None = None,
+    obj_axis: str | None = None,
 ):
+    """Core block step; ``mode_axis``/``obj_axis`` name shard_map mesh axes
+    to psum partial results over (used by parallel/sharding.py so the SPMD
+    path shares this single implementation)."""
     time_imp, space_imp = force_block(state.slots, state.block_start,
                                       block_size)
     sus, time_sus, space_sus = sustained_block(state.sustained, block_size)
@@ -68,8 +73,13 @@ def _step_block_impl(
     z_re, z_im, sound, qnorm = integrate(
         state.z_re, state.z_im, bank, space, time_profile, state.transfer,
         compute_qnorm)
+    if mode_axis is not None:
+        # each mode shard contributed a partial transfer dot
+        sound = jax.lax.psum(sound, mode_axis)
 
     mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+    if obj_axis is not None:
+        mix = jax.lax.psum(mix, obj_axis)
     new_state = dataclasses.replace(
         state,
         z_re=z_re,
@@ -122,7 +132,8 @@ def step_multi(
         return st, mix
 
     state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
-    return state, mixes.reshape(n_blocks * block_size, 2)
+    # channel-agnostic: gains may carry 2 (stereo) or L (multi-listener)
+    return state, mixes.reshape(n_blocks * block_size, mixes.shape[-1])
 
 
 def default_gains(num_objects: int, dtype=jnp.float32) -> jax.Array:

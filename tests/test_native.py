@@ -40,12 +40,15 @@ def test_spsc_pacing_semantics(lib):
 
 
 def test_spsc_overwrite_latest_wins(lib):
-    ring = native.NativeSpscRing(1, (2,))
+    # capacity >= 2 required: when full, the NEWEST pending block is
+    # replaced (the consumer-owned tail slot is never touched)
+    ring = native.NativeSpscRing(2, (2,))
     ring.push_overwrite(np.asarray([1.0, 1.0], np.float32))
     ring.push_overwrite(np.asarray([2.0, 2.0], np.float32))
+    ring.push_overwrite(np.asarray([3.0, 3.0], np.float32))
     assert ring.dropped == 1
-    out = ring.try_pop()
-    assert out[0] == 2.0
+    assert ring.try_pop()[0] == 1.0
+    assert ring.try_pop()[0] == 3.0
 
 
 def test_spsc_threaded_stream(lib):

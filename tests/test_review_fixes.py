@@ -1,0 +1,177 @@
+"""Regression tests for the second code-review round's findings."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+
+def test_render_multi_multichannel(two_models_fix=None):
+    """step_multi must carry any channel count (multi-listener mixes)."""
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.solver import step_multi
+    from openpbso_tpu.runtime.state import make_solver_state
+    md = synth_mode_data(8, 4)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=3,
+                              block_size=64, dtype=jnp.float64)
+    state = make_solver_state(3, bank.num_modes, dtype=jnp.float64)
+    gains = jnp.eye(3, dtype=jnp.float64)  # 3 output channels
+    _, mix = step_multi(state, bank, gains, n_blocks=2, block_size=64,
+                        backend="blocked")
+    assert mix.shape == (128, 3)
+
+
+def test_engine_hit_validates_on_producer_side():
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    md = synth_mode_data(8, 4)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              block_size=64, dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=64,
+                                                  backend="blocked"))
+    eng = StreamingEngine(sess, RawCollectorSink())
+    with pytest.raises(IndexError):
+        eng.hit(5, np.ones(8))       # O=1: bad object index
+    with pytest.raises(ValueError):
+        eng.hit(0, np.ones(8), kind="bogus")
+    assert eng.hit(0, np.ones(8))    # valid event still enqueues
+
+
+def test_native_psi_multicolumn_matches_python():
+    """Files whose Psi matrix has >1 column: both decoders keep column 0."""
+    pytest.importorskip("openpbso_tpu.native.bindings")
+    from openpbso_tpu.io.fatcube import (_encode_key, _encode_len_field,
+                                         _encode_mat, _encode_vec,
+                                         decode_fatcube, encode_fatcube)
+    from openpbso_tpu.native.bindings import load_native, native_decode_fatcube
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    from openpbso_tpu.utils.synth import synth_fatcube
+    m = synth_fatcube(1, 440.0, n=4)
+    # rebuild the wire bytes but with TWO psi columns
+    import struct
+    good = bytearray()
+    shell = bytearray()
+    _encode_key(shell, 1, 1)
+    shell.extend(struct.pack("<d", m.shell.cell_size))
+    _encode_len_field(shell, 2, _encode_mat(list(m.shell.low_corners)))
+    from openpbso_tpu.io.fatcube import _encode_mat_i, _encode_vec_i
+    _encode_len_field(shell, 3, _encode_mat_i(list(m.shell.n_elements)))
+    _encode_len_field(shell, 4, _encode_vec_i(m.shell.strides))
+    _encode_len_field(shell, 5, _encode_vec(m.shell.center))
+    _encode_len_field(shell, 6, _encode_vec(m.shell.bbox_low))
+    _encode_len_field(shell, 7, _encode_vec(m.shell.bbox_top))
+    map3 = bytearray()
+    _encode_key(map3, 1, 1)
+    map3.extend(struct.pack("<d", m.k))
+    _encode_len_field(map3, 2, _encode_vec(m.center))
+    _encode_len_field(map3, 3, bytes(shell))
+    col2 = m.psi[::-1].copy()
+    _encode_len_field(map3, 5, _encode_mat([m.psi, col2]))
+    _encode_key(map3, 6, 0)
+    from openpbso_tpu.io.fatcube import _write_varint
+    _write_varint(map3, 1)
+    _encode_len_field(good, 1, bytes(map3))
+    data = bytes(good)
+    py = decode_fatcube(data)
+    nat = native_decode_fatcube(data)
+    np.testing.assert_array_equal(py.psi, m.psi)   # column 0 only
+    np.testing.assert_array_equal(nat.psi, m.psi)
+
+
+def test_shard_scan_backend_bank():
+    """Banks without lam tables (scan backend) must shard (None leaves)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.parallel.sharding import make_mesh, shard_bank
+    md = synth_mode_data(8, 4)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=8,
+                              dtype=jnp.float32)   # no block_size -> no tables
+    assert bank.pow_re is None
+    mesh = make_mesh(4, 2)
+    sb = shard_bank(mesh, bank)
+    assert sb.pow_re is None
+
+
+def test_truncated_fatcube_raises():
+    from openpbso_tpu.io.fatcube import decode_fatcube, encode_fatcube
+    from openpbso_tpu.utils.synth import synth_fatcube
+    good = encode_fatcube(synth_fatcube(0, 500.0, n=6))
+    for cut in (8, 16, 100):
+        with pytest.raises(ValueError):
+            decode_fatcube(good[:-cut])
+
+
+def test_material_blank_lines(tmp_path):
+    from openpbso_tpu.io.material import read_material
+    p = tmp_path / "m.txt"
+    p.write_text("# header\n\n   \n2700 7.2e10 0.19 6.0 1e-7\n")
+    m = read_material(str(p))
+    assert m.density == 2700
+
+
+def test_transfer_toggle_recomputes(synth_model_root):
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.config import UNIT_TRANSFER
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    bank = bank_from_material(model.material.density,
+                              model.modes.omega_squared,
+                              model.material.alpha, model.material.beta,
+                              block_size=128, dtype=jnp.float64)
+    ffat = build_ffat(model.ffat_maps, bank.num_modes, dtype=jnp.float64)
+    sess = ModalSession(bank, ffat=ffat, dtype=jnp.float64)
+    sess.set_listener(np.asarray([1.0, 0.4, 0.2]))
+    t_on = np.asarray(sess.state.transfer).copy()
+    sess.set_use_transfer(False)
+    assert float(sess.state.transfer[0, 0]) == UNIT_TRANSFER
+    sess.set_use_transfer(True)  # must recompute immediately, not wait
+    np.testing.assert_allclose(np.asarray(sess.state.transfer), t_on)
+
+
+def test_native_overwrite_requires_capacity_2():
+    pytest.importorskip("openpbso_tpu.native.bindings")
+    from openpbso_tpu.native.bindings import NativeSpscRing, load_native
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    ring = NativeSpscRing(1, (2,))
+    with pytest.raises(ValueError):
+        ring.push_overwrite(np.zeros(2, np.float32))
+    ring2 = NativeSpscRing(2, (2,))
+    ring2.push_overwrite(np.asarray([1.0, 1.0], np.float32))
+    ring2.push_overwrite(np.asarray([2.0, 2.0], np.float32))
+    ring2.push_overwrite(np.asarray([3.0, 3.0], np.float32))  # overwrites #2
+    assert ring2.try_pop()[0] == 1.0
+    assert ring2.try_pop()[0] == 3.0
+
+
+def test_scene_gains_restore_after_attenuation(tmp_path):
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.utils.synth import synth_model_dir
+    root = synth_model_dir(str(tmp_path / "m"), "x", num_modes=8,
+                           subdivisions=1, ffat_n=6)
+    model = load_model(resolve_model_dir(root, "x"))
+    scene = Scene([SceneInstance(model, np.zeros(3), gain=0.7)],
+                  block_size=64, dtype=jnp.float64)
+    base = np.asarray(scene.session.gains).copy()
+    scene.set_listener(np.asarray([2.0, 0.0, 0.0]),
+                       distance_attenuation=True)
+    att = np.asarray(scene.session.gains)
+    assert not np.allclose(att, base)
+    scene.set_listener(np.asarray([1.0, 0.0, 0.0]))  # default: no attenuation
+    np.testing.assert_allclose(np.asarray(scene.session.gains), base)
