@@ -156,13 +156,16 @@ def main():
             nblocks = int(arg.split("=", 1)[1])
     if "--multi" not in sys.argv and "--pipelined" not in sys.argv:
         # Default: try the scan-dispatch measurement (the best number, RTF
-        # ~36 at the flagship scale) in a guarded child process — its larger
+        # ~46-49 at the flagship scale with 128 blocks/dispatch) in a
+        # guarded child process — its larger
         # compile can take unbounded time when the box is loaded (XLA
         # compiles on this shared single core). Fall back to the robust
         # single-compile pipelined measurement on timeout.
         import subprocess
         child_args = [a for a in sys.argv[1:]]
         try:
+            if not any(a.startswith("--nblocks=") for a in child_args):
+                child_args = child_args + ["--nblocks=128"]
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--multi",
                  "--skip-single"] + child_args,
