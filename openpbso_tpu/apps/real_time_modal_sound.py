@@ -78,6 +78,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX platform (the image's sitecustomize "
                         "presets the TPU tunnel; env vars are too late)")
+    p.add_argument("--print-frequencies", action="store_true",
+                   help="print every mode's natural frequency and exit "
+                        "(the reference's printAllFrequency)")
     p.add_argument("--lookahead", type=int, default=1,
                    help="blocks synthesized per device dispatch (amortizes "
                         "dispatch latency at the cost of event latency)")
@@ -227,6 +230,12 @@ def main(argv=None) -> int:
         except Exception:
             pass
     model, sess = make_session(args)
+    if args.print_frequencies:
+        freqs = model.modes.frequencies_hz(model.material.density)
+        for i, f in enumerate(freqs):
+            marker = "" if i < model.num_modes_audible else "  (culled)"
+            print(f"Mode {i}: {f:.3f} Hz{marker}")
+        return 0
 
     from ..runtime.audio import WavFileSink
     from ..runtime.engine import StreamingEngine

@@ -96,3 +96,30 @@ def list_dir_files(dirname: str, contains: str = "") -> list[str]:
         if contains in name and os.path.isfile(full):
             out.append(full)
     return out
+
+
+def prepare_meta_dir(data_root: str, out_dir: str | None = None,
+                     relative: bool = False) -> list[str]:
+    """Write a .meta descriptor for every model found under ``data_root``.
+
+    The reference ships prepare_meta.sh, which emits 4-line meta files for
+    each ``*.tet.obj`` model in a dataset directory; this is its in-library
+    equivalent. Returns the written meta paths.
+    """
+    out_dir = out_dir or data_root
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name in sorted(os.listdir(data_root)):
+        if not name.endswith(".tet.obj"):
+            continue
+        prefix = name[: -len(".tet.obj")]
+        paths = resolve_model_dir(data_root, prefix)
+        if relative:
+            paths = ModelPaths(*(os.path.relpath(p, out_dir)
+                                 for p in (paths.obj_file, paths.modes_file,
+                                           paths.material_file,
+                                           paths.ffat_dir)))
+        meta_path = os.path.join(out_dir, f"{prefix}.meta")
+        write_meta(meta_path, paths)
+        written.append(meta_path)
+    return written

@@ -206,3 +206,16 @@ def test_native_fatcube_decoder_fuzz():
                 b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
             buf = bytes(b)
         native_decode_fatcube(buf)  # None or a map; never a crash
+
+
+def test_prepare_meta_dir(tmp_path):
+    from openpbso_tpu.io.meta import prepare_meta_dir, read_meta
+    from openpbso_tpu.utils.synth import synth_model_dir
+    synth_model_dir(str(tmp_path), "a", num_modes=4, subdivisions=0,
+                    ffat_n=4)
+    synth_model_dir(str(tmp_path), "b", num_modes=4, subdivisions=0,
+                    ffat_n=4)
+    written = prepare_meta_dir(str(tmp_path))
+    assert len(written) == 2
+    meta = read_meta(written[0])
+    assert meta.obj_file.endswith("a.tet.obj")
