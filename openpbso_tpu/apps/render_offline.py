@@ -105,6 +105,7 @@ def run_config(n: int, backend: str, out_dir: str) -> dict:
 
     duration = audio.shape[0] / SAMPLE_RATE
     peak = float(np.abs(audio).max())
+    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"config{n}_{backend}.wav")
     from ..runtime.audio import WavFileSink
     sink = WavFileSink(path, normalize=True)
