@@ -15,7 +15,7 @@ plus TPU-build extras: --out WAV, --seconds, --block, --backend,
 
 Without a display, interaction runs over stdin (one command per line):
 
-  hit <obj> <vertex> [point|gaussian [width_us]]   strike the surface
+  hit <obj> <vertex> [point|gaussian|hertz [width_us]]  strike the surface
   sustain <obj> <vertex>                            start sustained AR force
   arparam <obj> <a1> <a2> <sigma> <mu>              retune AR live
   release <obj>                                     end sustained force
@@ -23,6 +23,8 @@ Without a display, interaction runs over stdin (one command per line):
   transfer on|off                                   toggle FFAT transfer
   clear                                             clear all forces
   stats                                             print health/latency
+  qnorm                                             per-mode energy telemetry
+  load <file.meta>                                  hot-swap the model
   quit
 """
 from __future__ import annotations
