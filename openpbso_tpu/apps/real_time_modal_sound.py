@@ -181,10 +181,12 @@ def interactive_loop(engine, model, args) -> None:
                 # hot-swap to a new model from a 4-line .meta descriptor
                 # (the reference's LoadNewModel file-dialog flow,
                 # real_time_modal_sound.cpp:347-474)
+                import copy
+
                 from ..io.meta import read_meta
                 from ..runtime.checkpoint import swap_model
                 meta = read_meta(toks[1])
-                new_args = args
+                new_args = copy.copy(args)
                 new_args.data_dir = FILE_NOT_EXIST
                 new_args.mesh = meta.obj_file
                 new_args.surf_mode = meta.modes_file

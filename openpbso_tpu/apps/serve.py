@@ -59,8 +59,25 @@ def main(argv=None) -> int:
         _, sess = make_session(args)
         return sess
 
+    def load_from_meta(meta_path):
+        # build a (model, session) pair from a server-side .meta descriptor
+        # for the load_model hot-swap command
+        import copy
+
+        from ..io.meta import read_meta
+        meta = read_meta(meta_path)
+        new_args = copy.copy(args)
+        new_args.data_dir = FILE_NOT_EXIST
+        new_args.mesh = meta.obj_file
+        new_args.surf_mode = meta.modes_file
+        new_args.material = meta.material_file
+        new_args.ffat_map = meta.ffat_dir
+        new_args.demo_synth = False
+        return make_session(new_args)
+
     srv = AudioServer(make, model=model, host=args.host, port=args.port,
-                      lookahead=args.lookahead)
+                      lookahead=args.lookahead,
+                      session_loader=load_from_meta)
     print(f"serving on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)
     try:

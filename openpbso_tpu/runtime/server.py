@@ -14,6 +14,12 @@ streams the engine's output over TCP:
     {"cmd": "sustain", "obj": 0, "vertex": 3} / {"cmd": "release", "obj": 0}
     {"cmd": "arparam", "obj": 0, "a": [a1, a2], "sigma": s, "mu": m}
     {"cmd": "clear"} / {"cmd": "stats"} / {"cmd": "quit"}
+    {"cmd": "load_model", "meta": "path/to/model.meta"}   (hot swap)
+
+  load_model resolves a server-side .meta descriptor and hot-swaps the
+  live stream to the new model (the reference's LoadNewModel over the
+  wire); it is only honored when the server was constructed with a
+  ``session_loader``, since it reads files named by the client.
 
 - server -> client: a 16-byte header (``PBSO`` + uint32 sample_rate +
   uint32 channels + uint32 block_size), then length-prefixed raw
@@ -84,11 +90,15 @@ class AudioServer:
     """Serve one engine over TCP. Use serve_forever() or serve_one()."""
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
-                 port: int = 0, lookahead: int = 1):
+                 port: int = 0, lookahead: int = 1, session_loader=None):
         """``make_session()`` -> a fresh ModalSession per connection;
-        ``model`` (optional) enables vertex-addressed hits."""
+        ``model`` (optional) enables vertex-addressed hits;
+        ``session_loader(meta_path)`` -> (model, session) enables the
+        ``load_model`` hot-swap command (off by default: it opens
+        server-side files named by the client)."""
         self._make_session = make_session
         self._model = model
+        self._session_loader = session_loader
         self._lookahead = lookahead
         self._sock = socket.create_server((host, port))
         self.address = self._sock.getsockname()
@@ -179,6 +189,39 @@ class AudioServer:
                                      float(msg.get("mu", 0.142)))
             elif cmd == "clear":
                 engine.clear_forces()
+            elif cmd == "load_model":
+                # live hot-swap (the reference's LoadNewModel flow,
+                # real_time_modal_sound.cpp:347-474, served over the wire)
+                if self._session_loader is None:
+                    sink.send_json({"error": "load_model is not enabled "
+                                             "on this server"})
+                else:
+                    from .checkpoint import swap_model
+                    model, new_sess = self._session_loader(str(msg["meta"]))
+                    # the PCM framing (channels, block size) was fixed in
+                    # the stream header at connect time; a swap must not
+                    # change it mid-stream
+                    if (int(new_sess.gains.shape[-1])
+                            != int(engine.session.gains.shape[-1])
+                            or new_sess.config.block_size
+                            != engine.session.config.block_size):
+                        sink.send_json({"error": "load_model: new model's "
+                                        "channels/block differ from the "
+                                        "active stream header"})
+                        return False
+                    new_sess.step()  # compile before parking the stream
+                    swap_model(engine, new_sess)
+                    self._model = model
+                    sink.send_json({
+                        "loaded": str(msg["meta"]),
+                        # bank width = the space-vector length hit_space
+                        # expects (lane-padded); audible = the model's
+                        # real mode count
+                        "modes": int(new_sess.bank.num_modes),
+                        "audible": (int(model.num_modes_audible)
+                                    if model is not None else None),
+                        "objects": int(new_sess.bank.num_objects),
+                    })
             elif cmd == "stats":
                 st = engine.profiler.stats()
                 sink.send_json({
@@ -189,7 +232,7 @@ class AudioServer:
                 })
             else:
                 sink.send_json({"error": f"unknown cmd {cmd!r}"})
-        except (KeyError, ValueError, TypeError,
+        except (KeyError, ValueError, TypeError, OSError,
                 json.JSONDecodeError) as e:
             sink.send_json({"error": str(e)})
         return False

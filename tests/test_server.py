@@ -37,6 +37,41 @@ def server():
     t.join(timeout=10)
 
 
+@pytest.fixture
+def server_with_loader(synth_model_root):
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    def loader(meta_path):
+        from openpbso_tpu.io.meta import read_meta
+        from openpbso_tpu.models.modal_model import load_model
+        paths = read_meta(meta_path)
+        model = load_model(paths)
+        bank = bank_from_material(
+            model.material.density,
+            model.modes.omega_squared[: model.num_modes_audible],
+            model.material.alpha, model.material.beta,
+            block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        return model, sess
+
+    srv = AudioServer(make_session, session_loader=loader)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    yield srv
+    srv.close()
+    t.join(timeout=10)
+
 def test_stream_hit_and_audio(server):
     srv, md = server
     c = AudioClient(*srv.address)
@@ -67,5 +102,47 @@ def test_stream_hit_and_audio(server):
         if len(c.messages) >= 2:
             break
     assert "error" in c.messages[-1]
+    c.send(cmd="quit")
+    c.close()
+
+
+def test_load_model_hot_swap(server_with_loader, synth_model_root):
+    srv = server_with_loader
+    c = AudioClient(*srv.address)
+    c.send(cmd="hit_space", obj=0, space=[1.0] * 12)
+    for _ in range(5):
+        c.read_block()
+    # hot-swap to the synthetic on-disk model over the wire
+    import os
+
+    from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+    meta_path = os.path.join(synth_model_root, "synth.meta")
+    write_meta(meta_path, resolve_model_dir(synth_model_root, "synth"))
+    c.send(cmd="load_model", meta=meta_path)
+    loaded = None
+    for _ in range(400):
+        c.read_block()
+        if c.messages:
+            loaded = c.messages.pop()
+            break
+    assert loaded is not None and loaded.get("loaded") == meta_path, loaded
+    n_modes = loaded["modes"]
+    assert n_modes > 0
+    # the swapped-in model must accept hits and keep streaming audio
+    c.send(cmd="hit_space", obj=0, space=[1.0] * n_modes)
+    peak = 0.0
+    for _ in range(40):
+        peak = max(peak, float(np.abs(c.read_block()).max()))
+        if peak > 0:
+            break
+    assert peak > 0.0
+    # a bad path reports an error without killing the stream
+    c.send(cmd="load_model", meta="/nonexistent/nope.meta")
+    for _ in range(50):
+        c.read_block()
+        if c.messages:
+            break
+    assert "error" in c.messages[-1]
+    c.read_block()  # still streaming
     c.send(cmd="quit")
     c.close()
