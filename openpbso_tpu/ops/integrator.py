@@ -150,6 +150,39 @@ def step_block_blocked(
     return z_re_out, z_im_out, sound, qnorm
 
 
+@partial(jax.jit, static_argnames=("compute_qnorm",))
+def decay_block_blocked(
+    z_re: jax.Array,            # [O, M]
+    z_im: jax.Array,            # [O, M]
+    bank: ModalBank,
+    transfer: jax.Array,        # [O, M]
+    compute_qnorm: bool = False,
+):
+    """Homogeneous-only block step: the scene is ringing down, no forces.
+
+    Exactly ``step_block_blocked`` with a zero excitation: the convolution
+    and state-injection terms vanish (x + 0.0 in float), leaving the two
+    mode-reduction matmuls and the lam^S state rotation — roughly the cheap
+    half of the full step. The host decides eligibility (all force slots
+    expired + no sustained channel active, which it tracks exactly); this
+    is the "G-caching during pure decay" optimization, taken to its limit
+    (the whole forced path is skipped, not just the kernel build).
+    """
+    s = bank.pow_re.shape[-1] - 1
+    pr, pi = bank.pow_re, bank.pow_im
+    tmask = transfer * bank.mask
+    sound = (_mode_reduce(tmask * z_im, pr[..., 1:])
+             + _mode_reduce(tmask * z_re, pi[..., 1:]))
+    ps_re, ps_im = pr[..., s], pi[..., s]
+    z_re_out = ps_re * z_re - ps_im * z_im
+    z_im_out = ps_im * z_re + ps_re * z_im
+    qnorm = None
+    if compute_qnorm:
+        q = pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
+        qnorm = jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
+    return z_re_out, z_im_out, sound, qnorm
+
+
 BACKENDS = {
     "scan": step_block_scan,
     "blocked": step_block_blocked,

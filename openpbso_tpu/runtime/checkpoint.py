@@ -76,6 +76,10 @@ def load_session(path: str, session) -> None:
                              "session's slot table shape")
         session._expiry[...] = data["_session_expiry"]
         session._t0[...] = data["_session_t0"]
+    # refresh the host clock + sustained-activity mirrors from the restored
+    # device state (they gate the idle decay fast path)
+    session._clock = int(np.asarray(session.state.block_start))
+    session._sus_active[...] = np.asarray(session.state.sustained.active)
 
 
 def swap_model(engine, new_session) -> None:

@@ -317,6 +317,7 @@ class StreamingEngine:
         # dropped and the stream starts from the same sample.
         saved_state = self.session.state
         saved_blocks = self._blocks_done
+        saved_clock = self.session.sample_clock
         # the plain (no-qnorm) single-step variant covers both the
         # lookahead=1 path and the pipelined lookahead path. np.asarray is
         # the sync that actually forces the compile here — step() alone
@@ -331,8 +332,22 @@ class StreamingEngine:
             np.asarray(mix)
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=False)
+        if self.session.decay_eligible():
+            # the steady-state loop switches to the homogeneous-only step
+            # whenever the scene rings down; compile it now too (both
+            # qnorm variants, since _synth_once toggles compute_qnorm)
+            _, mix, _ = self.session._step_decay()
+            np.asarray(mix)
+            if self._qnorm_every > 0:
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=True)
+                _, mix, _ = self.session._step_decay()
+                np.asarray(mix)
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=False)
         self.session.state = saved_state
         self._blocks_done = saved_blocks
+        self.session._clock = saved_clock
 
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)

@@ -25,7 +25,7 @@ from ..config import DEFAULT_BLOCK, UNIT_TRANSFER
 from ..ops.coeffs import ModalBank
 from ..ops.ffat import FFATMaps, compute_transfer
 from ..ops.forces import FORCE_GAUSSIAN, FORCE_POINT, ForceSlots
-from .solver import SolverConfig, default_gains, step_block
+from .solver import SolverConfig, decay_block, default_gains, step_block
 from .state import make_solver_state
 
 
@@ -82,12 +82,18 @@ class ModalSession:
         self._expiry = np.zeros((o, num_slots), np.int64)
         self._t0 = np.zeros((o, num_slots), np.int64)
         self._last_listener: np.ndarray | None = None
+        # host mirrors of the sample clock and sustained activity, so the
+        # idle test (decay fast path) never syncs with the device
+        self._clock = 0
+        self._sus_active = np.zeros((o,), bool)
 
     # ------------------------------------------------------------------ events
 
     @property
     def sample_clock(self) -> int:
-        return int(self.state.block_start)
+        """Host mirror of state.block_start (no device sync); advanced by
+        step()/render_multi() and refreshed by checkpoint restores."""
+        return self._clock
 
     def _alloc_slot(self, obj: int) -> int:
         now = self.sample_clock
@@ -149,6 +155,7 @@ class ModalSession:
             active=self.state.sustained.active.at[np.asarray(objs)].set(False))
         self.state = dataclasses.replace(self.state, slots=slots,
                                          sustained=sus)
+        self._sus_active[np.asarray(objs)] = False
 
     def sustained_start(self, obj: int, space: np.ndarray) -> None:
         """Begin a sustained AR contact (modal_solver.h:190-194)."""
@@ -165,6 +172,7 @@ class ModalSession:
                 space=sus.space.at[obj].set(
                     jnp.asarray(vec, self._dtype)),
                 ar_hist=sus.ar_hist.at[obj].set(0.0)))
+        self._sus_active[obj] = True
 
     def sustained_update(self, obj: int, space: np.ndarray) -> None:
         """Live-update the sustained force direction (modal_solver.h:197-199)."""
@@ -185,6 +193,7 @@ class ModalSession:
             self.state,
             sustained=dataclasses.replace(
                 sus, active=sus.active.at[obj].set(False)))
+        self._sus_active[obj] = False
 
     def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
                       mu=0.142) -> None:
@@ -232,16 +241,52 @@ class ModalSession:
 
     # ------------------------------------------------------------------ audio
 
+    def decay_eligible(self) -> bool:
+        """Whether this session can ever take the idle fast path: it needs
+        the lam-power tables (blocked form) and a table-form backend, so a
+        decay block is numerically the full step with zero excitation."""
+        from ..ops.integrator import resolve_backend_name
+        if not self.config.decay_fast_path:
+            return False
+        if (self.bank.pow_re is None
+                or self.bank.pow_re.shape[-1] != self.config.block_size + 1):
+            return False
+        return resolve_backend_name(self.config.backend,
+                                    self.bank) in ("blocked", "pallas")
+
+    def _idle(self) -> bool:
+        """True when the host mirrors prove the excitation is exactly zero:
+        every force slot has expired and no sustained channel is active."""
+        return (not self._sus_active.any()
+                and bool((self._expiry <= self._clock).all()))
+
+    def _step_decay(self):
+        """Dispatch the homogeneous-only block (see solver.decay_block)."""
+        self.state, sound, mix, qnorm = decay_block(
+            self.state, self.bank, self.gains,
+            block_size=self.config.block_size,
+            compute_qnorm=self.config.compute_qnorm)
+        self._clock += self.config.block_size
+        return sound, mix, qnorm
+
     def step(self):
         """Synthesize one block; returns BlockOutput-like tuple.
 
         (sound [O,S] raw, mix [S,2] output-scaled stereo, qnorm or None)
+
+        When the scene is provably idle (all slots expired, no sustained
+        force) and the backend is table-form, dispatches the cheaper
+        homogeneous-only decay step instead — same output, ~half the
+        device work during ring-down.
         """
+        if self._idle() and self.decay_eligible():
+            return self._step_decay()
         self.state, sound, mix, qnorm = step_block(
             self.state, self.bank, self.gains,
             block_size=self.config.block_size,
             backend=self.config.backend,
             compute_qnorm=self.config.compute_qnorm)
+        self._clock += self.config.block_size
         return sound, mix, qnorm
 
     def render(self, num_blocks: int) -> np.ndarray:
@@ -269,6 +314,7 @@ class ModalSession:
                 self.state, self.bank, self.gains, n_blocks=n,
                 block_size=self.config.block_size,
                 backend=self.config.backend)
+            self._clock += n * self.config.block_size
             out.append(np.asarray(mix))
             done += n
         return np.concatenate(out, axis=0)

@@ -36,6 +36,7 @@ class SolverConfig:
     block_size: int = DEFAULT_BLOCK
     backend: str = "auto"   # pallas on TPU, blocked elsewhere
     compute_qnorm: bool = False
+    decay_fast_path: bool = True  # homogeneous-only step when scene is idle
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +104,36 @@ def step_block(
     """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
     return _step_block_impl(state, bank, gains, block_size, backend,
                             compute_qnorm)
+
+
+@partial(jax.jit, static_argnames=("block_size", "compute_qnorm"))
+def decay_block(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,
+    *,
+    block_size: int = DEFAULT_BLOCK,
+    compute_qnorm: bool = False,
+) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
+    """Idle-scene fast path: advance one block with no active forces.
+
+    Produces the same output as step_block when every force slot has
+    expired and no sustained channel is active (the excitation is exactly
+    zero), at roughly half the device work (ops/integrator.py
+    decay_block_blocked). The host gates eligibility via its slot-expiry
+    and sustained mirrors (session._idle). Slots and the sustained channel
+    (including its PRNG stream) are carried through untouched; the
+    sustained stream only matters while active, and sustained_start resets
+    the history.
+    """
+    from ..ops.integrator import decay_block_blocked
+    z_re, z_im, sound, qnorm = decay_block_blocked(
+        state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
+    mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+    new_state = dataclasses.replace(
+        state, z_re=z_re, z_im=z_im,
+        block_start=state.block_start + block_size)
+    return new_state, sound, mix.astype(jnp.float32), qnorm
 
 
 @partial(jax.jit,
