@@ -86,6 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lookahead", type=int, default=1,
                    help="blocks synthesized per device dispatch (amortizes "
                         "dispatch latency at the cost of event latency)")
+    p.add_argument("--smooth-transfer", action="store_true",
+                   help="ramp the acoustic transfer across the block after "
+                        "a listener move (removes the zipper step of "
+                        "block-constant transfer)")
     return p
 
 
@@ -136,8 +140,10 @@ def make_session(args):
         ffat = build_ffat(model.ffat_maps, bank.num_modes,
                           dtype=jnp.float32)
     sess = ModalSession(bank, ffat=ffat,
-                        config=SolverConfig(block_size=args.block,
-                                            backend=args.backend))
+                        config=SolverConfig(
+                            block_size=args.block, backend=args.backend,
+                            smooth_transfer=getattr(args, "smooth_transfer",
+                                                    False)))
     listener = np.asarray([float(v) for v in args.listener.split(",")])
     sess.set_listener(listener)
     return model, sess

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-transfer", action="store_true")
     p.add_argument("--listener", default="1.0,0.5,0.5",
                    help="initial listener position x,y,z")
+    p.add_argument("--smooth-transfer", action="store_true",
+                   help="ramp the transfer across the block after listener "
+                        "moves")
     p.add_argument("--demo-synth", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--one-shot", action="store_true",

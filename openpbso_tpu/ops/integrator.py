@@ -151,6 +151,108 @@ def step_block_blocked(
 
 
 @partial(jax.jit, static_argnames=("compute_qnorm",))
+def step_block_scan_xfade(
+    z_re: jax.Array,
+    z_im: jax.Array,
+    bank: ModalBank,
+    space: jax.Array,
+    time_profile: jax.Array,
+    transfer_prev: jax.Array,   # [O, M] transfer at the block start
+    transfer: jax.Array,        # [O, M] transfer at the block end
+    compute_qnorm: bool = False,
+):
+    """scan backend with per-sample linear transfer interpolation.
+
+    The reference holds the transfer constant per block (modal_solver.h
+    computeTransfer consumes one listener update per block), which steps
+    the output level discontinuously when the listener moves fast. Here
+    the transfer row ramps linearly across the block:
+    t(s) = t_prev + (s+1)/S (t_new - t_prev).
+    """
+    s = time_profile.shape[-1]
+    be_re = bank.b_re * space
+    be_im = bank.b_im * space
+    t0 = transfer_prev * bank.mask
+    dt = (transfer - transfer_prev) * bank.mask
+    ramp = (jnp.arange(1, s + 1, dtype=time_profile.dtype) / s)
+
+    def body(carry, inp):
+        zr, zi = carry
+        f_s, w = inp
+        zr_n = bank.lam_re * zr - bank.lam_im * zi + be_re * f_s[:, None]
+        zi_n = bank.lam_im * zr + bank.lam_re * zi + be_im * f_s[:, None]
+        sound = jnp.sum((t0 + w * dt) * zi_n, axis=-1)
+        out = (sound, zi_n * zi_n) if compute_qnorm else (sound, None)
+        return (zr_n, zi_n), out
+
+    (z_re, z_im), (sound, qsq) = jax.lax.scan(
+        body, (z_re, z_im), (jnp.swapaxes(time_profile, 0, 1), ramp))
+    sound = jnp.swapaxes(sound, 0, 1)
+    qnorm = jnp.sqrt(jnp.sum(qsq, axis=0)) if compute_qnorm else None
+    return z_re, z_im, sound, qnorm
+
+
+@partial(jax.jit, static_argnames=("compute_qnorm",))
+def step_block_blocked_xfade(
+    z_re: jax.Array,
+    z_im: jax.Array,
+    bank: ModalBank,
+    space: jax.Array,
+    time_profile: jax.Array,
+    transfer_prev: jax.Array,
+    transfer: jax.Array,
+    compute_qnorm: bool = False,
+):
+    """Blocked backend with per-sample linear transfer interpolation.
+
+    Since the output is linear in the transfer weights, the ramped dot
+    splits into two constant-weight renders:
+    sound_s = <t_prev, q_s> + ramp_s <dt, q_s> — i.e. the standard hom/G
+    machinery evaluated for both weight rows, plus one elementwise ramp.
+    The state update is transfer-independent and identical to
+    step_block_blocked.
+    """
+    s = time_profile.shape[-1]
+    assert bank.pow_re is not None and bank.pow_re.shape[-1] == s + 1, (
+        "bank tables missing or built for a different block size")
+    pr, pi = bank.pow_re, bank.pow_im
+    be_re = bank.b_re * space
+    be_im = bank.b_im * space
+    t0 = transfer_prev * bank.mask
+    dt = (transfer - transfer_prev) * bank.mask
+
+    def render(w):
+        hom = (_mode_reduce(w * z_im, pr[..., 1:])
+               + _mode_reduce(w * z_re, pi[..., 1:]))
+        g = (_mode_reduce(w * be_re, pi[..., :s])
+             + _mode_reduce(w * be_im, pr[..., :s]))
+        return hom + _causal_conv(g, time_profile)
+
+    ramp = (jnp.arange(1, s + 1, dtype=time_profile.dtype) / s)
+    sound = render(t0) + ramp[None, :] * render(dt)
+
+    f_rev = time_profile[..., ::-1]
+    c_re = _weighted_gather(pr[..., :s], f_rev)
+    c_im = _weighted_gather(pi[..., :s], f_rev)
+    ps_re, ps_im = pr[..., s], pi[..., s]
+    z_re_out = ps_re * z_re - ps_im * z_im + be_re * c_re - be_im * c_im
+    z_im_out = ps_im * z_re + ps_re * z_im + be_re * c_im + be_im * c_re
+
+    qnorm = None
+    if compute_qnorm:
+        # qnorm is transfer-independent (same as step_block_blocked)
+        n = 2 * s
+        ker = be_re[..., None] * pi[..., :s] + be_im[..., None] * pr[..., :s]
+        kf = jnp.fft.rfft(ker, n=n, axis=-1)
+        ff = jnp.fft.rfft(time_profile, n=n, axis=-1)[:, None, :]
+        conv = jnp.fft.irfft(kf * ff, n=n, axis=-1)[..., :s].astype(z_re.dtype)
+        q = (pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
+             + conv)
+        qnorm = jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
+    return z_re_out, z_im_out, sound, qnorm
+
+
+@partial(jax.jit, static_argnames=("compute_qnorm",))
 def decay_block_blocked(
     z_re: jax.Array,            # [O, M]
     z_im: jax.Array,            # [O, M]

@@ -80,6 +80,7 @@ def load_session(path: str, session) -> None:
     # device state (they gate the idle decay fast path)
     session._clock = int(np.asarray(session.state.block_start))
     session._sus_active[...] = np.asarray(session.state.sustained.active)
+    session._xfade_from = None  # any pending smooth move predates the load
 
 
 def swap_model(engine, new_session) -> None:

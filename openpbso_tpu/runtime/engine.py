@@ -315,23 +315,45 @@ class StreamingEngine:
         # compile call aborts the process at interpreter exit. Warmup runs
         # against a snapshot of the state so no synthesized audio is
         # dropped and the stream starts from the same sample.
+        import jax
+        import jax.numpy as jnp
+
         saved_state = self.session.state
         saved_blocks = self._blocks_done
         saved_clock = self.session.sample_clock
-        # the plain (no-qnorm) single-step variant covers both the
-        # lookahead=1 path and the pipelined lookahead path. np.asarray is
-        # the sync that actually forces the compile here — step() alone
+        # hit/clear also jit-compile on first use (slot scatter kernels) —
+        # warm them here so the first interactive strike doesn't stall the
+        # stream. _write_slot DONATES the slot buffers, so keep a host copy
+        # to rebuild the exact slot table afterwards.
+        slots_np = jax.tree.map(np.asarray, self.session.state.slots)
+        saved_expiry = self.session._expiry.copy()
+        saved_t0 = self.session._t0.copy()
+        saved_sus = self.session._sus_active.copy()
+        self.session.hit(0, np.zeros(self.session.bank.num_modes), amp=0.0)
+        self.session.clear_forces()
+        # the plain (no-qnorm) full-step variant covers both the
+        # lookahead=1 path and the pipelined lookahead path (called
+        # explicitly: step() would route an idle session to the decay
+        # variant and leave the full step uncompiled). np.asarray is the
+        # sync that actually forces the compile here — step() alone
         # dispatches asynchronously and the compile would land in the synth
         # thread after all.
-        _, mix, _ = self.session.step()
+        _, mix, _ = self.session._step_full()
         np.asarray(mix)
         if self._qnorm_every > 0:
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=True)
-            _, mix, _ = self.session.step()
+            _, mix, _ = self.session._step_full()
             np.asarray(mix)
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=False)
+        if self.session.config.smooth_transfer:
+            # a mid-stream listener move dispatches the transfer-ramping
+            # variant; compile it now (ramp from the current row to itself)
+            self.session._xfade_from = self.session.state.transfer
+            _, mix, _ = self.session.step()
+            np.asarray(mix)
+            self.session._xfade_from = None
         if self.session.decay_eligible():
             # the steady-state loop switches to the homogeneous-only step
             # whenever the scene rings down; compile it now too (both
@@ -345,9 +367,14 @@ class StreamingEngine:
                 np.asarray(mix)
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=False)
-        self.session.state = saved_state
+        self.session.state = dataclasses.replace(
+            saved_state,
+            slots=jax.tree.map(jnp.asarray, slots_np))
         self._blocks_done = saved_blocks
         self.session._clock = saved_clock
+        self.session._expiry[...] = saved_expiry
+        self.session._t0[...] = saved_t0
+        self.session._sus_active[...] = saved_sus
 
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)

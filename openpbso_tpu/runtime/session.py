@@ -25,7 +25,8 @@ from ..config import DEFAULT_BLOCK, UNIT_TRANSFER
 from ..ops.coeffs import ModalBank
 from ..ops.ffat import FFATMaps, compute_transfer
 from ..ops.forces import FORCE_GAUSSIAN, FORCE_POINT, ForceSlots
-from .solver import SolverConfig, decay_block, default_gains, step_block
+from .solver import (SolverConfig, decay_block, default_gains, step_block,
+                     step_block_xfade)
 from .state import make_solver_state
 
 
@@ -86,6 +87,9 @@ class ModalSession:
         # idle test (decay fast path) never syncs with the device
         self._clock = 0
         self._sus_active = np.zeros((o,), bool)
+        # transfer row before the latest listener move, pending an
+        # interpolated block (smooth_transfer)
+        self._xfade_from = None
 
     # ------------------------------------------------------------------ events
 
@@ -222,6 +226,10 @@ class ModalSession:
         if pos.ndim == 1:
             pos = jnp.broadcast_to(pos, (self.bank.num_objects, 3))
         transfer = compute_transfer(self.ffat, pos)
+        if self.config.smooth_transfer and self._xfade_from is None:
+            # remember the outgoing row; the next block ramps to the new
+            # one (repeated moves within one block keep the oldest start)
+            self._xfade_from = self.state.transfer
         self.state = dataclasses.replace(
             self.state, transfer=transfer.astype(self._dtype))
 
@@ -277,10 +285,26 @@ class ModalSession:
         When the scene is provably idle (all slots expired, no sustained
         force) and the backend is table-form, dispatches the cheaper
         homogeneous-only decay step instead — same output, ~half the
-        device work during ring-down.
+        device work during ring-down. A pending smooth listener move
+        (smooth_transfer) dispatches the transfer-ramping variant for one
+        block and takes priority over the decay path.
         """
+        if self._xfade_from is not None:
+            prev, self._xfade_from = self._xfade_from, None
+            self.state, sound, mix, qnorm = step_block_xfade(
+                self.state, self.bank, self.gains, prev,
+                block_size=self.config.block_size,
+                backend=self.config.backend,
+                compute_qnorm=self.config.compute_qnorm)
+            self._clock += self.config.block_size
+            return sound, mix, qnorm
         if self._idle() and self.decay_eligible():
             return self._step_decay()
+        return self._step_full()
+
+    def _step_full(self):
+        """The ungated full block step (warmup calls this directly so the
+        full variant compiles even when the session is idle)."""
         self.state, sound, mix, qnorm = step_block(
             self.state, self.bank, self.gains,
             block_size=self.config.block_size,
@@ -308,6 +332,12 @@ class ModalSession:
         from .solver import step_multi
         out = []
         done = 0
+        if self._xfade_from is not None and num_blocks > 0:
+            # flush the pending smooth listener move as a single step so the
+            # scan (which has no xfade variant) starts from a settled row
+            _, mix, _ = self.step()
+            out.append(np.asarray(mix))
+            done += 1
         while done < num_blocks:
             n = min(blocks_per_dispatch, num_blocks - done)
             self.state, mix = step_multi(

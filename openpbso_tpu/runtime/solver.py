@@ -37,6 +37,8 @@ class SolverConfig:
     backend: str = "auto"   # pallas on TPU, blocked elsewhere
     compute_qnorm: bool = False
     decay_fast_path: bool = True  # homogeneous-only step when scene is idle
+    smooth_transfer: bool = False  # ramp transfer across the block after a
+    #   listener move (beyond-reference; off = reference block-constant)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,10 +57,13 @@ def _step_block_impl(
     compute_qnorm: bool,
     mode_axis: str | None = None,
     obj_axis: str | None = None,
+    transfer_prev: jax.Array | None = None,
 ):
     """Core block step; ``mode_axis``/``obj_axis`` name shard_map mesh axes
     to psum partial results over (used by parallel/sharding.py so the SPMD
-    path shares this single implementation)."""
+    path shares this single implementation). ``transfer_prev`` selects the
+    transfer-interpolating variant: the transfer ramps linearly from it to
+    state.transfer across the block (smooth listener motion)."""
     time_imp, space_imp = force_block(state.slots, state.block_start,
                                       block_size)
     sus, time_sus, space_sus = sustained_block(state.sustained, block_size)
@@ -70,10 +75,21 @@ def _step_block_impl(
     time_profile = time_imp * (1 - gate) + time_sus
     space = space_imp * (1 - gate[:, : 1]) + space_sus
 
-    integrate = get_backend(backend, bank)
-    z_re, z_im, sound, qnorm = integrate(
-        state.z_re, state.z_im, bank, space, time_profile, state.transfer,
-        compute_qnorm)
+    if transfer_prev is None:
+        integrate = get_backend(backend, bank)
+        z_re, z_im, sound, qnorm = integrate(
+            state.z_re, state.z_im, bank, space, time_profile,
+            state.transfer, compute_qnorm)
+    else:
+        from ..ops.integrator import (resolve_backend_name,
+                                      step_block_blocked_xfade,
+                                      step_block_scan_xfade)
+        name = resolve_backend_name(backend, bank)
+        fn = (step_block_scan_xfade if name == "scan"
+              else step_block_blocked_xfade)  # pallas falls back to blocked
+        z_re, z_im, sound, qnorm = fn(
+            state.z_re, state.z_im, bank, space, time_profile,
+            transfer_prev, state.transfer, compute_qnorm)
     if mode_axis is not None:
         # each mode shard contributed a partial transfer dot
         sound = jax.lax.psum(sound, mode_axis)
@@ -104,6 +120,26 @@ def step_block(
     """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
     return _step_block_impl(state, bank, gains, block_size, backend,
                             compute_qnorm)
+
+
+@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
+def step_block_xfade(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,
+    transfer_prev: jax.Array,   # [O, M] transfer before the listener moved
+    *,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+    compute_qnorm: bool = False,
+) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
+    """One block with the transfer ramping linearly from ``transfer_prev``
+    to ``state.transfer`` — dispatched by the session for the single block
+    after a listener move when SolverConfig.smooth_transfer is on, removing
+    the per-block level step ("zipper") of the reference's block-constant
+    transfer (modal_solver.h:286-300)."""
+    return _step_block_impl(state, bank, gains, block_size, backend,
+                            compute_qnorm, transfer_prev=transfer_prev)
 
 
 @partial(jax.jit, static_argnames=("block_size", "compute_qnorm"))
