@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--one-shot", action="store_true",
                    help="serve a single connection then exit")
+    p.add_argument("--web", action="store_true",
+                   help="speak HTTP/WebSocket instead of the raw protocol "
+                        "and serve a browser demo page at /")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -78,10 +81,14 @@ def main(argv=None) -> int:
         new_args.demo_synth = False
         return make_session(new_args)
 
-    srv = AudioServer(make, model=model, host=args.host, port=args.port,
-                      lookahead=args.lookahead,
-                      session_loader=load_from_meta)
-    print(f"serving on {srv.address[0]}:{srv.address[1]} "
+    cls = AudioServer
+    if args.web:
+        from ..runtime.wsbridge import WebSocketAudioServer
+        cls = WebSocketAudioServer
+    srv = cls(make, model=model, host=args.host, port=args.port,
+              lookahead=args.lookahead, session_loader=load_from_meta)
+    kind = "http/websocket" if args.web else "pbso protocol"
+    print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)
     try:
         if args.one_shot:

@@ -115,7 +115,10 @@ class AudioServer:
 
     def serve_forever(self) -> None:
         while True:
-            self.serve_one()
+            try:
+                self.serve_one()
+            except OSError:
+                return  # listening socket closed (shutdown)
 
     def close(self) -> None:
         self._sock.close()

@@ -1,0 +1,143 @@
+"""WebSocket bridge: handshake, framing, PCM streaming, demo page."""
+import base64
+import json
+import os
+import socket
+import struct
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.coeffs import bank_from_material
+from openpbso_tpu.runtime.session import ModalSession
+from openpbso_tpu.runtime.solver import SolverConfig
+from openpbso_tpu.runtime.wsbridge import (OP_BINARY, OP_CLOSE, OP_TEXT,
+                                           WebSocketAudioServer,
+                                           ws_accept_key)
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+BLOCK = 256
+
+
+def _mask_frame(opcode: int, payload: bytes) -> bytes:
+    """Client->server frame (always masked, per RFC 6455)."""
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([0x80 | n])
+    else:
+        head += bytes([0x80 | 126]) + struct.pack(">H", n)
+    return head + mask + masked
+
+
+class _WSClient:
+    def __init__(self, host, port):
+        self.sock = socket.create_connection((host, port), timeout=60)
+        key = base64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            f"GET /ws HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+            f"Sec-WebSocket-Version: 13\r\n\r\n".encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += self.sock.recv(4096)
+        head, self._buf = resp.split(b"\r\n\r\n", 1)
+        assert b"101" in head.split(b"\r\n")[0]
+        accept = [ln for ln in head.split(b"\r\n")
+                  if ln.lower().startswith(b"sec-websocket-accept")][0]
+        assert accept.split(b":")[1].strip().decode() == ws_accept_key(key)
+
+    def _need(self, n):
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_frame(self):
+        b0, b1 = self._need(2)
+        n = b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self._need(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self._need(8))
+        return b0 & 0x0F, self._need(n)   # server frames are unmasked
+
+    def send_json(self, **obj):
+        self.sock.sendall(_mask_frame(OP_TEXT, json.dumps(obj).encode()))
+
+    def close(self):
+        self.sock.sendall(_mask_frame(OP_CLOSE, b""))
+        self.sock.close()
+
+
+@pytest.fixture
+def ws_server():
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    srv = WebSocketAudioServer(make_session)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.close()
+
+
+def test_demo_page(ws_server):
+    s = socket.create_connection(ws_server.address, timeout=30)
+    s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    resp = b""
+    while True:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        resp += chunk
+    s.close()
+    assert resp.startswith(b"HTTP/1.1 200")
+    assert b"WebSocket" in resp and b"AudioContext" in resp
+
+
+def test_ws_stream_and_commands(ws_server):
+    c = _WSClient(*ws_server.address)
+    op, hello = c.read_frame()
+    assert op == OP_TEXT
+    hello = json.loads(hello)
+    assert hello["sample_rate"] == 44100 and hello["block_size"] == BLOCK
+    ch = hello["channels"]
+    c.send_json(cmd="hit_space", obj=0, space=[1.0] * 12,
+                kind="gaussian", width_us=2000.0)
+    peak, texts = 0.0, []
+    for _ in range(80):
+        op, payload = c.read_frame()
+        if op == OP_TEXT:
+            texts.append(json.loads(payload))
+            continue
+        assert op == OP_BINARY and len(payload) == BLOCK * ch * 4
+        pcm = np.frombuffer(payload, "<f4").reshape(BLOCK, ch)
+        peak = max(peak, float(np.abs(pcm).max()))
+        if peak > 0:
+            break
+    assert peak > 0.0
+    c.send_json(cmd="stats")
+    for _ in range(80):
+        op, payload = c.read_frame()
+        if op == OP_TEXT:
+            assert "health" in json.loads(payload)
+            break
+    else:
+        raise AssertionError("no stats reply")
+    c.close()
