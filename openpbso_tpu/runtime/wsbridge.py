@@ -53,11 +53,17 @@ def encode_frame(opcode: int, payload: bytes) -> bytes:
 
 
 class _FrameReader:
-    """Incremental client->server frame parser (handles masking)."""
+    """Incremental client->server frame parser (handles masking).
 
-    def __init__(self, conn: socket.socket):
+    Client frames carry only JSON commands, so payloads are capped at
+    ``max_len`` — a declared length beyond it is a protocol violation,
+    not a reason to allocate gigabytes.
+    """
+
+    def __init__(self, conn: socket.socket, max_len: int = 1 << 20):
         self._conn = conn
         self._buf = b""
+        self._max_len = max_len
 
     def _need(self, n: int) -> bytes:
         while len(self._buf) < n:
@@ -78,6 +84,8 @@ class _FrameReader:
             (n,) = struct.unpack(">H", self._need(2))
         elif n == 127:
             (n,) = struct.unpack(">Q", self._need(8))
+        if n > self._max_len:
+            raise ConnectionError(f"websocket frame too large ({n} bytes)")
         mask = self._need(4) if masked else b"\x00" * 4
         payload = self._need(n)
         if masked:

@@ -141,3 +141,22 @@ def test_ws_stream_and_commands(ws_server):
     else:
         raise AssertionError("no stats reply")
     c.close()
+
+
+def test_oversized_frame_rejected_stream_survives_next_client(ws_server):
+    # a frame declaring a huge payload must drop the connection, not
+    # allocate; the server then accepts the next client normally
+    c = _WSClient(*ws_server.address)
+    c.read_frame()  # hello
+    head = bytes([0x81, 0x80 | 127]) + struct.pack(">Q", 1 << 40) + b"\x00" * 4
+    c.sock.sendall(head)
+    # server closes on protocol violation
+    import contextlib
+    with contextlib.suppress(ConnectionError, OSError):
+        for _ in range(2000):
+            c.read_frame()
+    c.sock.close()
+    c2 = _WSClient(*ws_server.address)
+    op, hello = c2.read_frame()
+    assert op == OP_TEXT and b"sample_rate" in hello
+    c2.close()
