@@ -143,3 +143,47 @@ def test_synth_failure_is_observable():
     assert not engine.healthy
     assert isinstance(engine.error, RuntimeError)
     engine.stop()
+
+
+def test_stream_exercises_all_step_variants():
+    """One live stream through full, decay, xfade, and qnorm variants."""
+    import time
+
+    import jax.numpy as jnp
+
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_fatcube, \
+        synth_mode_data
+
+    md = synth_mode_data(12, 8, seed=3)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              block_size=128, dtype=jnp.float32)
+    freqs = md.frequencies_hz(CERAMIC.density)
+    maps = {i: synth_fatcube(i, float(freqs[i]), n=8, seed=3)
+            for i in range(12)}
+    ffat = build_ffat(maps, bank.num_modes, dtype=jnp.float32)
+    sess = ModalSession(bank, ffat=ffat, config=SolverConfig(
+        block_size=128, backend="blocked", smooth_transfer=True))
+    sess.set_listener(np.asarray([0.6, 0.4, 0.3]))
+    sink = RawCollectorSink()
+    eng = StreamingEngine(sess, sink, qnorm_every=4)
+    eng.start()
+    try:
+        eng.hit(0, np.ones(12), kind="point")         # full variant
+        time.sleep(0.3)                               # ...then decay
+        eng.set_listener(np.asarray([0.1, 0.8, 0.5]))  # xfade variant
+        time.sleep(0.3)
+        q = eng.latest_qnorm()                        # qnorm variants
+    finally:
+        eng.stop()
+    assert eng.error is None
+    audio = sink.concatenated()
+    assert audio.shape[0] > 0 and np.abs(audio).max() > 0
+    assert np.isfinite(audio).all()
+    assert q is not None and np.isfinite(np.asarray(q)).all()
