@@ -347,9 +347,12 @@ class StreamingEngine:
             np.asarray(mix)
             self.session.config = dataclasses.replace(
                 self.session.config, compute_qnorm=False)
-        if self.session.config.smooth_transfer:
+        if self.session.config.smooth_transfer and \
+                self.session.ffat is not None:
             # a mid-stream listener move dispatches the transfer-ramping
-            # variant; compile it now (ramp from the current row to itself)
+            # variant; compile it now (ramp from the current row to
+            # itself). Without an FFAT the transfer never changes and the
+            # variant can never fire, so skip the (expensive) compile.
             self.session._xfade_from = self.session.state.transfer
             _, mix, _ = self.session.step()
             np.asarray(mix)

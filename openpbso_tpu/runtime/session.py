@@ -44,9 +44,10 @@ def _write_slot(slots: ForceSlots, obj: jax.Array, slot: jax.Array,
 
 
 @partial(jax.jit, donate_argnames=("slots",))
-def _clear_slots(slots: ForceSlots, obj: jax.Array) -> ForceSlots:
+def _clear_slots(slots: ForceSlots, objs: jax.Array) -> ForceSlots:
+    """Deactivate every slot of the given object rows (``objs``: [K])."""
     return ForceSlots(
-        ftype=slots.ftype.at[obj].set(0),
+        ftype=slots.ftype.at[objs].set(0),
         t0=slots.t0,
         width=slots.width,
         amp=slots.amp,
@@ -150,10 +151,11 @@ class ModalSession:
     def clear_forces(self, obj: int | None = None) -> None:
         """Drop all active forces (clearAllForces, modal_solver.h:186-189)."""
         objs = np.arange(self.bank.num_objects) if obj is None else [obj]
-        slots = self.state.slots
-        for o in objs:
-            slots = _clear_slots(slots, jnp.asarray(o, jnp.int32))
-            self._expiry[o] = 0
+        # one vectorized scatter for any number of objects (a per-object
+        # loop costs one dispatch round trip each on remote links)
+        slots = _clear_slots(self.state.slots,
+                             jnp.asarray(np.asarray(objs), jnp.int32))
+        self._expiry[np.asarray(objs)] = 0
         sus = dataclasses.replace(
             self.state.sustained,
             active=self.state.sustained.active.at[np.asarray(objs)].set(False))
