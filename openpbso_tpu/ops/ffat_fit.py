@@ -227,3 +227,24 @@ def compress_map(m: FatcubeMap) -> FatcubeMap:
         psi_c[start: start + nu * nv] = q * peak / 255.0
     return FatcubeMap(mode_id=m.mode_id, k=m.k, center=m.center.copy(),
                       shell=m.shell, psi=psi_c, is_compressed=True)
+
+
+def read_n_elements_file(path: str) -> np.ndarray:
+    """Parse an N-elements text file: one line per shell, six ``nu nv``
+    pairs per line (the offline wavesolver's cubemap resolutions).
+
+    Mirrors FFAT_Map<T,3>::ReadNElementsFile (ffat_solver.h:1087-1104).
+    Returns int32 [n_shells, 6, 2].
+    """
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = line.split()
+            if not vals:
+                continue
+            if len(vals) < 12:
+                raise ValueError(
+                    f"n_elements line needs 6 'nu nv' pairs: {line!r}")
+            nums = [int(v) for v in vals[:12]]
+            rows.append(np.asarray(nums, np.int32).reshape(6, 2))
+    return np.stack(rows) if rows else np.zeros((0, 6, 2), np.int32)

@@ -137,3 +137,19 @@ def test_map_to_trimesh():
     # vertices lie on the shell bbox surface
     on_surface = (np.isclose(np.abs(v), 0.2).any(axis=1))
     assert on_surface.all()
+
+
+def test_read_n_elements_file(tmp_path):
+    from openpbso_tpu.ops.ffat_fit import read_n_elements_file
+    p = tmp_path / "n_elements.txt"
+    p.write_text("8 8 8 8 8 8 8 8 8 8 8 8\n"
+                 "16 12 16 12 16 12 16 12 16 12 16 12\n")
+    arr = read_n_elements_file(str(p))
+    assert arr.shape == (2, 6, 2)
+    assert (arr[0] == 8).all()
+    assert (arr[1, :, 0] == 16).all() and (arr[1, :, 1] == 12).all()
+    import pytest
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1 2 3\n")
+    with pytest.raises(ValueError):
+        read_n_elements_file(str(bad))
