@@ -99,6 +99,38 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
     return jax.jit(sharded)
 
 
+def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
+                            block_size: int = DEFAULT_BLOCK,
+                            compute_qnorm: bool = False):
+    """SPMD variant of the idle-scene decay step (solver.decay_block).
+
+    Same host gating contract as the single-chip path: dispatch only when
+    the host mirrors prove the excitation is zero. Communication is
+    identical to the full step (one psum for the mode-partial transfer
+    dot, one for the stereo mix).
+    """
+    from ..config import OUTPUT_SCALE
+    from ..ops.integrator import decay_block_blocked
+
+    def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
+        z_re, z_im, sound, qnorm = decay_block_blocked(
+            state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
+        sound = jax.lax.psum(sound, "mode")
+        mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+        mix = jax.lax.psum(mix, "obj")
+        new_state = dataclasses.replace(
+            state, z_re=z_re, z_im=z_im,
+            block_start=state.block_start + block_size)
+        return new_state, sound, mix.astype(jnp.float32), qnorm
+
+    specs_in = (state_specs(), bank_specs(bank), P("obj", None))
+    specs_out = (state_specs(), P("obj", None), P(),
+                 P("obj", "mode") if compute_qnorm else None)
+    sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    return jax.jit(sharded)
+
+
 def _put(mesh: Mesh, x, spec):
     if x is None:
         return None  # table-less banks (scan backend) have None leaves

@@ -102,3 +102,29 @@ def test_sharded_hetero_bank(dberr):
     step = make_sharded_step(mesh, bank, block_size=s, backend="blocked")
     out = step(shard_state(mesh, state), shard_bank(mesh, bank), gains)
     assert dberr(np.asarray(out[2]), np.asarray(ref_mix)) < -100
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_decay_step_matches_single(mesh_shape, dberr):
+    from openpbso_tpu.parallel.sharding import make_sharded_decay_step
+    from openpbso_tpu.runtime.solver import decay_block
+    s = 128
+    bank, state, gains = _setup(o=8, s=s)
+    # ring the oscillators with one full block, then clear the slots so
+    # the scene is genuinely idle (the decay step's contract)
+    state, _, _, _ = step_block(state, bank, gains, block_size=s,
+                                backend="blocked")
+    state = dataclasses.replace(
+        state, slots=dataclasses.replace(
+            state.slots, ftype=state.slots.ftype.at[:].set(0)))
+    ref_state, ref_sound, ref_mix, _ = decay_block(
+        state, bank, gains, block_size=s)
+
+    mesh = make_mesh(*mesh_shape)
+    step = make_sharded_decay_step(mesh, bank, block_size=s)
+    out_state, sound, mix, _ = step(shard_state(mesh, state),
+                                    shard_bank(mesh, bank), gains)
+    assert dberr(np.asarray(sound), np.asarray(ref_sound)) < -100
+    assert dberr(np.asarray(mix), np.asarray(ref_mix)) < -100
+    assert dberr(np.asarray(out_state.z_re),
+                 np.asarray(ref_state.z_re)) < -100
