@@ -144,7 +144,12 @@ class WebSocketAudioServer(AudioServer):
             req += chunk
         head = req.split(b"\r\n\r\n", 1)[0].decode("latin-1")
         lines = head.split("\r\n")
-        path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
+        parts = lines[0].split(" ")
+        if parts[0] != "GET" or len(parts) < 2:
+            conn.sendall(b"HTTP/1.1 400 Bad Request\r\n"
+                         b"Content-Length: 0\r\nConnection: close\r\n\r\n")
+            return
+        path = parts[1]
         headers = {}
         for ln in lines[1:]:
             if ":" in ln:
