@@ -142,6 +142,49 @@ def fir_to_freq(fir: np.ndarray, block_size: int, dtype=jnp.complex64):
     return jnp.asarray(hf, dtype)
 
 
+class HRTFPostMix:
+    """StreamingEngine ``post_mix`` hook: binaural HRTF mixdown per block.
+
+    Replaces the session's plain gain mixdown inside a live stream::
+
+        pm = HRTFPostMix(positions, block_size=sess.config.block_size)
+        engine = StreamingEngine(sess, sink, post_mix=pm)
+
+    The engine calls ``on_listener`` when listener events apply (so the
+    direction-dependent filters track moves) and ``reset`` after warmup.
+    Only the synthesis thread calls ``__call__``/``on_listener`` (both run
+    inside _apply_events/_synth_once), so the carry needs no locking.
+    """
+
+    def __init__(self, positions: np.ndarray, *, block_size: int,
+                 ear_axis=(1.0, 0.0, 0.0),
+                 head_radius: float = DEFAULT_HEAD_RADIUS,
+                 n_taps: int = DEFAULT_TAPS):
+        self.positions = np.asarray(positions, np.float64)
+        self.block_size = block_size
+        self.ear_axis = ear_axis
+        self.head_radius = head_radius
+        self.n_taps = min(n_taps, block_size + 1)
+        self._carry = jnp.zeros((2, self.n_taps - 1), jnp.float32)
+        self.on_listener(np.zeros(3))
+
+    def on_listener(self, pos: np.ndarray) -> None:
+        fir = spherical_hrtf_fir(self.positions - np.asarray(pos,
+                                                             np.float64),
+                                 ear_axis=self.ear_axis,
+                                 head_radius=self.head_radius,
+                                 n_taps=self.n_taps)
+        self._hf = fir_to_freq(fir, self.block_size)
+
+    def reset(self) -> None:
+        self._carry = jnp.zeros_like(self._carry)
+
+    def __call__(self, sound, mix):
+        out, self._carry = hrtf_mix_block(sound, self._hf, self._carry,
+                                          block_size=self.block_size)
+        return out
+
+
 class HRTFRenderer:
     """Binaural post-renderer over a ModalSession.
 

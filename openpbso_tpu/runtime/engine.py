@@ -127,12 +127,20 @@ class StreamingEngine:
         qnorm_every: int = 0,
         on_qnorm: Callable[[np.ndarray], None] | None = None,
         lookahead: int = 1,
+        post_mix=None,
     ):
         """``lookahead`` > 1 synthesizes that many blocks per device
         dispatch (step_multi) — latency rises to lookahead * block/rate but
         per-dispatch overhead amortizes, which is the difference between
         underrun and headroom on high-RTT device links (e.g. a tunneled
-        TPU). Events still apply between dispatches."""
+        TPU). Events still apply between dispatches.
+
+        ``post_mix(sound, mix) -> mix'`` replaces the session's plain gain
+        mixdown per block (e.g. ops/hrtf.py::HRTFPostMix for binaural
+        streams). Optional hooks honored when present: ``.on_listener(pos)``
+        (called when a listener event applies, so direction-dependent
+        filters track the move) and ``.reset()`` (called after warmup so
+        the stream starts with clean filter state)."""
         self.session = session
         self.sink = sink
         self.lookahead = max(1, int(lookahead))
@@ -143,6 +151,7 @@ class StreamingEngine:
         self._qnorm: queue.Queue = queue.Queue(maxsize=2)
         self._qnorm_every = qnorm_every
         self._on_qnorm = on_qnorm
+        self._post_mix = post_mix
         self.health = BufferHealth()
         self.profiler = BlockProfiler(session.config.block_size, SAMPLE_RATE)
         self._stop = threading.Event()
@@ -230,6 +239,9 @@ class StreamingEngine:
         tr = self._transfer.take()
         if tr is not None:
             self.session.set_listener(tr.listener)
+            if self._post_mix is not None and \
+                    hasattr(self._post_mix, "on_listener"):
+                self._post_mix.on_listener(tr.listener)
         ar = self._arprm.take()
         if ar is not None:
             self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
@@ -242,7 +254,9 @@ class StreamingEngine:
             if want_qnorm:
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=True)
-            _, mix, qnorm = self.session.step()
+            sound, mix, qnorm = self.session.step()
+            if self._post_mix is not None:
+                mix = self._post_mix(sound, mix)
             mix_np = np.asarray(mix)  # device sync point
             if want_qnorm:
                 self.session.config = dataclasses.replace(
@@ -260,7 +274,9 @@ class StreamingEngine:
         import jax.numpy as jnp
         mixes = []
         for _ in range(self.lookahead):
-            _, mix, _ = self.session.step()
+            sound, mix, _ = self.session.step()
+            if self._post_mix is not None:
+                mix = self._post_mix(sound, mix)
             mixes.append(mix)
         stacked = np.asarray(jnp.stack(mixes))
         return list(stacked)
@@ -338,7 +354,13 @@ class StreamingEngine:
         # sync that actually forces the compile here — step() alone
         # dispatches asynchronously and the compile would land in the synth
         # thread after all.
-        _, mix, _ = self.session._step_full()
+        sound, mix, _ = self.session._step_full()
+        if self._post_mix is not None:
+            # compile the post-mix path too, then drop the warmup's filter
+            # tail so the stream starts clean
+            np.asarray(self._post_mix(sound, mix))
+            if hasattr(self._post_mix, "reset"):
+                self._post_mix.reset()
         np.asarray(mix)
         if self._qnorm_every > 0:
             self.session.config = dataclasses.replace(

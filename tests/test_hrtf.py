@@ -82,3 +82,39 @@ def test_renderer_end_to_end():
     xc = np.correlate(audio[:, 1], audio[:, 0], mode="full")
     lag = int(np.argmax(np.abs(xc))) - (audio.shape[0] - 1)
     assert lag < 0, f"right ear should lead, lag={lag}"
+
+
+def test_hrtf_post_mix_in_streaming_engine():
+    import time
+
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    md = synth_mode_data(12, 8, seed=7)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=2,
+                              block_size=128, dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"))
+    positions = np.asarray([[0.7, 0.0, 0.0], [-0.7, 0.0, 0.0]])
+    pm = HRTFPostMix(positions, block_size=128, n_taps=96)
+    sink = RawCollectorSink()
+    eng = StreamingEngine(sess, sink, post_mix=pm)
+    eng.start()
+    try:
+        eng.hit(0, np.ones(12), kind="gaussian", width_us=500.0)  # +x object
+        time.sleep(0.4)
+        eng.set_listener(np.asarray([0.0, 0.0, 0.2]))  # on_listener path
+        time.sleep(0.2)
+    finally:
+        eng.stop()
+    assert eng.error is None
+    audio = sink.concatenated()
+    assert audio.shape[1] == 2 and np.abs(audio).max() > 0
+    # the +x object must load the right ear
+    assert (audio[:, 1] ** 2).sum() > (audio[:, 0] ** 2).sum()
