@@ -38,7 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .coeffs import ModalBank
 
-DEFAULT_CHUNK = 32
+# V4 tuning sweep on a v5e (hetero 256x1024, block 512, pipelined):
+# chunk=32 1.84 ms/block, 64 1.11 ms, 128 1.01 ms (obj_tile=16 variants
+# slower: 1.16-1.23 ms). Larger chunks cut the serial chunk-step count and
+# amortize the per-step reduce setup — but chunk=128 hetero tables
+# (2 x [OT*(C+1), M] f32, double-buffered by the pallas pipeline) measure
+# 17.1 MB against the 16 MB scoped-VMEM limit and can fail to compile, so
+# 64 is the production default (1.66x over the old 32). Accuracy improves
+# with chunk size (fewer chunk-boundary f32 roundings).
+DEFAULT_CHUNK = 64
 
 
 def _round8(x: int) -> int:
@@ -95,7 +103,8 @@ def _fused_kernel(pr_ref, pi_ref, be_re_ref, be_im_ref, t_ref,
     zi_out_ref[...] = zi
 
 
-@partial(jax.jit, static_argnames=("compute_qnorm", "chunk", "interpret"))
+@partial(jax.jit, static_argnames=("compute_qnorm", "chunk", "interpret",
+                                   "obj_tile"))
 def step_block_pallas(
     z_re: jax.Array,            # [O, M]
     z_im: jax.Array,            # [O, M]
@@ -106,6 +115,7 @@ def step_block_pallas(
     compute_qnorm: bool = False,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    obj_tile: int = OBJ_TILE,
 ):
     """Pallas backend; same contract as ops.integrator.step_block_*.
 
@@ -115,13 +125,14 @@ def step_block_pallas(
     """
     o, m = z_re.shape
     s = time_profile.shape[-1]
+    chunk = min(chunk, s)   # small blocks: one chunk spans the block
     assert s % chunk == 0, f"block {s} must be a multiple of chunk {chunk}"
     assert bank.pow_re is not None and bank.pow_re.shape[-1] >= chunk + 1, (
         "bank tables missing or shorter than the pallas chunk")
     dtype = z_re.dtype
     cp = _round8(chunk + 1)
     sc = s // chunk
-    o_pad = -(-o // OBJ_TILE) * OBJ_TILE
+    o_pad = -(-o // obj_tile) * obj_tile
     pad = o_pad - o
 
     def padded(x):
@@ -129,7 +140,7 @@ def step_block_pallas(
                 if pad else x)
 
     # packed 2D chunk tables [O_tiles_needed*OT*Cp, M]: row o*Cp+d = lam_o^d.
-    # Shared banks materialize only ONE tile's worth (OBJ_TILE copies) and
+    # Shared banks materialize only ONE tile's worth (obj_tile copies) and
     # every grid program maps to block 0 — not O per-object copies.
     shared = bank.shared_tables
 
@@ -137,8 +148,8 @@ def step_block_pallas(
         t3 = jnp.moveaxis(tbl[..., : chunk + 1], -1, 1)      # [Og, C+1, M]
         t3 = jnp.pad(t3, ((0, 0), (0, cp - chunk - 1), (0, 0)))
         if shared:
-            t3 = jnp.broadcast_to(t3, (OBJ_TILE, cp, m))
-            return t3.reshape(OBJ_TILE * cp, m)
+            t3 = jnp.broadcast_to(t3, (obj_tile, cp, m))
+            return t3.reshape(obj_tile * cp, m)
         t3 = jnp.broadcast_to(t3, (o, cp, m))
         return padded(t3).reshape(o_pad * cp, m)
 
@@ -154,15 +165,15 @@ def step_block_pallas(
 
     row = lambda i: (i, 0)
     tbl_map = (lambda i: (0, 0)) if shared else row
-    spec_tbl = pl.BlockSpec((OBJ_TILE * cp, m), tbl_map,
+    spec_tbl = pl.BlockSpec((obj_tile * cp, m), tbl_map,
                             memory_space=pltpu.VMEM)
-    spec_m = pl.BlockSpec((OBJ_TILE, m), row, memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((OBJ_TILE, s), row, memory_space=pltpu.VMEM)
-    spec_c = pl.BlockSpec((OBJ_TILE, chunk), row, memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((obj_tile, m), row, memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((obj_tile, s), row, memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((obj_tile, chunk), row, memory_space=pltpu.VMEM)
 
     hom, g, zr_out, zi_out = pl.pallas_call(
         partial(_fused_kernel, chunk=chunk, block=s),
-        grid=(o_pad // OBJ_TILE,),
+        grid=(o_pad // obj_tile,),
         in_specs=[spec_tbl, spec_tbl] + [spec_m] * 5 + [spec_s],
         out_specs=(spec_s, spec_c, spec_m, spec_m),
         out_shape=(
