@@ -125,7 +125,8 @@ def hrtf_mix_block(
     n = 2 * s
     t1 = carry.shape[-1]                        # n_taps - 1
     sf = jnp.fft.rfft(sound, n=n, axis=-1)      # [O, F]
-    yf = jnp.einsum("of,ocf->cf", sf, hf)
+    yf = jnp.einsum("of,ocf->cf", sf, hf,
+                precision=jax.lax.Precision.HIGHEST)
     y = jnp.fft.irfft(yf, n=n, axis=-1)[:, : s + t1]   # [C, S+T-1]
     y = y.at[:, :t1].add(carry)
     mix = (y[:, :s] / OUTPUT_SCALE).T.astype(jnp.float32)

@@ -40,32 +40,69 @@ import jax.numpy as jnp
 from .coeffs import ModalBank
 
 
+# TPU MXU default is ONE bf16 pass per f32 matmul: measured -52.6 dB vs
+# CPU at [256,1024]x[1024,512] (small contractions lower to the full-f32
+# VPU instead, which masked this at toy scale). The -60 dB contract
+# requires the multi-pass f32 algorithm on every correctness-critical
+# contraction, so precision is pinned, never defaulted. (docs/PERF.md)
+PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _mode_reduce(w: jax.Array, table: jax.Array) -> jax.Array:
     """einsum('om,oms->os') that lowers to a true matmul for shared tables."""
     if table.shape[0] == 1:
-        return w @ table[0]
-    return jnp.einsum("om,oms->os", w, table)
+        return jnp.matmul(w, table[0], precision=PRECISION)
+    return jnp.einsum("om,oms->os", w, table, precision=PRECISION)
 
 
 def _weighted_gather(table: jax.Array, f: jax.Array) -> jax.Array:
     """einsum('omd,od->om') (shared-table aware)."""
     if table.shape[0] == 1:
-        return f @ table[0].T
-    return jnp.einsum("omd,od->om", table, f)
+        return jnp.matmul(f, table[0].T, precision=PRECISION)
+    return jnp.einsum("omd,od->om", table, f, precision=PRECISION)
 
 
-def _causal_conv(g: jax.Array, f: jax.Array) -> jax.Array:
-    """Per-object causal convolution: out[s] = sum_{j<=s} g[s-j] f[j].
-
-    g, f: [O, S] -> [O, S]. FFT-based (S is a power of two in the native
-    block size, so the padded FFT length 2S is too).
-    """
+def _causal_conv_fft(g: jax.Array, f: jax.Array) -> jax.Array:
+    """FFT form of the causal conv (S and the padded length 2S are powers
+    of two in the native block size). Precise and fast on CPU."""
     s = g.shape[-1]
     n = 2 * s
     gf = jnp.fft.rfft(g, n=n, axis=-1)
     ff = jnp.fft.rfft(f, n=n, axis=-1)
     out = jnp.fft.irfft(gf * ff, n=n, axis=-1)[..., :s]
     return out.astype(g.dtype)
+
+
+def _causal_conv_direct(g: jax.Array, f: jax.Array) -> jax.Array:
+    """Direct form as ONE grouped 1-D convolution (each object its own
+    kernel via feature_group_count): lowers to full-f32 MXU matmuls.
+
+    Used on TPU: the TPU FFT measures ~-54 dB against the CPU FFT under
+    dense wideband inputs (docs/PERF.md), while this form stays at f32
+    matmul precision. O(S^2) MACs per object is ~134 MFLOP per 256x512
+    block — noise for the MXU.
+    """
+    o, s = g.shape
+    # lax.conv computes cross-correlation, so feed the kernel reversed;
+    # left-pad by S-1 for causality
+    out = jax.lax.conv_general_dilated(
+        f[None, :, :],                     # [1, O(features), S]
+        g[:, None, ::-1],                  # [O(out), 1(in/group), S]
+        window_strides=(1,),
+        padding=[(s - 1, 0)],
+        feature_group_count=o,
+    )
+    return out[0].astype(g.dtype)
+
+
+def _causal_conv(g: jax.Array, f: jax.Array) -> jax.Array:
+    """Per-object causal convolution: out[s] = sum_{j<=s} g[s-j] f[j].
+
+    g, f: [O, S] -> [O, S]. FFT form on every platform: the grouped
+    direct conv was measured 6x SLOWER on TPU (grouped convs lower to
+    per-group loops) without improving the dense-input deviation, which
+    turned out to be einsum precision, not the FFT (docs/PERF.md)."""
+    return _causal_conv_fft(g, f)
 
 
 @partial(jax.jit, static_argnames=("compute_qnorm",))

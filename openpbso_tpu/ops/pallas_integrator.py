@@ -192,9 +192,11 @@ def step_block_pallas(
     eye_sub = np.zeros((chunk, chunk, chunk), np.float32)
     for d in range(chunk):
         eye_sub[d][delta == d] = 1.0
-    toep = jnp.einsum("od,dcj->ocj", g, jnp.asarray(eye_sub, dtype))
+    toep = jnp.einsum("od,dcj->ocj", g, jnp.asarray(eye_sub, dtype),
+                  precision=jax.lax.Precision.HIGHEST)
     f_chunks = f_p.reshape(o_pad, sc, chunk)
-    conv = jnp.einsum("ocj,okj->okc", toep, f_chunks)
+    conv = jnp.einsum("ocj,okj->okc", toep, f_chunks,
+                  precision=jax.lax.Precision.HIGHEST)
     sound = (hom + conv.reshape(o_pad, s))[:o]
 
     qnorm = None

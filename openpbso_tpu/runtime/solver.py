@@ -94,7 +94,8 @@ def _step_block_impl(
         # each mode shard contributed a partial transfer dot
         sound = jax.lax.psum(sound, mode_axis)
 
-    mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+    mix = jnp.einsum("os,oc->sc", sound, gains,
+                 precision=jax.lax.Precision.HIGHEST) / OUTPUT_SCALE
     if obj_axis is not None:
         mix = jax.lax.psum(mix, obj_axis)
     new_state = dataclasses.replace(
@@ -165,7 +166,8 @@ def decay_block(
     from ..ops.integrator import decay_block_blocked
     z_re, z_im, sound, qnorm = decay_block_blocked(
         state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
-    mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+    mix = jnp.einsum("os,oc->sc", sound, gains,
+                 precision=jax.lax.Precision.HIGHEST) / OUTPUT_SCALE
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
         block_start=state.block_start + block_size)

@@ -245,3 +245,52 @@ def test_step_multi_equals_step_block_sequence(dberr):
         np.array_equal(np.asarray(multi), seq)
     assert dberr(np.asarray(st_b.z_im), np.asarray(st_a.z_im)) < -200 or \
         np.array_equal(np.asarray(st_b.z_im), np.asarray(st_a.z_im))
+
+
+def test_causal_conv_forms_agree(dberr):
+    """FFT and direct grouped-conv forms of the causal conv must match."""
+    from openpbso_tpu.ops.integrator import (_causal_conv_direct,
+                                             _causal_conv_fft)
+    rng = np.random.default_rng(4)
+    g = jnp.asarray(rng.standard_normal((6, 256)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((6, 256)), jnp.float32)
+    a = np.asarray(_causal_conv_fft(g, f))
+    b = np.asarray(_causal_conv_direct(g, f))
+    assert dberr(b, a) < -110
+    # exact causal semantics on a unit-impulse probe
+    imp = jnp.zeros((1, 64), jnp.float32).at[0, 3].set(1.0)
+    ker = jnp.asarray(rng.standard_normal((1, 64)), jnp.float32)
+    out = np.asarray(_causal_conv_direct(ker, imp))[0]
+    np.testing.assert_allclose(out[3:], np.asarray(ker)[0, :61], rtol=1e-6)
+    assert np.abs(out[:3]).max() == 0.0
+
+
+def test_contractions_pin_matmul_precision():
+    """XLA's TPU default is ONE bf16 pass per f32 matmul (-52.6 dB at the
+    flagship scale); every correctness-critical contraction must pin
+    HIGHEST. Checked at the jaxpr level so a CPU run still guards it."""
+    import jax
+
+    from openpbso_tpu.ops.integrator import _mode_reduce, _weighted_gather
+
+    def dots_precisions(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        out = []
+        for eqn in jaxpr.jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+        return out
+
+    w = jnp.ones((4, 32), jnp.float32)
+    shared = jnp.ones((1, 32, 16), jnp.float32)
+    hetero = jnp.ones((4, 32, 16), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    f16 = jnp.ones((4, 16), jnp.float32)
+    for fn, args in [(_mode_reduce, (w, shared)),
+                     (_mode_reduce, (w, hetero)),
+                     (_weighted_gather, (shared, f16)),
+                     (_weighted_gather, (hetero, f16))]:
+        precisions = dots_precisions(fn, *args)
+        assert precisions, "expected a dot_general in the lowering"
+        for p in precisions:
+            assert p == (hi, hi), f"unpinned matmul precision: {p}"
