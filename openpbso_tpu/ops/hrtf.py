@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import OUTPUT_SCALE, SAMPLE_RATE
+from .integrator import PRECISION
 
 SPEED_OF_SOUND = 343.0
 DEFAULT_HEAD_RADIUS = 0.0875   # meters (average adult)
@@ -126,7 +127,7 @@ def hrtf_mix_block(
     t1 = carry.shape[-1]                        # n_taps - 1
     sf = jnp.fft.rfft(sound, n=n, axis=-1)      # [O, F]
     yf = jnp.einsum("of,ocf->cf", sf, hf,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=PRECISION)
     y = jnp.fft.irfft(yf, n=n, axis=-1)[:, : s + t1]   # [C, S+T-1]
     y = y.at[:, :t1].add(carry)
     mix = (y[:, :s] / OUTPUT_SCALE).T.astype(jnp.float32)

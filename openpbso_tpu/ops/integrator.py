@@ -43,9 +43,17 @@ from .coeffs import ModalBank
 # TPU MXU default is ONE bf16 pass per f32 matmul: measured -52.6 dB vs
 # CPU at [256,1024]x[1024,512] (small contractions lower to the full-f32
 # VPU instead, which masked this at toy scale). The -60 dB contract
-# requires the multi-pass f32 algorithm on every correctness-critical
-# contraction, so precision is pinned, never defaulted. (docs/PERF.md)
-PRECISION = jax.lax.Precision.HIGHEST
+# requires a multi-pass f32 algorithm on every correctness-critical
+# contraction, so precision is pinned, never defaulted. Measured ladder
+# at that shape: default -52.6 dB / HIGH (bf16x3) -97.8 dB, 27% cheaper /
+# HIGHEST (default here) -127.7 dB. OPENPBSO_MATMUL_PRECISION=high trades
+# ~30 dB of margin for throughput at import time. (docs/PERF.md)
+import os as _os
+
+PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("OPENPBSO_MATMUL_PRECISION", "highest").lower()]
 
 
 def _mode_reduce(w: jax.Array, table: jax.Array) -> jax.Array:

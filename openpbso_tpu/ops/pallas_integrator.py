@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .coeffs import ModalBank
+from .integrator import PRECISION
 
 # V4 tuning sweep on a v5e (hetero 256x1024, block 512, pipelined):
 # chunk=32 1.84 ms/block, 64 1.11 ms, 128 1.01 ms (obj_tile=16 variants
@@ -193,10 +194,10 @@ def step_block_pallas(
     for d in range(chunk):
         eye_sub[d][delta == d] = 1.0
     toep = jnp.einsum("od,dcj->ocj", g, jnp.asarray(eye_sub, dtype),
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=PRECISION)
     f_chunks = f_p.reshape(o_pad, sc, chunk)
     conv = jnp.einsum("ocj,okj->okc", toep, f_chunks,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=PRECISION)
     sound = (hom + conv.reshape(o_pad, s))[:o]
 
     qnorm = None

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import DEFAULT_BLOCK, OUTPUT_SCALE
 from ..ops.coeffs import ModalBank
 from ..ops.forces import force_block, sustained_block
-from ..ops.integrator import get_backend
+from ..ops.integrator import PRECISION, get_backend
 from .state import SolverState
 
 
@@ -95,7 +95,7 @@ def _step_block_impl(
         sound = jax.lax.psum(sound, mode_axis)
 
     mix = jnp.einsum("os,oc->sc", sound, gains,
-                 precision=jax.lax.Precision.HIGHEST) / OUTPUT_SCALE
+                 precision=PRECISION) / OUTPUT_SCALE
     if obj_axis is not None:
         mix = jax.lax.psum(mix, obj_axis)
     new_state = dataclasses.replace(
@@ -167,7 +167,7 @@ def decay_block(
     z_re, z_im, sound, qnorm = decay_block_blocked(
         state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
     mix = jnp.einsum("os,oc->sc", sound, gains,
-                 precision=jax.lax.Precision.HIGHEST) / OUTPUT_SCALE
+                 precision=PRECISION) / OUTPUT_SCALE
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
         block_start=state.block_start + block_size)
