@@ -378,6 +378,15 @@ class StreamingEngine:
             self.session._xfade_from = self.session.state.transfer
             _, mix, _ = self.session.step()
             np.asarray(mix)
+            if self._qnorm_every > 0:
+                # a listener move can land on a qnorm telemetry block
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=True)
+                self.session._xfade_from = self.session.state.transfer
+                _, mix, _ = self.session.step()
+                np.asarray(mix)
+                self.session.config = dataclasses.replace(
+                    self.session.config, compute_qnorm=False)
             self.session._xfade_from = None
         if self.session.decay_eligible():
             # the steady-state loop switches to the homogeneous-only step
