@@ -118,3 +118,38 @@ def test_hrtf_post_mix_in_streaming_engine():
     assert audio.shape[1] == 2 and np.abs(audio).max() > 0
     # the +x object must load the right ear
     assert (audio[:, 1] ** 2).sum() > (audio[:, 0] ** 2).sum()
+
+
+def test_hrtf_post_mix_with_lookahead():
+    """post_mix must apply per block inside the lookahead batch too."""
+    import time
+
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    md = synth_mode_data(12, 8, seed=8)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=1,
+                              block_size=128, dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"))
+    pm = HRTFPostMix(np.asarray([[0.7, 0.0, 0.0]]), block_size=128,
+                     n_taps=96)
+    sink = RawCollectorSink()
+    eng = StreamingEngine(sess, sink, post_mix=pm, lookahead=4)
+    eng.start()
+    try:
+        eng.hit(0, np.ones(12), kind="gaussian", width_us=400.0)
+        time.sleep(0.5)
+    finally:
+        eng.stop()
+    assert eng.error is None
+    audio = sink.concatenated()
+    assert np.abs(audio).max() > 0
+    e_l, e_r = (audio[:, 0] ** 2).sum(), (audio[:, 1] ** 2).sum()
+    assert e_r > e_l   # +x object loads the right ear through lookahead

@@ -58,3 +58,24 @@ def test_pallas_multiblock_continuity(dberr):
 def test_pallas_registered_backend():
     from openpbso_tpu.ops.integrator import BACKENDS
     assert "pallas" in BACKENDS
+
+
+@pytest.mark.parametrize("obj_tile", [8, 16])
+def test_pallas_obj_tile_parameter(obj_tile, dberr):
+    """obj_tile (V4 tuning knob) must not change the result."""
+    s = 256
+    bank, space, tr, tp, z0r, z0i = _case(5, 40, s)
+    ra = step_block_blocked(z0r, z0i, bank, space, tp, tr, False)
+    rb = step_block_pallas(z0r, z0i, bank, space, tp, tr, False,
+                           chunk=64, obj_tile=obj_tile, interpret=True)
+    for a, b, name in zip(ra[:3], rb[:3], ("z_re", "z_im", "sound")):
+        assert dberr(np.asarray(b), np.asarray(a)) < -90, name
+
+
+def test_pallas_chunk_clamps_to_block():
+    """DEFAULT_CHUNK > block size must clamp, not assert."""
+    s = 32
+    bank, space, tr, tp, z0r, z0i = _case(2, 24, s)
+    out = step_block_pallas(z0r, z0i, bank, space, tp, tr, False,
+                            chunk=64, interpret=True)  # clamps to 32
+    assert np.isfinite(np.asarray(out[2])).all()
