@@ -271,7 +271,10 @@ def test_contractions_pin_matmul_precision():
     HIGHEST. Checked at the jaxpr level so a CPU run still guards it."""
     import jax
 
-    from openpbso_tpu.ops.integrator import _mode_reduce, _weighted_gather
+    from openpbso_tpu.ops.integrator import (PRECISION, _mode_reduce,
+                                             _weighted_gather)
+    # whatever the env knob selected, it must be a multi-pass algorithm
+    assert PRECISION in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST)
 
     def dots_precisions(fn, *args):
         jaxpr = jax.make_jaxpr(fn)(*args)
@@ -284,7 +287,7 @@ def test_contractions_pin_matmul_precision():
     w = jnp.ones((4, 32), jnp.float32)
     shared = jnp.ones((1, 32, 16), jnp.float32)
     hetero = jnp.ones((4, 32, 16), jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
+    hi = PRECISION
     f16 = jnp.ones((4, 16), jnp.float32)
     for fn, args in [(_mode_reduce, (w, shared)),
                      (_mode_reduce, (w, hetero)),
