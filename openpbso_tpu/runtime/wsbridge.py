@@ -206,8 +206,9 @@ class WebSocketAudioServer(AudioServer):
                 sink.send_json({"error": f"synthesis failed: "
                                          f"{engine.error!r}"})
         finally:
-            sink.close()
+            # stop synthesis FIRST so no PCM frame follows the CLOSE frame
             engine.stop()
+            sink.close()
 
 
 DEMO_PAGE = """<!doctype html>
