@@ -36,7 +36,10 @@ def load_state(path: str, template: SolverState) -> SolverState:
     """Restore a snapshot into the dtype/sharding of ``template``.
 
     Shapes must match (same scene dimensions); dtypes are cast to the
-    template's.
+    template's. When restoring INTO a ModalSession, use load_session
+    instead — it also refreshes the session's host mirrors (sample
+    clock, slot expiry, sustained activity), which gate the decay fast
+    path and slot recycling.
     """
     import jax
     import jax.numpy as jnp
