@@ -283,6 +283,16 @@ class StreamingEngine:
 
     def _synth_loop(self) -> None:
         try:
+            # the reference pins its sim thread to SCHED_FIFO max priority
+            # (real_time_modal_sound.cpp:527-539); best-effort equivalent —
+            # needs CAP_SYS_NICE, silently skipped otherwise
+            import os
+            try:
+                os.sched_setscheduler(
+                    0, os.SCHED_FIFO,
+                    os.sched_param(os.sched_get_priority_max(os.SCHED_FIFO)))
+            except (OSError, AttributeError, PermissionError):
+                pass
             self._synth_loop_inner()
         except BaseException as e:  # noqa: BLE001 — surfaced via .error
             self.error = e
