@@ -40,7 +40,11 @@ def load_native():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
+        src = os.path.join(_HERE, "pbso_native.cc")
+        stale = (os.path.exists(_SO) and os.path.exists(src)
+                 and os.path.getmtime(_SO) < os.path.getmtime(src))
+        if (not os.path.exists(_SO) or stale) and not _build():
+            # a stale .so may have a mismatched struct layout — never load it
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -134,7 +138,8 @@ class _FatcubeOut(ctypes.Structure):
         ("mode_id", ctypes.c_int32),
         ("is_compressed", ctypes.c_int32),
         ("cell_size", ctypes.c_double),
-        ("center", ctypes.c_double * 3),
+        ("map_center", ctypes.c_double * 3),
+        ("shell_center", ctypes.c_double * 3),
         ("bbox_low", ctypes.c_double * 3),
         ("bbox_top", ctypes.c_double * 3),
         ("low_corners", ctypes.c_double * 18),
@@ -177,12 +182,15 @@ def native_decode_fatcube(data: bytes):
         n_elements=np.ctypeslib.as_array(out2.n_elements).reshape(6, 2)
         .copy(),
         strides=np.ctypeslib.as_array(out2.strides).copy(),
-        center=np.ctypeslib.as_array(out2.center).copy(),
+        center=np.ctypeslib.as_array(out2.shell_center).copy(),
         bbox_low=np.ctypeslib.as_array(out2.bbox_low).copy(),
         bbox_top=np.ctypeslib.as_array(out2.bbox_top).copy(),
     )
+    # map-level center (ffat_map_t_3 field 2) is distinct from the shell
+    # center, matching the Python codec (io/fatcube.py:284 vs 251)
     return FatcubeMap(mode_id=int(out2.mode_id), k=float(out2.k),
-                      center=shell.center.copy(), shell=shell, psi=psi,
+                      center=np.ctypeslib.as_array(out2.map_center).copy(),
+                      shell=shell, psi=psi,
                       is_compressed=bool(out2.is_compressed))
 
 

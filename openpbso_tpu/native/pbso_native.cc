@@ -212,7 +212,8 @@ struct FatcubeOut {
   int32_t mode_id;
   int32_t is_compressed;
   double  cell_size;
-  double  center[3];
+  double  map_center[3];     // ffat_map_t_3 field 2 (map-level center)
+  double  shell_center[3];   // ffat_map_t_1 field 5 (shell center)
   double  bbox_low[3];
   double  bbox_top[3];
   double  low_corners[18];   // 6 x 3
@@ -241,6 +242,9 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
   if (!top.ok || !have_map3) return 0;
 
   out->psi_count = 0;
+  // missing center fields decode to zeros, matching the Python codec
+  // (io/fatcube.py:239,276)
+  for (int i = 0; i < 3; ++i) out->map_center[i] = out->shell_center[i] = 0.0;
   while (map3.ok && map3.p < map3.end) {
     const uint64_t key = map3.varint();
     const int field = key >> 3;
@@ -248,7 +252,7 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
     if (field == 1 && wt == 1) {
       out->k = map3.f64();
     } else if (field == 2 && wt == 2) {
-      read_vec(map3.sub(map3.varint()), out->center, 3);
+      read_vec(map3.sub(map3.varint()), out->map_center, 3);
     } else if (field == 3 && wt == 2) {          // shells (ffat_map_t_1)
       Cursor sh = map3.sub(map3.varint());
       int lc = 0, ne = 0;
@@ -283,7 +287,7 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
         } else if (f2 == 4 && w2 == 2) {
           read_vec_i(sh.sub(sh.varint()), out->strides, 6);
         } else if (f2 == 5 && w2 == 2) {
-          read_vec(sh.sub(sh.varint()), out->center, 3);
+          read_vec(sh.sub(sh.varint()), out->shell_center, 3);
         } else if (f2 == 6 && w2 == 2) {
           read_vec(sh.sub(sh.varint()), out->bbox_low, 3);
         } else if (f2 == 7 && w2 == 2) {

@@ -110,13 +110,16 @@ def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
     dot, one for the stereo mix).
     """
     from ..config import OUTPUT_SCALE
-    from ..ops.integrator import decay_block_blocked
+    from ..ops.integrator import PRECISION, decay_block_blocked
 
     def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
         z_re, z_im, sound, qnorm = decay_block_blocked(
             state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
         sound = jax.lax.psum(sound, "mode")
-        mix = jnp.einsum("os,oc->sc", sound, gains) / OUTPUT_SCALE
+        # precision pinned like runtime/solver.py:97 — the MXU default is
+        # one bf16 pass (-52.6 dB), below the -60 dB oracle contract
+        mix = jnp.einsum("os,oc->sc", sound, gains,
+                         precision=PRECISION) / OUTPUT_SCALE
         mix = jax.lax.psum(mix, "obj")
         new_state = dataclasses.replace(
             state, z_re=z_re, z_im=z_im,

@@ -66,6 +66,10 @@ def save_session(path: str, session) -> None:
     data = _flatten(session.state)
     data["_session_expiry"] = session._expiry
     data["_session_t0"] = session._t0
+    # absolute host clock + device-time origin (the device block_start is
+    # origin-rebased so its int32 never wraps; see session._maybe_rebase)
+    data["_session_clock"] = np.asarray(session._clock, np.int64)
+    data["_session_clock_base"] = np.asarray(session._clock_base, np.int64)
     np.savez_compressed(path, **data)
 
 
@@ -80,8 +84,14 @@ def load_session(path: str, session) -> None:
         session._expiry[...] = data["_session_expiry"]
         session._t0[...] = data["_session_t0"]
     # refresh the host clock + sustained-activity mirrors from the restored
-    # device state (they gate the idle decay fast path)
-    session._clock = int(np.asarray(session.state.block_start))
+    # device state (they gate the idle decay fast path). Old snapshots
+    # (no clock keys) predate clock rebasing: device time was absolute.
+    if "_session_clock" in data:
+        session._clock = int(data["_session_clock"])
+        session._clock_base = int(data["_session_clock_base"])
+    else:
+        session._clock = int(np.asarray(session.state.block_start))
+        session._clock_base = 0
     session._sus_active[...] = np.asarray(session.state.sustained.active)
     session._xfade_from = None  # any pending smooth move predates the load
 

@@ -119,6 +119,10 @@ class AudioServer:
                 self.serve_one()
             except OSError:
                 return  # listening socket closed (shutdown)
+            except Exception:  # noqa: BLE001 — per-connection guard
+                # no single client's error may take down the listener; the
+                # failed connection was already closed by serve_one
+                continue
 
     def close(self) -> None:
         self._sock.close()
@@ -235,8 +239,11 @@ class AudioServer:
                 })
             else:
                 sink.send_json({"error": f"unknown cmd {cmd!r}"})
-        except (KeyError, ValueError, TypeError, OSError,
+        except (KeyError, IndexError, ValueError, TypeError, OSError,
                 json.JSONDecodeError) as e:
+            # IndexError included: engine.hit / modal_force_vertex raise it
+            # for out-of-range obj/vertex — a malformed client command must
+            # never escape the per-connection handler
             sink.send_json({"error": str(e)})
         return False
 

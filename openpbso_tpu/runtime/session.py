@@ -43,6 +43,29 @@ def _write_slot(slots: ForceSlots, obj: jax.Array, slot: jax.Array,
     )
 
 
+@partial(jax.jit, donate_argnames=("state",))
+def _rebase_clock(state, delta: jax.Array):
+    """Shift the device time origin by ``delta`` samples (block-aligned).
+
+    block_start and slot t0 are int32 on device; a continuous stream would
+    wrap at 2^31 samples (~13.5 h at 44.1 kHz). The session re-zeroes the
+    device clock every REBASE_PERIOD samples instead; expired slots whose
+    shifted t0 would keep drifting negative are clamped (their ``producing``
+    predicate is already false forever, so the clamp is output-invariant).
+    """
+    slots = state.slots
+    return dataclasses.replace(
+        state,
+        block_start=state.block_start - delta,
+        slots=dataclasses.replace(
+            slots, t0=jnp.maximum(slots.t0 - delta, -(1 << 30))))
+
+
+# rebase the device clock origin after ~6.7 h of audio (headroom of 2x
+# before int32 wrap even if a rebase is missed for another full period)
+REBASE_PERIOD = 1 << 30
+
+
 @partial(jax.jit, donate_argnames=("slots",))
 def _clear_slots(slots: ForceSlots, objs: jax.Array) -> ForceSlots:
     """Deactivate every slot of the given object rows (``objs``: [K])."""
@@ -87,6 +110,9 @@ class ModalSession:
         # host mirrors of the sample clock and sustained activity, so the
         # idle test (decay fast path) never syncs with the device
         self._clock = 0
+        # device time origin: device block_start == _clock - _clock_base
+        # (rebased periodically so the int32 device clock never wraps)
+        self._clock_base = 0
         self._sus_active = np.zeros((o,), bool)
         # transfer row before the latest listener move, pending an
         # interpolated block (smooth_transfer)
@@ -136,12 +162,13 @@ class ModalSession:
         dur = slot_duration(ftype, width, self.config.block_size)
         slot = self._alloc_slot(obj)
         t0 = self.sample_clock
+        t0_dev = t0 - self._clock_base   # device time is origin-rebased
         self.state = dataclasses.replace(
             self.state,
             slots=_write_slot(
                 self.state.slots,
                 jnp.asarray(obj, jnp.int32), jnp.asarray(slot, jnp.int32),
-                jnp.asarray(ftype, jnp.int32), jnp.asarray(t0, jnp.int32),
+                jnp.asarray(ftype, jnp.int32), jnp.asarray(t0_dev, jnp.int32),
                 jnp.asarray(float(width), self._dtype),
                 jnp.asarray(amp, self._dtype),
                 jnp.asarray(vec, self._dtype)))
@@ -251,6 +278,15 @@ class ModalSession:
 
     # ------------------------------------------------------------------ audio
 
+    def _maybe_rebase(self) -> None:
+        """Re-zero the device clock origin before int32 wrap (see
+        _rebase_clock). Called at dispatch sites; cheap host compare."""
+        delta = self._clock - self._clock_base
+        if delta >= REBASE_PERIOD:
+            self.state = _rebase_clock(self.state,
+                                       jnp.asarray(delta, jnp.int32))
+            self._clock_base = self._clock
+
     def decay_eligible(self) -> bool:
         """Whether this session can ever take the idle fast path: it needs
         the lam-power tables (blocked form) and a table-form backend, so a
@@ -291,6 +327,7 @@ class ModalSession:
         (smooth_transfer) dispatches the transfer-ramping variant for one
         block and takes priority over the decay path.
         """
+        self._maybe_rebase()
         if self._xfade_from is not None:
             prev, self._xfade_from = self._xfade_from, None
             self.state, sound, mix, qnorm = step_block_xfade(
@@ -332,6 +369,7 @@ class ModalSession:
         correct sample inside the span.
         """
         from .solver import step_multi
+        self._maybe_rebase()
         out = []
         done = 0
         if self._xfade_from is not None and num_blocks > 0:

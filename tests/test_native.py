@@ -101,3 +101,19 @@ def test_native_load_all(tmp_path, lib):
                      synth_fatcube(i, 100.0 * i, n=5))
     maps = load_all_fatcubes_native(str(tmp_path))
     assert sorted(maps) == [1, 4]
+
+
+def test_native_fatcube_distinct_centers(lib):
+    """Map-level center (ffat_map_t_3 field 2) and shell center (field 5)
+    are distinct fields; the native decoder must keep them apart
+    (round-1 advisor finding: both wrote one out->center)."""
+    import dataclasses
+    m = synth_fatcube(2, 550.0, n=6, seed=3)
+    m = dataclasses.replace(m, center=m.center + np.array([0.5, -0.25, 2.0]))
+    assert not np.array_equal(m.center, m.shell.center)
+    data = encode_fatcube(m)
+    nat = native.native_decode_fatcube(data)
+    assert nat is not None
+    assert np.array_equal(nat.center, m.center)
+    assert np.array_equal(nat.shell.center, m.shell.center)
+    assert maps_match_bits(m, nat)

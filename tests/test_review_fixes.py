@@ -175,3 +175,45 @@ def test_scene_gains_restore_after_attenuation(tmp_path):
     assert not np.allclose(att, base)
     scene.set_listener(np.asarray([1.0, 0.0, 0.0]))  # default: no attenuation
     np.testing.assert_allclose(np.asarray(scene.session.gains), base)
+
+
+def test_clock_rebase_preserves_output():
+    """Device block_start/t0 are int32; the session re-zeroes the device
+    origin every REBASE_PERIOD samples (round-1 advisor finding: a >13.5 h
+    stream would wrap). A hit landing right at the rebase boundary must
+    produce the same audio as a fresh session."""
+    import jax.numpy as jnp
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.session import REBASE_PERIOD, ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+    import dataclasses
+    import numpy as np
+
+    md = synth_mode_data(12, 8)
+
+    def make():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=128, dtype=jnp.float32)
+        return ModalSession(bank, config=SolverConfig(
+            block_size=128, backend="blocked", decay_fast_path=False))
+
+    old = make()
+    # simulate a session that has streamed REBASE_PERIOD samples
+    old._clock = REBASE_PERIOD
+    old.state = dataclasses.replace(
+        old.state, block_start=jnp.asarray(REBASE_PERIOD, jnp.int32))
+    fresh = make()
+    space = np.linspace(0.5, 1.0, 12)
+    for s in (old, fresh):
+        s.hit(0, space, kind="gaussian", width_us=300.0)
+    _, mix_old, _ = old.step()
+    _, mix_fresh, _ = fresh.step()
+    assert old._clock_base == REBASE_PERIOD
+    assert int(np.asarray(old.state.block_start)) == 128
+    np.testing.assert_array_equal(np.asarray(mix_old), np.asarray(mix_fresh))
+    # and a later hit (device time now small again) still fires
+    old.hit(0, space)
+    _, mix2, _ = old.step()
+    assert np.abs(np.asarray(mix2)).max() > 0

@@ -146,3 +146,22 @@ def test_load_model_hot_swap(server_with_loader, synth_model_root):
     c.read_block()  # still streaming
     c.send(cmd="quit")
     c.close()
+
+
+def test_out_of_range_hit_does_not_kill_server(server):
+    """round-1 advisor high finding: engine.hit raises IndexError for an
+    out-of-range object; _dispatch must reply with an error, and the
+    stream must keep producing blocks."""
+    srv, md = server
+    c = AudioClient(*srv.address)
+    c.send(cmd="hit", obj=99, space=[1.0] * md.num_modes)
+    for _ in range(50):
+        c.read_block()
+        if c.messages:
+            break
+    assert c.messages and "error" in c.messages[0]
+    # server is still synthesizing after the bad command
+    block = c.read_block()
+    assert block.shape == (BLOCK, 2)
+    c.send(cmd="quit")
+    c.close()
