@@ -112,15 +112,20 @@ def lambda_from_modes(density: float, omega_squared: np.ndarray, alpha: float,
     return lam, b, valid
 
 
-def _power_table(lam: np.ndarray, max_power: int) -> np.ndarray:
-    """[..., max_power+1] complex128 table of lam^d, exact-angle form.
+def _power_table(lam: np.ndarray, powers) -> np.ndarray:
+    """[..., len(powers)] complex128 table of lam^d, exact-angle form.
 
+    ``powers``: int (meaning arange(powers+1)) or an explicit int array of
+    exponents (used by the span tables for strided giant-step powers).
     Computed from polar form (d*log) rather than repeated multiplication so the
-    float64 angle does not accumulate rounding across 512 powers.
+    float64 angle does not accumulate rounding across hundreds of powers.
     """
     mag = np.abs(lam)
     ang = np.angle(lam)
-    d = np.arange(max_power + 1, dtype=np.float64)
+    if np.isscalar(powers) or np.ndim(powers) == 0:
+        d = np.arange(int(powers) + 1, dtype=np.float64)
+    else:
+        d = np.asarray(powers, np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         logmag = np.where(mag > 0, np.log(mag), -np.inf)
         magd = np.exp(logmag[..., None] * d)  # mag^d (0^0 -> 1 below)

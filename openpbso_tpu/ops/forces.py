@@ -148,6 +148,71 @@ def force_block(
     return time_profile, space
 
 
+@partial(jax.jit, static_argnames=("n_samples", "block_size"))
+def force_span(
+    slots: ForceSlots,
+    block_start: jax.Array,     # [] int32 global sample of the span start
+    n_samples: int,
+    block_size: int,
+):
+    """Per-slot excitation over a span of many blocks (ops/span.py).
+
+    The reference applies forces at *block* granularity: each block, every
+    producing force adds its profile to one shared time buffer and its
+    modal amplitudes to one shared space vector, and the excitation is the
+    rank-1 product of the two sums (modal_solver.h:206-221). Slot
+    membership therefore changes per block inside a span. Decomposing per
+    slot reproduces that exactly:
+
+        Q[m, n] = sum_k space_k[m] * (time_total[n] * member_k(block(n)))
+
+    where time_total is the sum of every slot's (block-cut) profile and
+    member_k is the block-granular producing predicate — including the
+    reference's cross terms (slot A's profile excites slot B's spatial
+    pattern while both are members of a block).
+
+    Returns (f_k [O, K, N] per-slot effective profiles, space_k [O, K, M]).
+    Per-block outputs of force_block are reproduced bit-for-block by
+    construction (same profile formulas, same producing predicate evaluated
+    at each block's start).
+    """
+    n = n_samples
+    local0 = block_start - slots.t0                       # [O, K]
+    is_point = slots.ftype == FORCE_POINT
+    is_gauss = slots.ftype == FORCE_GAUSSIAN
+    is_hertz = slots.ftype == FORCE_HERTZ
+
+    w = jnp.maximum(slots.width, 1.0)
+    dur = jnp.where(is_point, 1,
+                    jnp.where(is_gauss,
+                              (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32),
+                              jnp.where(is_hertz, w.astype(jnp.int32), 0)))
+
+    t_local = local0[..., None] + jnp.arange(n, dtype=jnp.int32)  # [O, K, N]
+    # block-granular membership: the producing predicate evaluated at the
+    # start of the block containing each sample (t0 is block-aligned, so
+    # flooring the local time to a block multiple gives that block's local0)
+    t_block = (t_local // block_size) * block_size
+    member = (t_block >= 0) & (t_block < dur[..., None])
+
+    tf = t_local.astype(slots.amp.dtype)
+    point_prof = (t_local == 0).astype(slots.amp.dtype)
+    center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
+    dt = (tf - center[..., None]) / w[..., None]
+    gauss_prof = jnp.exp(-0.5 * dt * dt)
+    ph = jnp.clip(tf / w[..., None], 0.0, 1.0)
+    hertz_prof = jnp.sin(jnp.pi * ph) ** 1.5 * \
+        ((t_local >= 0) & (tf < w[..., None])).astype(slots.amp.dtype)
+    prof = jnp.where(is_point[..., None], point_prof,
+                     jnp.where(is_gauss[..., None], gauss_prof,
+                               jnp.where(is_hertz[..., None], hertz_prof,
+                                         0.0)))
+    prof = prof * member * slots.amp[..., None]
+    time_total = jnp.sum(prof, axis=1)                    # [O, N]
+    f_k = time_total[:, None, :] * member.astype(prof.dtype)
+    return f_k, slots.space
+
+
 # ---------------------------------------------------------------------------
 # sustained AR(2) channel
 # ---------------------------------------------------------------------------

@@ -266,7 +266,16 @@ class StreamingEngine:
                 except queue.Full:
                     pass  # telemetry is best-effort (modal_solver.h:273)
             return [mix_np]
-        # lookahead: L async single-block dispatches, ONE host transfer at
+        # lookahead: when the session has span tables (and no post-mix
+        # needs per-block [O,S] sound), ONE span dispatch synthesizes all L
+        # blocks with no serial dependency (ops/span.py) — the fastest path.
+        if (self._post_mix is None and self.session.span_eligible()
+                and self.session._xfade_from is None):
+            mix = np.asarray(self.session._step_span(self.lookahead))
+            block = self.session.config.block_size
+            return [mix[i * block:(i + 1) * block] for i in
+                    range(self.lookahead)]
+        # otherwise: L async single-block dispatches, ONE host transfer at
         # the end — amortizes per-dispatch latency like a scan but reuses
         # the already-compiled step (a scan is a separate, much larger
         # compile), and fetches all L blocks in a single stacked transfer
@@ -338,87 +347,19 @@ class StreamingEngine:
         # Warm EVERY jit variant the steady-state loop will use BEFORE
         # spawning threads: a first compile can take seconds-to-minutes
         # (remote TPU), and a daemon thread abandoned inside a native
-        # compile call aborts the process at interpreter exit. Warmup runs
-        # against a snapshot of the state so no synthesized audio is
-        # dropped and the stream starts from the same sample.
-        import jax
-        import jax.numpy as jnp
-
-        saved_state = self.session.state
-        saved_blocks = self._blocks_done
-        saved_clock = self.session.sample_clock
-        # hit/clear also jit-compile on first use (slot scatter kernels) —
-        # warm them here so the first interactive strike doesn't stall the
-        # stream. _write_slot DONATES the slot buffers, so keep a host copy
-        # to rebuild the exact slot table afterwards.
-        slots_np = jax.tree.map(np.asarray, self.session.state.slots)
-        saved_expiry = self.session._expiry.copy()
-        saved_t0 = self.session._t0.copy()
-        saved_sus = self.session._sus_active.copy()
-        self.session.hit(0, np.zeros(self.session.bank.num_modes), amp=0.0)
-        self.session.clear_forces()
-        # the plain (no-qnorm) full-step variant covers both the
-        # lookahead=1 path and the pipelined lookahead path (called
-        # explicitly: step() would route an idle session to the decay
-        # variant and leave the full step uncompiled). np.asarray is the
-        # sync that actually forces the compile here — step() alone
-        # dispatches asynchronously and the compile would land in the synth
-        # thread after all.
-        sound, mix, _ = self.session._step_full()
-        if self._post_mix is not None:
-            # compile the post-mix path too, then drop the warmup's filter
-            # tail so the stream starts clean
-            np.asarray(self._post_mix(sound, mix))
-            if hasattr(self._post_mix, "reset"):
-                self._post_mix.reset()
-        np.asarray(mix)
-        if self._qnorm_every > 0:
-            self.session.config = dataclasses.replace(
-                self.session.config, compute_qnorm=True)
-            _, mix, _ = self.session._step_full()
-            np.asarray(mix)
-            self.session.config = dataclasses.replace(
-                self.session.config, compute_qnorm=False)
-        if self.session.config.smooth_transfer and \
-                self.session.ffat is not None:
-            # a mid-stream listener move dispatches the transfer-ramping
-            # variant; compile it now (ramp from the current row to
-            # itself). Without an FFAT the transfer never changes and the
-            # variant can never fire, so skip the (expensive) compile.
-            self.session._xfade_from = self.session.state.transfer
-            _, mix, _ = self.session.step()
-            np.asarray(mix)
-            if self._qnorm_every > 0:
-                # a listener move can land on a qnorm telemetry block
-                self.session.config = dataclasses.replace(
-                    self.session.config, compute_qnorm=True)
-                self.session._xfade_from = self.session.state.transfer
-                _, mix, _ = self.session.step()
-                np.asarray(mix)
-                self.session.config = dataclasses.replace(
-                    self.session.config, compute_qnorm=False)
-            self.session._xfade_from = None
-        if self.session.decay_eligible():
-            # the steady-state loop switches to the homogeneous-only step
-            # whenever the scene rings down; compile it now too (both
-            # qnorm variants, since _synth_once toggles compute_qnorm)
-            _, mix, _ = self.session._step_decay()
-            np.asarray(mix)
-            if self._qnorm_every > 0:
-                self.session.config = dataclasses.replace(
-                    self.session.config, compute_qnorm=True)
-                _, mix, _ = self.session._step_decay()
-                np.asarray(mix)
-                self.session.config = dataclasses.replace(
-                    self.session.config, compute_qnorm=False)
-        self.session.state = dataclasses.replace(
-            saved_state,
-            slots=jax.tree.map(jnp.asarray, slots_np))
-        self._blocks_done = saved_blocks
-        self.session._clock = saved_clock
-        self.session._expiry[...] = saved_expiry
-        self.session._t0[...] = saved_t0
-        self.session._sus_active[...] = saved_sus
+        # compile call aborts the process at interpreter exit. The session
+        # owns the variant set and snapshots/restores its own state
+        # (session.warmup); the engine just declares which optional paths
+        # this stream can reach.
+        self.session.warmup(
+            qnorm=self._qnorm_every > 0,
+            post_mix=self._post_mix,
+            sustained=True,
+            span_blocks=(
+                (self.lookahead,)
+                if self.lookahead > 1 and self._post_mix is None
+                and self.session.span_eligible() else ()),
+        )
 
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)

@@ -93,9 +93,17 @@ class ModalSession:
         num_slots: int = 16,
         seed: int = 0,
         dtype=jnp.float32,
+        lam64: np.ndarray | None = None,
     ):
+        """``lam64``: the float64 complex eigenvalues the bank was built
+        from (lambda_from_modes), [M] or [O, M]. Optional; when present the
+        session can build span tables (ops/span.py) and render_multi takes
+        the one-dispatch MXU span path instead of the per-block scan."""
         self.bank = bank
         self.ffat = ffat
+        self._lam64 = (None if lam64 is None
+                       else np.atleast_2d(np.asarray(lam64, np.complex128)))
+        self._span_cache: dict[int, object] = {}
         self.config = config or SolverConfig()
         o, m = bank.num_objects, bank.num_modes
         self.state = make_solver_state(
@@ -334,23 +342,194 @@ class ModalSession:
                 self.state, self.bank, self.gains, prev,
                 block_size=self.config.block_size,
                 backend=self.config.backend,
-                compute_qnorm=self.config.compute_qnorm)
+                compute_qnorm=self.config.compute_qnorm,
+                with_sustained=self._with_sustained(),
+                num_slots=self._slot_bucket())
             self._clock += self.config.block_size
             return sound, mix, qnorm
         if self._idle() and self.decay_eligible():
             return self._step_decay()
         return self._step_full()
 
-    def _step_full(self):
-        """The ungated full block step (warmup calls this directly so the
-        full variant compiles even when the session is idle)."""
+    def _with_sustained(self) -> bool:
+        """Static sustained flag from the host mirror: when every channel
+        is inactive the 512-step serial AR(2) scan is dead work and the
+        ungated step is bitwise identical (solver._step_block_impl)."""
+        return bool(self._sus_active.any())
+
+    def _step_full(self, with_sustained: bool | None = None,
+                   num_slots: int | None | str = "auto"):
+        """The host-gated full block step; warmup passes explicit variant
+        flags so every dispatchable executable compiles up front."""
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        if num_slots == "auto":
+            num_slots = self._slot_bucket()
         self.state, sound, mix, qnorm = step_block(
             self.state, self.bank, self.gains,
             block_size=self.config.block_size,
             backend=self.config.backend,
-            compute_qnorm=self.config.compute_qnorm)
+            compute_qnorm=self.config.compute_qnorm,
+            with_sustained=with_sustained,
+            num_slots=num_slots)
         self._clock += self.config.block_size
         return sound, mix, qnorm
+
+    # ---------------------------------------------------------------- span
+
+    def span_tables_for(self, n_blocks: int):
+        """SpanTables for n_blocks*block_size samples (cached), or None
+        when the session was built without lam64."""
+        if self._lam64 is None:
+            return None
+        tables = self._span_cache.get(n_blocks)
+        if tables is None:
+            from ..ops.span import build_span_tables
+            tables = build_span_tables(
+                self._lam64, n_blocks * self.config.block_size,
+                num_modes=self.bank.num_modes, dtype=self._dtype)
+            self._span_cache[n_blocks] = tables
+        return tables
+
+    def _slot_bucket(self) -> int | None:
+        """Static per-slot work bound: the smallest configured bucket
+        covering every live slot index (the host expiry mirror knows
+        exactly which slots can still produce), or None for the full
+        table. Buckets quantize the jit-variant count: each distinct
+        value is one compiled executable (config.slot_buckets). While a
+        sustained channel is active the full table is used — it keeps the
+        warmed variant matrix at (buckets + 1) x qnorm instead of the
+        cross product, and sustained scenes are not the throughput path."""
+        if self._sus_active.any():
+            return None
+        k = self.state.slots.num_slots
+        live = self._expiry > self._clock
+        need = (int(np.max(np.nonzero(live.any(axis=0))[0])) + 1
+                if live.any() else 1)
+        for b in sorted(set(self.config.slot_buckets)):
+            if need <= b < k:
+                return b
+        return None  # full table (no extra jit variant)
+
+    def span_eligible(self) -> bool:
+        """The span path needs lam64 tables and no sustained channel (the
+        AR(2) recurrence is per-sample serial; sustained scenes use the
+        per-block scan)."""
+        return self._lam64 is not None and not self._sus_active.any()
+
+    def _step_span(self, n_blocks: int, num_slots: int | None | str = "auto",
+                   idle: bool | None = None):
+        """Advance n_blocks via one span dispatch; returns device mix
+        [n_blocks*S, C] (not host-synced). Caller checked span_eligible.
+        ``num_slots``/``idle`` override the host gating (warmup)."""
+        from .solver import decay_span_step, step_span
+        tables = self.span_tables_for(n_blocks)
+        if idle is None:
+            idle = self._idle() and self.config.decay_fast_path
+        if idle:
+            self.state, mix = decay_span_step(
+                self.state, self.bank, tables, self.gains,
+                n_blocks=n_blocks, block_size=self.config.block_size)
+        else:
+            self.state, mix = step_span(
+                self.state, self.bank, tables, self.gains,
+                n_blocks=n_blocks, block_size=self.config.block_size,
+                num_slots=(self._slot_bucket() if num_slots == "auto"
+                           else num_slots))
+        self._clock += n_blocks * self.config.block_size
+        return mix
+
+    # -------------------------------------------------------------- warmup
+
+    def warmup(self, *, qnorm: bool = False, post_mix=None,
+               sustained: bool = True, span_blocks: tuple[int, ...] = (),
+               ) -> None:
+        """Compile every jit variant the steady-state loop can dispatch.
+
+        A first compile can take seconds-to-minutes on a remote TPU link, so
+        a live stream must never hit an un-compiled executable. Variants are
+        gated to ones that can actually fire for THIS session:
+
+        - the full step for every slot bucket (sustained off), and the
+          sustained-on variant (full slot table) when ``sustained`` —
+          pass False for sessions that will never receive sustained events;
+        - the decay step when the session is decay-eligible;
+        - the transfer-ramp (xfade) step only when smooth_transfer is on
+          AND an FFAT is present (without one the transfer never changes);
+        - each of the above with compute_qnorm=True when ``qnorm``;
+        - span dispatches for each length in ``span_blocks`` (engine
+          lookahead) when the session has span tables;
+        - the hit/clear slot-scatter kernels;
+        - ``post_mix(sound, mix)`` when given (e.g. an HRTF stage; its
+          ``reset()`` is called afterwards so the stream starts clean).
+
+        The session's device state and host mirrors are snapshotted and
+        fully restored: warmup synthesizes no observable audio and leaves
+        the sample clock untouched.
+        """
+        import jax
+
+        saved_state = self.state
+        saved_clock = self._clock
+        saved_base = self._clock_base
+        # hit/clear donate the slot buffers, so keep a host copy to rebuild
+        slots_np = jax.tree.map(np.asarray, self.state.slots)
+        saved_expiry = self._expiry.copy()
+        saved_t0 = self._t0.copy()
+        saved_sus = self._sus_active.copy()
+        saved_xfade = self._xfade_from
+        saved_config = self.config
+        try:
+            self.hit(0, np.zeros(self.bank.num_modes), amp=0.0)
+            self.clear_forces()
+            k = self.state.slots.num_slots
+            buckets = sorted({b for b in self.config.slot_buckets
+                              if b < k}) + [None]
+            variants = [(False, b) for b in buckets]
+            if sustained:
+                variants.append((True, None))
+            qnorms = [False] + ([True] if qnorm else [])
+            for q in qnorms:
+                self.config = dataclasses.replace(self.config,
+                                                  compute_qnorm=q)
+                for ws, b in variants:
+                    sound, mix, _ = self._step_full(with_sustained=ws,
+                                                    num_slots=b)
+                    if post_mix is not None and not q and ws is False \
+                            and b is buckets[0]:
+                        np.asarray(post_mix(sound, mix))
+                    np.asarray(mix)  # the sync that forces the compile
+                if self.config.smooth_transfer and self.ffat is not None:
+                    # a mid-stream listener move dispatches the
+                    # transfer-ramping variant (ramp from the current row
+                    # to itself compiles it without changing the output)
+                    self._xfade_from = self.state.transfer
+                    _, mix, _ = self.step()
+                    np.asarray(mix)
+                    self._xfade_from = None
+                if self.decay_eligible():
+                    _, mix, _ = self._step_decay()
+                    np.asarray(mix)
+                for n_blocks in span_blocks:
+                    if q or not self.span_eligible():
+                        continue
+                    for b in buckets:
+                        np.asarray(self._step_span(n_blocks, num_slots=b,
+                                                   idle=False))
+                    if self.config.decay_fast_path:
+                        np.asarray(self._step_span(n_blocks, idle=True))
+        finally:
+            self.config = saved_config
+            self.state = dataclasses.replace(
+                saved_state, slots=jax.tree.map(jnp.asarray, slots_np))
+            self._clock = saved_clock
+            self._clock_base = saved_base
+            self._expiry[...] = saved_expiry
+            self._t0[...] = saved_t0
+            self._sus_active[...] = saved_sus
+            self._xfade_from = saved_xfade
+            if post_mix is not None and hasattr(post_mix, "reset"):
+                post_mix.reset()
 
     def render(self, num_blocks: int) -> np.ndarray:
         """Offline render: [num_blocks * S, 2] stereo float32."""
@@ -362,11 +541,13 @@ class ModalSession:
 
     def render_multi(self, num_blocks: int,
                      blocks_per_dispatch: int = 16) -> np.ndarray:
-        """Offline render using multi-block device dispatch (step_multi).
+        """Offline render using multi-block device dispatch.
 
         Much faster than render() when per-dispatch overhead dominates;
         events already enqueued (hits with future t0) still fire at the
-        correct sample inside the span.
+        correct sample inside the span. Sessions built with lam64 use the
+        one-dispatch MXU span path (ops/span.py); otherwise the step_multi
+        scan.
         """
         from .solver import step_multi
         self._maybe_rebase()
@@ -374,17 +555,23 @@ class ModalSession:
         done = 0
         if self._xfade_from is not None and num_blocks > 0:
             # flush the pending smooth listener move as a single step so the
-            # scan (which has no xfade variant) starts from a settled row
+            # span/scan starts from a settled transfer row
             _, mix, _ = self.step()
             out.append(np.asarray(mix))
             done += 1
+        use_span = self.span_eligible()
         while done < num_blocks:
             n = min(blocks_per_dispatch, num_blocks - done)
-            self.state, mix = step_multi(
-                self.state, self.bank, self.gains, n_blocks=n,
-                block_size=self.config.block_size,
-                backend=self.config.backend)
-            self._clock += n * self.config.block_size
+            if use_span and not self._sus_active.any():
+                mix = self._step_span(n)
+            else:
+                self.state, mix = step_multi(
+                    self.state, self.bank, self.gains, n_blocks=n,
+                    block_size=self.config.block_size,
+                    backend=self.config.backend,
+                    with_sustained=self._with_sustained(),
+                    num_slots=self._slot_bucket())
+                self._clock += n * self.config.block_size
             out.append(np.asarray(mix))
             done += n
         return np.concatenate(out, axis=0)

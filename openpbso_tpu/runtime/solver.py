@@ -39,6 +39,10 @@ class SolverConfig:
     decay_fast_path: bool = True  # homogeneous-only step when scene is idle
     smooth_transfer: bool = False  # ramp transfer across the block after a
     #   listener move (beyond-reference; off = reference block-constant)
+    slot_buckets: tuple[int, ...] = (1,)  # static force-slot slice sizes the
+    #   session may dispatch (besides the full table): per-slot force work
+    #   scales with the bucket, and each bucket is one extra jit variant
+    #   (warmed by session.warmup). () disables slot pruning.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,22 +62,39 @@ def _step_block_impl(
     mode_axis: str | None = None,
     obj_axis: str | None = None,
     transfer_prev: jax.Array | None = None,
+    with_sustained: bool = True,
+    num_slots: int | None = None,
 ):
     """Core block step; ``mode_axis``/``obj_axis`` name shard_map mesh axes
     to psum partial results over (used by parallel/sharding.py so the SPMD
     path shares this single implementation). ``transfer_prev`` selects the
     transfer-interpolating variant: the transfer ramps linearly from it to
-    state.transfer across the block (smooth listener motion)."""
-    time_imp, space_imp = force_block(state.slots, state.block_start,
-                                      block_size)
-    sus, time_sus, space_sus = sustained_block(state.sustained, block_size)
+    state.transfer across the block (smooth listener motion).
 
-    # sustained mode replaces the impact path for that object
-    # (modal_solver.h:195-204: non-sustained forces are not accumulated while
-    # a sustained force is active)
-    gate = sus.active[:, None].astype(time_imp.dtype)
-    time_profile = time_imp * (1 - gate) + time_sus
-    space = space_imp * (1 - gate[:, : 1]) + space_sus
+    Dead-work gating (host-driven, output-invariant):
+    ``with_sustained=False`` skips the 512-step serial AR(2) scan when the
+    host sustained mirror proves every channel inactive (the skipped terms
+    are exact float zeros); ``num_slots`` statically slices the force-slot
+    table to its first k slots when the host expiry mirror proves the rest
+    can no longer produce."""
+    slots = state.slots
+    if num_slots is not None and num_slots < slots.num_slots:
+        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
+    time_imp, space_imp = force_block(slots, state.block_start, block_size)
+    if with_sustained:
+        sus, time_sus, space_sus = sustained_block(state.sustained,
+                                                   block_size)
+        # sustained mode replaces the impact path for that object
+        # (modal_solver.h:195-204: non-sustained forces are not accumulated
+        # while a sustained force is active)
+        gate = sus.active[:, None].astype(time_imp.dtype)
+        time_profile = time_imp * (1 - gate) + time_sus
+        space = space_imp * (1 - gate[:, : 1]) + space_sus
+    else:
+        # inactive sustained channels produce exact zero profiles, so this
+        # branch is bitwise-identical to the gated sum above
+        sus = state.sustained
+        time_profile, space = time_imp, space_imp
 
     if transfer_prev is None:
         integrate = get_backend(backend, bank)
@@ -108,7 +129,8 @@ def _step_block_impl(
     return new_state, sound, mix.astype(jnp.float32), qnorm
 
 
-@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
+@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm",
+                                   "with_sustained", "num_slots"))
 def step_block(
     state: SolverState,
     bank: ModalBank,
@@ -117,13 +139,17 @@ def step_block(
     block_size: int = DEFAULT_BLOCK,
     backend: str = "blocked",
     compute_qnorm: bool = False,
+    with_sustained: bool = True,
+    num_slots: int | None = None,
 ) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
     """Advance one block. Returns (state', sound [O,S], mix [S,2], qnorm)."""
     return _step_block_impl(state, bank, gains, block_size, backend,
-                            compute_qnorm)
+                            compute_qnorm, with_sustained=with_sustained,
+                            num_slots=num_slots)
 
 
-@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm"))
+@partial(jax.jit, static_argnames=("block_size", "backend", "compute_qnorm",
+                                   "with_sustained", "num_slots"))
 def step_block_xfade(
     state: SolverState,
     bank: ModalBank,
@@ -133,6 +159,8 @@ def step_block_xfade(
     block_size: int = DEFAULT_BLOCK,
     backend: str = "blocked",
     compute_qnorm: bool = False,
+    with_sustained: bool = True,
+    num_slots: int | None = None,
 ) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
     """One block with the transfer ramping linearly from ``transfer_prev``
     to ``state.transfer`` — dispatched by the session for the single block
@@ -140,7 +168,9 @@ def step_block_xfade(
     the per-block level step ("zipper") of the reference's block-constant
     transfer (modal_solver.h:286-300)."""
     return _step_block_impl(state, bank, gains, block_size, backend,
-                            compute_qnorm, transfer_prev=transfer_prev)
+                            compute_qnorm, transfer_prev=transfer_prev,
+                            with_sustained=with_sustained,
+                            num_slots=num_slots)
 
 
 @partial(jax.jit, static_argnames=("block_size", "compute_qnorm"))
@@ -175,7 +205,8 @@ def decay_block(
 
 
 @partial(jax.jit,
-         static_argnames=("n_blocks", "block_size", "backend"))
+         static_argnames=("n_blocks", "block_size", "backend",
+                          "with_sustained", "num_slots"))
 def step_multi(
     state: SolverState,
     bank: ModalBank,
@@ -184,6 +215,8 @@ def step_multi(
     n_blocks: int,
     block_size: int = DEFAULT_BLOCK,
     backend: str = "blocked",
+    with_sustained: bool = True,
+    num_slots: int | None = None,
 ) -> tuple[SolverState, jax.Array]:
     """Advance n_blocks in ONE dispatch via lax.scan.
 
@@ -197,12 +230,85 @@ def step_multi(
     """
     def body(st, _):
         st, _sound, mix, _ = _step_block_impl(
-            st, bank, gains, block_size, backend, False)
+            st, bank, gains, block_size, backend, False,
+            with_sustained=with_sustained, num_slots=num_slots)
         return st, mix
 
     state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
     # channel-agnostic: gains may carry 2 (stereo) or L (multi-listener)
     return state, mixes.reshape(n_blocks * block_size, mixes.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots"))
+def step_span(
+    state: SolverState,
+    bank: ModalBank,
+    tables,                    # ops.span.SpanTables for n_blocks*block_size
+    gains: jax.Array,
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+    num_slots: int | None = None,
+) -> tuple[SolverState, jax.Array]:
+    """Advance n_blocks in ONE dispatch with no serial dependency at all.
+
+    The MXU-shaped successor to step_multi for offline rendering and
+    throughput (ops/span.py): instead of scanning the per-block step, the
+    whole N = n_blocks * block_size sample span is synthesized by a few
+    batched matmuls against baby/giant lam-power factor tables — for
+    heterogeneous banks this is ~10x less HBM traffic than the blocked
+    per-block tables and runs on the MXU rather than the VPU. Reference
+    block-granular force semantics are preserved exactly via the per-slot
+    decomposition (ops/forces.py::force_span).
+
+    ``num_slots`` statically slices the force-slot table to its first k
+    slots (host-maintained active count): per-slot work scales with k.
+
+    Caller contract: the sustained channel must be inactive (the AR(2)
+    channel is a per-sample serial recurrence; ModalSession gates on its
+    host mirror and falls back to step_multi). The transfer is constant
+    across the span, like the reference's block-constant transfer held
+    over a lookahead batch. Returns (state', mix [N, C]).
+    """
+    from ..ops.forces import force_span
+    from ..ops.span import integrate_span
+    n = n_blocks * block_size
+    slots = state.slots
+    if num_slots is not None and num_slots < slots.num_slots:
+        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
+    f_k, space_k = force_span(slots, state.block_start, n, block_size)
+    z_re, z_im, sound = integrate_span(
+        state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer)
+    mix = jnp.einsum("os,oc->sc", sound, gains,
+                     precision=PRECISION) / OUTPUT_SCALE
+    new_state = dataclasses.replace(
+        state, z_re=z_re, z_im=z_im,
+        block_start=state.block_start + n)
+    return new_state, mix.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_size"))
+def decay_span_step(
+    state: SolverState,
+    bank: ModalBank,
+    tables,
+    gains: jax.Array,
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+) -> tuple[SolverState, jax.Array]:
+    """Idle-scene span: n_blocks of pure ring-down in one dispatch
+    (host-gated like decay_block). Returns (state', mix [N, C])."""
+    from ..ops.span import decay_span
+    n = n_blocks * block_size
+    z_re, z_im, sound = decay_span(
+        state.z_re, state.z_im, bank, tables, state.transfer)
+    mix = jnp.einsum("os,oc->sc", sound, gains,
+                     precision=PRECISION) / OUTPUT_SCALE
+    new_state = dataclasses.replace(
+        state, z_re=z_re, z_im=z_im,
+        block_start=state.block_start + n)
+    return new_state, mix.astype(jnp.float32)
 
 
 def default_gains(num_objects: int, dtype=jnp.float32) -> jax.Array:
