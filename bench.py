@@ -27,11 +27,13 @@ import time
 import numpy as np
 
 
-def build(o, m, s, backend, dtype_name="float32", hetero=False):
+def build(o, m, s, backend, dtype_name="float32", hetero=False,
+          need_tables=True):
     import dataclasses
 
     import jax.numpy as jnp
-    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.coeffs import (bank_from_material,
+                                         lambda_from_modes)
     from openpbso_tpu.runtime.state import make_solver_state
     from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
 
@@ -42,9 +44,7 @@ def build(o, m, s, backend, dtype_name="float32", hetero=False):
     md = synth_mode_data(m, 8, seed=0)
     if hetero:
         # every object gets its own mode bank (no shared lam tables)
-        from openpbso_tpu.ops.coeffs import (build_modal_bank,
-                                             lambda_from_modes)
-        rng0 = np.random.default_rng(7)
+        from openpbso_tpu.ops.coeffs import build_modal_bank
         lams, bs, valids = [], [], []
         for i in range(o):
             mdi = synth_mode_data(m, 8, seed=100 + i,
@@ -53,10 +53,14 @@ def build(o, m, s, backend, dtype_name="float32", hetero=False):
                 CERAMIC.density, mdi.omega_squared, CERAMIC.alpha,
                 CERAMIC.beta)
             lams.append(lam); bs.append(b); valids.append(valid)
-        bank = build_modal_bank(np.stack(lams), np.stack(bs),
-                                np.stack(valids), block_size=s,
+        lam64 = np.stack(lams)
+        bank = build_modal_bank(lam64, np.stack(bs),
+                                np.stack(valids),
+                                block_size=s if need_tables else None,
                                 shared=False, dtype=dtype)
     else:
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
         bank = bank_from_material(CERAMIC.density, md.omega_squared,
                                   CERAMIC.alpha, CERAMIC.beta,
                                   num_objects=o, block_size=s, dtype=dtype)
@@ -72,7 +76,7 @@ def build(o, m, s, backend, dtype_name="float32", hetero=False):
             jnp.asarray(rng.standard_normal((o, bank.num_modes)), dtype)))
     state = dataclasses.replace(state, slots=slots)
     gains = jnp.ones((o, 2), dtype)
-    return bank, state, gains
+    return bank, state, gains, lam64
 
 
 def time_multi(bank, state, gains, s, backend, n_blocks=32, iters=8):
@@ -117,6 +121,33 @@ def time_pipelined(bank, state, gains, s, backend, iters=64):
     return (iters * s) / dt
 
 
+def time_span(bank, lam64, state, gains, s, n_blocks=64, iters=4,
+              num_slots=1):
+    """Span dispatch (ops/span.py): one MXU dispatch per n_blocks.
+
+    The heterogeneous-bank headline path: per-object power tables factor
+    into baby/giant steps, so the whole span is a few batched matmuls.
+    num_slots=1 matches the one planted hit (the session's slot-bucket
+    gating dispatches exactly this at runtime).
+    """
+    from openpbso_tpu.ops.span import build_span_tables
+    from openpbso_tpu.runtime.solver import step_span
+    tables = build_span_tables(lam64, n_blocks * s,
+                               num_modes=bank.num_modes)
+    st = state
+    for _ in range(2):
+        st, mix = step_span(st, bank, tables, gains, n_blocks=n_blocks,
+                            block_size=s, num_slots=num_slots)
+    np.asarray(mix)  # host sync (block_until_ready is unreliable here)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, mix = step_span(st, bank, tables, gains, n_blocks=n_blocks,
+                            block_size=s, num_slots=num_slots)
+    np.asarray(mix)
+    dt = time.perf_counter() - t0
+    return (iters * n_blocks * s) / dt
+
+
 def time_single(bank, state, gains, s, backend, iters=20):
     import jax
     from openpbso_tpu.runtime.solver import step_block
@@ -154,37 +185,54 @@ def main():
             hetero = True
         elif arg.startswith("--nblocks="):
             nblocks = int(arg.split("=", 1)[1])
-    if "--multi" not in sys.argv and "--pipelined" not in sys.argv:
-        # Default: try the scan-dispatch measurement (the best number, RTF
-        # ~46-49 at the flagship scale with 128 blocks/dispatch) in a
-        # guarded child process — its larger
-        # compile can take unbounded time when the box is loaded (XLA
-        # compiles on this shared single core). Fall back to the robust
-        # single-compile pipelined measurement on timeout.
+    explicit_mode = any(f in sys.argv
+                        for f in ("--multi", "--pipelined", "--span"))
+    if not explicit_mode:
+        # Default: the best measurement per bank layout — shared banks via
+        # the scan dispatch (128 blocks/dispatch), heterogeneous banks via
+        # the span dispatch (ops/span.py, 64 blocks/dispatch) — each in a
+        # guarded child process: compiles can take unbounded time when the
+        # box is loaded (XLA compiles on this shared single core). Fall
+        # back to the robust single-compile pipelined measurement on
+        # timeout.
         import subprocess
         child_args = [a for a in sys.argv[1:]]
         try:
-            if not any(a.startswith("--nblocks=") for a in child_args):
+            mode = "--span" if hetero else "--multi"
+            if not hetero and not any(a.startswith("--nblocks=")
+                                      for a in child_args):
                 child_args = child_args + ["--nblocks=128"]
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--multi",
+                [sys.executable, os.path.abspath(__file__), mode,
                  "--skip-single"] + child_args,
                 capture_output=True, text=True, timeout=420)
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
+                    if not hetero:
+                        _hetero_stderr_line()
                     return
         except subprocess.TimeoutExpired:
             pass
         # fall through to in-process pipelined measurement
 
-    bank, state, gains = build(o, m, s, backend, hetero=hetero)
-    if "--multi" in sys.argv:
-        sps = time_multi(bank, state, gains, s, backend, n_blocks=nblocks)
-        how = "multi-block dispatch"
+    if "--span" in sys.argv:
+        nb = (nblocks if any(a.startswith("--nblocks=") for a in sys.argv)
+              else 64)
+        bank, state, gains, lam64 = build(o, m, s, backend, hetero=hetero,
+                                          need_tables=False)
+        sps = time_span(bank, lam64, state, gains, s, n_blocks=nb)
+        how = f"span dispatch ({nb} blocks, 1-slot bucket)"
+        backend = "span"
     else:
-        sps = time_pipelined(bank, state, gains, s, backend)
-        how = "pipelined dispatch"
+        bank, state, gains, _ = build(o, m, s, backend, hetero=hetero)
+        if "--multi" in sys.argv:
+            sps = time_multi(bank, state, gains, s, backend,
+                             n_blocks=nblocks)
+            how = f"multi-block scan ({nblocks} blocks/dispatch)"
+        else:
+            sps = time_pipelined(bank, state, gains, s, backend)
+            how = "pipelined single-block dispatch"
     # print the headline line FIRST: remote-compile times for the secondary
     # (single-block synced) measurement are unpredictable on the tunneled
     # dev TPU and must not be able to starve the driver of the JSON line
@@ -204,6 +252,25 @@ def main():
           f"(RTF {sps_single / SAMPLE_RATE:.2f}, "
           f"{block_latency * 1e3:.2f} ms/block vs "
           f"{s / SAMPLE_RATE * 1e3:.2f} ms deadline)", file=sys.stderr)
+
+
+def _hetero_stderr_line():
+    """Track the heterogeneous-bank gap every round alongside the shared
+    headline (round-1 judge request): one extra guarded child, stderr only
+    so the stdout JSON contract stays single-line."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--span",
+             "--skip-single", "--hetero"],
+            capture_output=True, text=True, timeout=420)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(f"hetero: {line}", file=sys.stderr, flush=True)
+                return
+        print("hetero: no result", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("hetero: timed out", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

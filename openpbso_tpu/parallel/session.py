@@ -1,0 +1,176 @@
+"""ShardedSession — the full session/engine product on a device mesh.
+
+Round-1 sharding stopped below the runtime (a bare SPMD step function); this
+makes multi-chip a *deployment option* of the same product surface: a
+ShardedSession is a drop-in ModalSession (same event API, same step()/render
+contract, StreamingEngine/AudioServer compatible) whose dispatches are
+shard_map programs over an ('obj', 'mode') mesh.
+
+Design: all event ingestion (hits, listener moves, sustained toggles) stays
+host-side exactly as in ModalSession — the jitted scatter/update helpers are
+sharding-transparent (XLA keeps the .at[].set updates on the owning shard).
+Only the per-block/per-span dispatch functions are replaced with mesh
+variants, cached per (kind, qnorm, sustained, slot-bucket, span length) like
+the single-chip jit cache. Per block, the only cross-chip traffic is one
+[S, C] stereo mix psum (plus the mode-axis partial-transfer psum fused into
+the same program) riding ICI.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..ops.coeffs import ModalBank
+from ..runtime.session import ModalSession
+from .sharding import (make_sharded_decay_step, make_sharded_multi,
+                       make_sharded_span, make_sharded_step,
+                       make_sharded_xfade_step, shard_bank,
+                       shard_span_tables, shard_state)
+
+
+class ShardedSession(ModalSession):
+    """ModalSession over a jax.sharding.Mesh ('obj', 'mode').
+
+    The bank's object/mode axes must divide the mesh axes. The scan
+    backend is not supported (the blocked/span forms are the SPMD paths).
+    """
+
+    def __init__(self, bank: ModalBank, mesh: Mesh, ffat=None, config=None,
+                 num_slots: int = 16, seed: int = 0, dtype=jnp.float32,
+                 lam64: np.ndarray | None = None):
+        super().__init__(bank, ffat=ffat, config=config,
+                         num_slots=num_slots, seed=seed, dtype=dtype,
+                         lam64=lam64)
+        if self.config.backend not in ("blocked", "auto"):
+            raise ValueError("ShardedSession supports the blocked/span "
+                             f"forms, not backend={self.config.backend!r}")
+        self.config = dataclasses.replace(self.config, backend="blocked")
+        self.mesh = mesh
+        self.bank = shard_bank(mesh, bank)
+        self.state = shard_state(mesh, self.state)
+        self._fns: dict = {}
+        self._sharded_tables: dict[int, object] = {}
+
+    # ------------------------------------------------------------ dispatch
+
+    def _fn(self, kind: str, **kw):
+        key = (kind, tuple(sorted(kw.items())))
+        fn = self._fns.get(key)
+        if fn is None:
+            block = self.config.block_size
+            if kind == "step":
+                fn = make_sharded_step(self.mesh, self.bank,
+                                       block_size=block, **kw)
+            elif kind == "xfade":
+                fn = make_sharded_xfade_step(self.mesh, self.bank,
+                                             block_size=block, **kw)
+            elif kind == "decay":
+                fn = make_sharded_decay_step(self.mesh, self.bank,
+                                             block_size=block, **kw)
+            elif kind == "multi":
+                fn = make_sharded_multi(self.mesh, self.bank,
+                                        block_size=block, **kw)
+            elif kind == "span":
+                nb = kw.pop("n_blocks")
+                tables = self._span_tables_sharded(nb)
+                fn = make_sharded_span(self.mesh, self.bank, tables,
+                                       block_size=block, n_blocks=nb, **kw)
+            else:  # pragma: no cover
+                raise KeyError(kind)
+            self._fns[key] = fn
+        return fn
+
+    def _span_tables_sharded(self, n_blocks: int):
+        tables = self._sharded_tables.get(n_blocks)
+        if tables is None:
+            tables = shard_span_tables(self.mesh,
+                                       self.span_tables_for(n_blocks))
+            self._sharded_tables[n_blocks] = tables
+        return tables
+
+    def _step_full(self, with_sustained=None, num_slots="auto"):
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        if num_slots == "auto":
+            num_slots = self._slot_bucket()
+        fn = self._fn("step", compute_qnorm=self.config.compute_qnorm,
+                      with_sustained=with_sustained, num_slots=num_slots)
+        self.state, sound, mix, qnorm = fn(self.state, self.bank, self.gains)
+        self._clock += self.config.block_size
+        return sound, mix, qnorm
+
+    def _step_decay(self):
+        fn = self._fn("decay", compute_qnorm=self.config.compute_qnorm)
+        self.state, sound, mix, qnorm = fn(self.state, self.bank, self.gains)
+        self._clock += self.config.block_size
+        return sound, mix, qnorm
+
+    def step(self):
+        self._maybe_rebase()
+        if self._xfade_from is not None:
+            prev, self._xfade_from = self._xfade_from, None
+            fn = self._fn("xfade", compute_qnorm=self.config.compute_qnorm,
+                          with_sustained=self._with_sustained(),
+                          num_slots=self._slot_bucket())
+            self.state, sound, mix, qnorm = fn(self.state, self.bank,
+                                               self.gains, prev)
+            self._clock += self.config.block_size
+            return sound, mix, qnorm
+        if self._idle() and self.decay_eligible():
+            return self._step_decay()
+        return self._step_full()
+
+    def _step_span(self, n_blocks: int, num_slots="auto", idle=None):
+        if idle is None:
+            idle = self._idle() and self.config.decay_fast_path
+        if idle:
+            fn = self._fn("span", n_blocks=n_blocks, decay=True)
+        else:
+            k = (self._slot_bucket() if num_slots == "auto" else num_slots)
+            fn = self._fn("span", n_blocks=n_blocks, num_slots=k,
+                          decay=False)
+        self.state, mix = fn(self.state, self.bank,
+                             self._span_tables_sharded(n_blocks), self.gains)
+        self._clock += n_blocks * self.config.block_size
+        return mix
+
+    def render_multi(self, num_blocks: int,
+                     blocks_per_dispatch: int = 16) -> np.ndarray:
+        self._maybe_rebase()
+        out = []
+        done = 0
+        if self._xfade_from is not None and num_blocks > 0:
+            _, mix, _ = self.step()
+            out.append(np.asarray(mix))
+            done += 1
+        use_span = self.span_eligible()
+        while done < num_blocks:
+            n = min(blocks_per_dispatch, num_blocks - done)
+            if use_span:
+                mix = self._step_span(n)
+            else:
+                fn = self._fn("multi", n_blocks=n,
+                              with_sustained=self._with_sustained(),
+                              num_slots=self._slot_bucket())
+                self.state, mix = fn(self.state, self.bank, self.gains)
+                self._clock += n * self.config.block_size
+            out.append(np.asarray(mix))
+            done += n
+        return np.concatenate(out, axis=0)
+
+    # ----------------------------------------------------------- listener
+
+    def set_listener(self, pos: np.ndarray) -> None:
+        # the transfer row is computed replicated then placed onto the
+        # mesh so the step's in_spec constraint is already satisfied
+        super().set_listener(pos)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax
+        self.state = dataclasses.replace(
+            self.state,
+            transfer=jax.device_put(
+                self.state.transfer,
+                NamedSharding(self.mesh, P("obj", "mode"))))

@@ -72,12 +72,15 @@ def bank_specs(bank: ModalBank) -> ModalBank:
 def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
                       block_size: int = DEFAULT_BLOCK,
                       backend: str = "blocked",
-                      compute_qnorm: bool = False):
+                      compute_qnorm: bool = False,
+                      with_sustained: bool = True,
+                      num_slots: int | None = None):
     """Build a jitted SPMD block step over ``mesh``.
 
     Returns ``step(state, bank, gains) -> (state', sound, mix, qnorm)`` where
     per-shard object/mode rows integrate locally and the stereo mix is
-    psum-reduced over both mesh axes.
+    psum-reduced over both mesh axes. ``with_sustained``/``num_slots`` are
+    the host-gated dead-work flags (runtime/solver.py).
     """
     from ..runtime.solver import _step_block_impl
 
@@ -87,7 +90,9 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
         # (partial over object shards) are psum-reduced
         return _step_block_impl(state, bank, gains, block_size, backend,
                                 compute_qnorm, mode_axis="mode",
-                                obj_axis="obj")
+                                obj_axis="obj",
+                                with_sustained=with_sustained,
+                                num_slots=num_slots)
 
     specs_in = (state_specs(), bank_specs(bank), P("obj", None))
     specs_out = (state_specs(), P("obj", None), P(), None)
@@ -97,6 +102,130 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
+
+
+def make_sharded_xfade_step(mesh: Mesh, bank: ModalBank, *,
+                            block_size: int = DEFAULT_BLOCK,
+                            backend: str = "blocked",
+                            compute_qnorm: bool = False,
+                            with_sustained: bool = True,
+                            num_slots: int | None = None):
+    """SPMD transfer-ramp block step (runtime/solver.py::step_block_xfade):
+    the transfer interpolates linearly from ``transfer_prev`` to
+    state.transfer across the block after a listener move.
+
+    Returns ``step(state, bank, gains, transfer_prev) -> (...)``.
+    """
+    from ..runtime.solver import _step_block_impl
+
+    def local_step(state, bank, gains, transfer_prev):
+        return _step_block_impl(state, bank, gains, block_size, backend,
+                                compute_qnorm, mode_axis="mode",
+                                obj_axis="obj",
+                                transfer_prev=transfer_prev,
+                                with_sustained=with_sustained,
+                                num_slots=num_slots)
+
+    specs_in = (state_specs(), bank_specs(bank), P("obj", None),
+                P("obj", "mode"))
+    specs_out = (state_specs(), P("obj", None), P(),
+                 P("obj", "mode") if compute_qnorm else None)
+    sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
+                       block_size: int = DEFAULT_BLOCK,
+                       backend: str = "blocked",
+                       with_sustained: bool = True,
+                       num_slots: int | None = None):
+    """SPMD multi-block scan: n_blocks per dispatch, one [S,C] psum per
+    block riding ICI (the only cross-chip traffic).
+
+    Returns ``step(state, bank, gains) -> (state', mix [n_blocks*S, C])``.
+    """
+    from ..runtime.solver import _step_block_impl
+
+    def local_multi(state, bank, gains):
+        def body(st, _):
+            st, _sound, mix, _ = _step_block_impl(
+                st, bank, gains, block_size, backend, False,
+                mode_axis="mode", obj_axis="obj",
+                with_sustained=with_sustained, num_slots=num_slots)
+            return st, mix
+        state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
+        return state, mixes.reshape(n_blocks * block_size, -1)
+
+    specs_in = (state_specs(), bank_specs(bank), P("obj", None))
+    specs_out = (state_specs(), P())
+    sharded = jax.shard_map(local_multi, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    return jax.jit(sharded)
+
+
+def span_table_specs(tables) -> object:
+    """PartitionSpecs for ops.span.SpanTables: mode axis splits, the
+    power-row axis replicates, the object axis follows the bank layout."""
+    from ..ops.span import SpanTables
+    spec = (P(None, None, "mode") if tables.shared
+            else P("obj", None, "mode"))
+    return SpanTables(a_re=spec, a_im=spec, b_re=spec, b_im=spec)
+
+
+def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
+                      n_blocks: int,
+                      block_size: int = DEFAULT_BLOCK,
+                      num_slots: int | None = None,
+                      decay: bool = False):
+    """SPMD span dispatch (ops/span.py): N = n_blocks*S samples per
+    dispatch with ONE [N, C] psum over the mesh — the minimum possible
+    cross-chip traffic per second of audio.
+
+    The mode-sharded hom/g partial sums stay partial through the (linear)
+    causal convolution and are reduced together with the object-axis mix
+    sum. Returns ``step(state, bank, tables, gains) -> (state', mix)``.
+    """
+    from ..config import OUTPUT_SCALE
+    from ..ops.forces import force_span
+    from ..ops.integrator import PRECISION
+    from ..ops.span import decay_span, integrate_span
+    n = n_blocks * block_size
+
+    def local_span(state, bank, tables, gains):
+        if decay:
+            z_re, z_im, sound = decay_span(
+                state.z_re, state.z_im, bank, tables, state.transfer)
+        else:
+            slots = state.slots
+            if num_slots is not None and num_slots < slots.ftype.shape[1]:
+                slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
+            f_k, space_k = force_span(slots, state.block_start, n,
+                                      block_size)
+            z_re, z_im, sound = integrate_span(
+                state.z_re, state.z_im, bank, tables, space_k, f_k,
+                state.transfer)
+        sound = jax.lax.psum(sound, "mode")
+        mix = jnp.einsum("os,oc->sc", sound, gains,
+                         precision=PRECISION) / OUTPUT_SCALE
+        mix = jax.lax.psum(mix, "obj")
+        new_state = dataclasses.replace(
+            state, z_re=z_re, z_im=z_im,
+            block_start=state.block_start + n)
+        return new_state, mix.astype(jnp.float32)
+
+    specs_in = (state_specs(), bank_specs(bank), span_table_specs(tables),
+                P("obj", None))
+    specs_out = (state_specs(), P())
+    sharded = jax.shard_map(local_span, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    return jax.jit(sharded)
+
+
+def shard_span_tables(mesh: Mesh, tables):
+    specs = span_table_specs(tables)
+    return jax.tree.map(lambda x, s: _put(mesh, x, s), tables, specs,
+                        is_leaf=lambda x: x is None)
 
 
 def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,

@@ -1,0 +1,165 @@
+"""ShardedSession: the full session/engine product on the 8-device mesh.
+
+Round-2 requirement: a user must be able to run the actual product
+(session -> engine -> sink) on >1 chip, not just a bare SPMD step. Every
+path is compared against the single-device ModalSession at <= -100 dB.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.coeffs import (bank_from_material, build_modal_bank,
+                                     lambda_from_modes)
+from openpbso_tpu.parallel import ShardedSession, make_mesh
+from openpbso_tpu.runtime.session import ModalSession
+from openpbso_tpu.runtime.solver import SolverConfig
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+S = 128
+
+
+def _pair(mesh_shape, o=8, m=12, hetero=False, smooth=False):
+    """(sharded session, single-device reference session), same scene."""
+    cfg = SolverConfig(block_size=S, backend="blocked",
+                       smooth_transfer=smooth)
+    if hetero:
+        lams, bs, valids = [], [], []
+        for i in range(o):
+            md = synth_mode_data(m, 6, seed=70 + i, f_low=90.0 + 5 * i,
+                                 f_high=8000.0 + 40 * i)
+            lam, b, valid = lambda_from_modes(
+                CERAMIC.density, md.omega_squared, CERAMIC.alpha,
+                CERAMIC.beta)
+            lams.append(lam); bs.append(b); valids.append(valid)
+        lam64 = np.stack(lams)
+        bank = build_modal_bank(lam64, np.stack(bs), np.stack(valids),
+                                block_size=S, shared=False,
+                                dtype=jnp.float32)
+    else:
+        md = synth_mode_data(m, 6, seed=70)
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=o, block_size=S,
+                                  dtype=jnp.float32)
+    mesh = make_mesh(*mesh_shape)
+    sh = ShardedSession(bank, mesh, config=cfg, num_slots=4,
+                        lam64=lam64)
+    ref = ModalSession(bank, config=cfg, num_slots=4, lam64=lam64)
+    return sh, ref, m
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_sharded_session_stream_parity(mesh_shape, dberr):
+    """hits + decay + multi-block continuity across both mesh layouts."""
+    sh, ref, m = _pair(mesh_shape)
+    space = np.linspace(0.2, 1.0, m)
+    for s in (sh, ref):
+        s.hit(2, space, kind="gaussian", width_us=300.0)
+        s.hit(5, -space)
+    blocks = [np.concatenate([np.asarray(s.step()[1]) for _ in range(3)])
+              for s in (sh, ref)]
+    assert dberr(blocks[0], blocks[1]) <= -100
+    # multi-block span/scan path after the per-block prefix
+    a = sh.render_multi(8, blocks_per_dispatch=4)
+    b = ref.render_multi(8, blocks_per_dispatch=4)
+    assert dberr(a, b) <= -100
+    # ring-down reaches the decay fast path on both
+    a = sh.render_multi(6, blocks_per_dispatch=3)
+    b = ref.render_multi(6, blocks_per_dispatch=3)
+    assert sh._idle() and ref._idle()
+    assert dberr(a, b) <= -100
+
+
+def test_sharded_session_hetero_span(dberr):
+    sh, ref, m = _pair((4, 2), hetero=True)
+    space = np.linspace(0.5, 1.5, m)
+    for s in (sh, ref):
+        s.hit(1, space, kind="gaussian", width_us=250.0)
+    a = sh.render_multi(8, blocks_per_dispatch=8)
+    b = ref.render_multi(8, blocks_per_dispatch=8)
+    assert np.abs(b).max() > 0
+    assert dberr(a, b) <= -100
+
+
+def test_sharded_session_xfade_and_sustained(synth_model_root, dberr):
+    """listener-move transfer ramp + sustained channel under SPMD."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.ffat import build_ffat
+
+    paths = resolve_model_dir(synth_model_root, "synth")
+    model = load_model(paths)
+    n_aud = model.num_modes_audible
+    lam64, b, valid = lambda_from_modes(
+        model.material.density, model.modes.omega_squared[:n_aud],
+        model.material.alpha, model.material.beta)
+    bank = bank_from_material(
+        model.material.density, model.modes.omega_squared[:n_aud],
+        model.material.alpha, model.material.beta, num_objects=8,
+        block_size=S, dtype=jnp.float32)
+    ffat = build_ffat(model.ffat_maps, num_modes=bank.num_modes,
+                      num_objects=8)
+    cfg = SolverConfig(block_size=S, backend="blocked",
+                       smooth_transfer=True)
+    mesh = make_mesh(4, 2)
+    sh = ShardedSession(bank, mesh, ffat=ffat, config=cfg, num_slots=4,
+                        lam64=lam64)
+    ref = ModalSession(bank, ffat=ffat, config=cfg, num_slots=4,
+                       lam64=lam64)
+    space = model.modal_force_vertex(3)
+    out = []
+    for s in (sh, ref):
+        s.set_listener(np.array([1.4, 0.1, 0.2]))
+        s.hit(0, space)
+        blocks = [np.asarray(s.step()[1])]
+        s.set_listener(np.array([0.2, 1.3, -0.4]))   # pends an xfade block
+        blocks += [np.asarray(s.step()[1]) for _ in range(2)]
+        s.sustained_start(3, space)
+        blocks += [np.asarray(s.step()[1])]
+        s.sustained_end(3)
+        out.append(np.concatenate(blocks))
+    # sustained AR noise uses the same per-object PRNG stream on both, so
+    # even that block matches bitwise-ish
+    assert dberr(out[0], out[1]) <= -100
+
+
+def test_sharded_engine_soak():
+    """StreamingEngine over a ShardedSession on the (4,2) mesh: warmup,
+    live hits, listener updates, ring-down — health green, no errors."""
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    sh, _, m = _pair((4, 2))
+
+    class Collector:
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, b):
+            self.blocks.append(np.asarray(b))
+            return True
+
+        def close(self):
+            pass
+
+    sink = Collector()
+    eng = StreamingEngine(sh, sink, lookahead=2)
+    eng.start()
+    space = np.linspace(0.2, 1.0, m)
+    for i in range(3):
+        eng.hit(i, space, kind="gaussian", width_us=400.0)
+        time.sleep(0.15)
+    time.sleep(0.5)
+    eng.stop()
+    audio = np.concatenate(sink.blocks)
+    assert eng.error is None
+    assert np.abs(audio).max() > 0
+    assert np.isfinite(audio).all()
+    assert eng.health.health > 0.9
