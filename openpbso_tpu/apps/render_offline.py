@@ -68,17 +68,22 @@ def run_config(n: int, backend: str, out_dir: str) -> dict:
         audio = sess.render_multi(SAMPLE_RATE // 512)
     elif n == 3:
         md, sess = _session_for(48, 1, 512, backend, with_ffat=True)
-        chunks = []
-        angle = 0.0
-        for step in range(20):                       # ~2.3 s, 10 Hz updates
-            angle += 0.2
-            sess.set_listener(np.asarray(
-                [1.2 * np.cos(angle), 0.5, 1.2 * np.sin(angle)]))
-            if step % 4 == 0:                        # impact train
-                sess.hit(0, rng.standard_normal(48), kind="gaussian",
-                         width_us=100.0 + 40.0 * (step % 3))
-            chunks.append(sess.render_multi(10))
-        audio = np.concatenate(chunks, axis=0)
+        # moving listener + impact train, fully scheduled up front: hits
+        # are future-dated slots and the listener path is a per-block
+        # transfer schedule, so the whole ~2.3 s render is
+        # ceil(200/100) = 2 dispatches (vs 20 one-per-move dispatches
+        # round 1; the reference pays one transfer recompute per move,
+        # modal_solver.h:286-300)
+        angles = 0.2 * (1 + np.arange(20))           # ~2.3 s, 10 Hz updates
+        positions = np.stack([1.2 * np.cos(angles),
+                              np.full(20, 0.5),
+                              1.2 * np.sin(angles)], axis=1)
+        per_block = np.repeat(positions, 10, axis=0)  # hold 10 blocks each
+        for step in range(0, 20, 4):                 # impact train
+            sess.hit(0, rng.standard_normal(48), kind="gaussian",
+                     width_us=100.0 + 40.0 * (step % 3),
+                     when=step * 10 * 512)
+        audio = sess.render_moving(per_block, blocks_per_dispatch=100)
     elif n == 4:
         md, sess = _session_for(128, 8, 512, backend, with_ffat=True)
         sess.set_listener(np.asarray([1.0, 0.6, 0.2]))

@@ -28,17 +28,44 @@ def write_vector_binary(path: str, v: np.ndarray,
                                 copy=False).tofile(path)
 
 
-def read_complex_vector(path: str) -> np.ndarray:
-    """Interleaved (re, im) float64 pairs -> complex128."""
-    raw = np.fromfile(path, dtype="<f8")
-    if raw.size % 2:
-        raise ValueError(f"odd float count in complex vector file: {path}")
+def read_complex_vector(path: str, *, binary: bool = True,
+                        dtype=np.float64) -> np.ndarray:
+    """ReadComplexVector (io.h:24-64) -> complex128.
+
+    Binary layout: one int32 scalar count (= 2 * number of complex
+    entries) followed by interleaved (re, im) ``dtype`` pairs
+    (io.h:30-40). ASCII: one "re im" whitespace pair per line
+    (io.h:43-63).
+    """
+    if not binary:
+        raw = np.loadtxt(path, dtype=np.float64, ndmin=2)
+        if raw.shape[1] < 2:
+            raise ValueError(f"ASCII complex vector needs 're im' pairs "
+                             f"per line: {path}")
+        return raw[:, 0] + 1j * raw[:, 1]
+    with open(path, "rb") as f:
+        count = int(np.fromfile(f, dtype="<i4", count=1)[0])
+        raw = np.fromfile(f, dtype=np.dtype(dtype).newbyteorder("<"),
+                          count=count).astype(np.float64)
+    if raw.size != count or count % 2:
+        raise ValueError(f"truncated/odd complex vector file: {path}")
     return raw[0::2] + 1j * raw[1::2]
 
 
-def write_complex_vector(path: str, v: np.ndarray) -> None:
+def write_complex_vector(path: str, v: np.ndarray, *, binary: bool = True,
+                         dtype=np.float64) -> None:
+    """WriteComplexVector (io.h:66-90): int32 count header + interleaved
+    pairs (binary) or fixed-point 16-digit "re im" lines (ASCII,
+    io.h:82-87)."""
     v = np.asarray(v, np.complex128).ravel()
+    if not binary:
+        with open(path, "w") as f:
+            for z in v:
+                f.write(f"{z.real:.16f} {z.imag:.16f}\n")
+        return
     raw = np.empty(2 * v.size, np.float64)
     raw[0::2] = v.real
     raw[1::2] = v.imag
-    raw.astype("<f8", copy=False).tofile(path)
+    with open(path, "wb") as f:
+        np.asarray([2 * v.size], "<i4").tofile(f)
+        raw.astype(np.dtype(dtype).newbyteorder("<"), copy=False).tofile(f)

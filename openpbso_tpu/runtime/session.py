@@ -143,13 +143,19 @@ class ModalSession:
 
     def hit(self, obj: int, space: np.ndarray, *,
             kind: str = "point", width_us: float = 100.0,
-            amp: float = 1.0) -> None:
+            amp: float = 1.0, when: int | None = None) -> None:
         """Strike object ``obj`` with modal amplitudes ``space`` [M_audible].
 
         ``kind``: 'point' (unit impulse), 'gaussian' (width in microseconds,
         converted to samples as in forces.h:42-46), or 'hertz' (width =
         contact duration in microseconds). The profile starts at the
         beginning of the *next* block, like a dequeued ForceMessage.
+
+        ``when``: optional absolute block-aligned sample index >= the
+        current clock — a future-dated hit fires at the right block inside
+        a later multi-block/span dispatch (slot lifetimes are pure
+        functions of the sample clock), letting offline renders schedule a
+        whole impact train up front and stay at one dispatch per chunk.
         """
         from ..config import SAMPLE_RATE
         m = self.bank.num_modes
@@ -170,6 +176,12 @@ class ModalSession:
         dur = slot_duration(ftype, width, self.config.block_size)
         slot = self._alloc_slot(obj)
         t0 = self.sample_clock
+        if when is not None:
+            if when < t0 or when % self.config.block_size:
+                raise ValueError(
+                    f"when={when} must be a block-aligned sample >= the "
+                    f"current clock {t0}")
+            t0 = int(when)
         t0_dev = t0 - self._clock_base   # device time is origin-rebased
         self.state = dataclasses.replace(
             self.state,
@@ -574,6 +586,57 @@ class ModalSession:
                 self._clock += n * self.config.block_size
             out.append(np.asarray(mix))
             done += n
+        return np.concatenate(out, axis=0)
+
+    def render_moving(self, positions: np.ndarray,
+                      blocks_per_dispatch: int = 64,
+                      smooth: bool | None = None) -> np.ndarray:
+        """Offline render with a per-block listener path in chunked single
+        dispatches (solver.step_multi_transfers).
+
+        ``positions``: [T, 3] (shared listener) or [T, O, 3]; row t is the
+        listener for block t (hold rows to move slower). ``smooth`` ramps
+        each block from the previous row (defaults to
+        config.smooth_transfer). The whole moving-listener render is
+        ceil(T / blocks_per_dispatch) dispatches — the reference's flow
+        costs one transfer recompute + one block per move
+        (modal_solver.h:286-300). Returns [T * S, C] float32.
+        """
+        from .solver import step_multi_transfers
+        if self.ffat is None or not self.use_transfer:
+            raise ValueError("render_moving needs an FFAT transfer "
+                             "(build the session with ffat=...)")
+        self._maybe_rebase()
+        if smooth is None:
+            smooth = self.config.smooth_transfer
+        positions = np.asarray(positions, np.float64)
+        t_total = positions.shape[0]
+        o = self.bank.num_objects
+        if positions.ndim == 2:
+            positions = np.broadcast_to(positions[:, None, :],
+                                        (t_total, o, 3))
+        rows = jax.vmap(lambda p: compute_transfer(self.ffat, p))(
+            jnp.asarray(positions, self._dtype))        # [T, O, M]
+        rows = rows.astype(self._dtype)
+        if self._xfade_from is not None and smooth:
+            # the pending move's outgoing row becomes the scan's carry
+            self.state = dataclasses.replace(self.state,
+                                             transfer=self._xfade_from)
+        self._xfade_from = None
+        out = []
+        done = 0
+        while done < t_total:
+            n = min(blocks_per_dispatch, t_total - done)
+            self.state, mix = step_multi_transfers(
+                self.state, self.bank, self.gains, rows[done:done + n],
+                n_blocks=n, block_size=self.config.block_size,
+                backend=self.config.backend, smooth=smooth,
+                with_sustained=self._with_sustained(),
+                num_slots=self._slot_bucket())
+            self._clock += n * self.config.block_size
+            out.append(np.asarray(mix))
+            done += n
+        self._last_listener = positions[-1]
         return np.concatenate(out, axis=0)
 
     def render_raw(self, num_blocks: int) -> np.ndarray:

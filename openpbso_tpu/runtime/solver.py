@@ -239,6 +239,51 @@ def step_multi(
     return state, mixes.reshape(n_blocks * block_size, mixes.shape[-1])
 
 
+@partial(jax.jit,
+         static_argnames=("n_blocks", "block_size", "backend", "smooth",
+                          "with_sustained", "num_slots"))
+def step_multi_transfers(
+    state: SolverState,
+    bank: ModalBank,
+    gains: jax.Array,
+    transfers: jax.Array,      # [n_blocks, O, M] per-block transfer rows
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+    smooth: bool = False,
+    with_sustained: bool = True,
+    num_slots: int | None = None,
+) -> tuple[SolverState, jax.Array]:
+    """Moving-listener multi-block dispatch: block i renders with
+    ``transfers[i]``.
+
+    The reference recomputes the transfer once per listener move and holds
+    it block-constant (modal_solver.h:286-300); a 10 Hz listener sweep
+    therefore forced one dispatch per move. Scanning a *transfer schedule*
+    keeps a whole moving-listener render at one dispatch per chunk
+    (render_offline config 3: <= 3 dispatches per second of audio).
+
+    ``smooth=True`` ramps each block linearly from the previous block's
+    row (the session's smooth_transfer semantics, continuous motion =
+    no zipper); False holds each row block-constant like the reference.
+    The scan carries the previous row, so a ramp from an unchanged row is
+    exactly the constant-transfer render. Returns (state', mix [N, C]).
+    """
+    def body(carry, tr):
+        st, prev = carry
+        st = dataclasses.replace(st, transfer=tr)
+        st, _sound, mix, _ = _step_block_impl(
+            st, bank, gains, block_size, backend, False,
+            transfer_prev=(prev if smooth else None),
+            with_sustained=with_sustained, num_slots=num_slots)
+        return (st, tr), mix
+
+    (state, _), mixes = jax.lax.scan(body, (state, state.transfer),
+                                     transfers)
+    return state, mixes.reshape(n_blocks * block_size, mixes.shape[-1])
+
+
 @partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots"))
 def step_span(
     state: SolverState,

@@ -219,3 +219,30 @@ def test_prepare_meta_dir(tmp_path):
     assert len(written) == 2
     meta = read_meta(written[0])
     assert meta.obj_file.endswith("a.tet.obj")
+
+
+def test_complex_vector_matches_cpp_reference_bytes(tmp_path):
+    """Byte parity with the reference's Read/WriteComplexVector
+    (io.h:24-90): goldens written by the reference's own templated
+    helpers (tools/golden_io_ref.cc)."""
+    import os
+    from openpbso_tpu.io.vectors import (read_complex_vector,
+                                         write_complex_vector)
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    v = np.array([0.125 - 3.5j, 1e-7 + 42.0j, -0.0078125 + 123456.75j,
+                  3.14159265358979312 - 2.71828182845904509j,
+                  complex(0.0, -1.0)])  # NOT -1.0j: that has real -0.0
+    got_bin = read_complex_vector(os.path.join(golden, "complex_ref.bin"))
+    np.testing.assert_array_equal(got_bin, v)
+    got_txt = read_complex_vector(os.path.join(golden, "complex_ref.txt"),
+                                  binary=False)
+    np.testing.assert_allclose(got_txt, v, rtol=0, atol=1e-15)
+    # our writers reproduce the reference files byte-for-byte
+    pb = tmp_path / "ours.bin"
+    write_complex_vector(str(pb), v)
+    assert pb.read_bytes() == open(
+        os.path.join(golden, "complex_ref.bin"), "rb").read()
+    pt = tmp_path / "ours.txt"
+    write_complex_vector(str(pt), v, binary=False)
+    assert pt.read_text() == open(
+        os.path.join(golden, "complex_ref.txt")).read()

@@ -1,0 +1,130 @@
+"""Moving-listener transfer schedules (solver.step_multi_transfers) and
+future-dated hits: whole moving renders in one dispatch per chunk."""
+import numpy as np
+import pytest
+
+from openpbso_tpu.ops.coeffs import bank_from_material
+from openpbso_tpu.runtime.session import ModalSession
+from openpbso_tpu.runtime.solver import SolverConfig
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+S = 128
+
+
+@pytest.fixture
+def ffat_scene(synth_model_root):
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.ffat import build_ffat
+
+    paths = resolve_model_dir(synth_model_root, "synth")
+    model = load_model(paths)
+    n_aud = model.num_modes_audible
+
+    def make(smooth=False):
+        bank = bank_from_material(
+            model.material.density, model.modes.omega_squared[:n_aud],
+            model.material.alpha, model.material.beta,
+            block_size=S)
+        ffat = build_ffat(model.ffat_maps, num_modes=bank.num_modes)
+        return ModalSession(bank, ffat=ffat, config=SolverConfig(
+            block_size=S, backend="blocked", smooth_transfer=smooth))
+
+    return make, model
+
+
+def _path(t):
+    ang = 0.3 * (1 + np.arange(t))
+    return np.stack([1.3 * np.cos(ang), np.full(t, 0.4),
+                     1.3 * np.sin(ang)], axis=1)
+
+
+def test_render_moving_matches_per_move_dispatches(ffat_scene, dberr):
+    """One scheduled dispatch == the reference flow of one set_listener +
+    render per move (block-constant transfer semantics)."""
+    make, model = ffat_scene
+    space = model.modal_force_vertex(2)
+    pos = _path(6)
+    per_block = np.repeat(pos, 2, axis=0)          # hold each pos 2 blocks
+
+    ref = make(smooth=False)
+    ref.hit(0, space, kind="gaussian", width_us=400.0)
+    chunks = []
+    for p in pos:
+        ref.set_listener(p)
+        chunks.append(ref.render_multi(2))
+    want = np.concatenate(chunks, axis=0)
+
+    got_sess = make(smooth=False)
+    got_sess.hit(0, space, kind="gaussian", width_us=400.0)
+    got = got_sess.render_moving(per_block, blocks_per_dispatch=12)
+    assert np.abs(want).max() > 0
+    assert dberr(got, want) <= -100
+    assert got_sess.sample_clock == ref.sample_clock
+
+
+def test_render_moving_smooth_ramps_every_block(ffat_scene, dberr):
+    """smooth=True == one step_block_xfade per move (2-block holds ramp
+    to the new row then settle: prev carried by the scan)."""
+    make, model = ffat_scene
+    space = model.modal_force_vertex(1)
+    pos = _path(4)
+    per_block = np.repeat(pos, 2, axis=0)
+
+    ref = make(smooth=True)
+    ref.set_listener(pos[0] * 1.05)   # settle an initial row
+    ref.hit(0, space, kind="gaussian", width_us=400.0)
+    chunks = []
+    for p in pos:
+        ref.set_listener(p)           # pends one xfade block
+        chunks.append(np.asarray(ref.step()[1]))
+        chunks.append(np.asarray(ref.step()[1]))
+    want = np.concatenate(chunks, axis=0)
+
+    got_sess = make(smooth=True)
+    got_sess.set_listener(pos[0] * 1.05)
+    got_sess.hit(0, space, kind="gaussian", width_us=400.0)
+    # replicate the same per-block row sequence the per-move flow saw:
+    # moved block ramps from carry, hold block ramps (constant) to itself
+    got = got_sess.render_moving(per_block, blocks_per_dispatch=8,
+                                 smooth=True)
+    assert dberr(got, want) <= -100
+
+
+def test_future_dated_hits_fire_inside_span(dberr):
+    md = synth_mode_data(10, 6, seed=4)
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+
+    def make():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=S)
+        return ModalSession(bank, config=SolverConfig(block_size=S,
+                                                      backend="blocked"),
+                            lam64=lam64)
+
+    space = np.linspace(0.4, 1.0, 10)
+    # reference flow: hit live at each block boundary
+    ref = make()
+    chunks = []
+    for blk in range(8):
+        if blk in (0, 3, 5):
+            ref.hit(0, space, kind="gaussian", width_us=200.0)
+        chunks.append(np.asarray(ref.step()[1]))
+    want = np.concatenate(chunks, axis=0)
+
+    # scheduled flow: all hits future-dated, one span dispatch
+    got_sess = make()
+    for blk in (0, 3, 5):
+        got_sess.hit(0, space, kind="gaussian", width_us=200.0,
+                     when=blk * S)
+    got = got_sess.render_multi(8, blocks_per_dispatch=8)
+    assert np.abs(want).max() > 0
+    assert dberr(got, want) <= -100
+
+    with pytest.raises(ValueError):
+        got_sess.hit(0, space, when=3)       # not block-aligned
+    with pytest.raises(ValueError):
+        got_sess.hit(0, space, when=0)       # in the past
