@@ -214,9 +214,20 @@ def map_to_trimesh(m: FatcubeMap) -> tuple[np.ndarray, np.ndarray,
 # compression (portable equivalent of the JPEG roundtrip)
 # ---------------------------------------------------------------------------
 
-def compress_map(m: FatcubeMap) -> FatcubeMap:
-    """Per-face max-normalized uint8 quantization of Psi
-    (the quantization core of ffat_solver.h:1124-1178's JPEG roundtrip)."""
+def compress_map(m: FatcubeMap, jpeg_quality: int | None = None
+                 ) -> FatcubeMap:
+    """FFAT_Map<T,3>::Compress (ffat_solver.h:1124-1178): per-face
+    max-normalized uint8 images, optionally round-tripped through a real
+    JPEG encode/decode.
+
+    ``jpeg_quality``: None keeps the lossless-codec stand-in (uint8
+    quantization only — the information floor of the reference's
+    pipeline); an int routes each face image through an actual JPEG
+    write/read-back at that quality via PIL, reproducing the reference's
+    OpenCV imwrite/imread at IMWRITE_JPEG_QUALITY=quality (the tool uses
+    65). Measured errors vs the uncompressed map: docs/PERF.md
+    'FFAT compression'.
+    """
     psi_c = np.empty_like(m.psi)
     for face in range(6):
         nu, nv = (int(x) for x in m.shell.n_elements[face])
@@ -224,6 +235,17 @@ def compress_map(m: FatcubeMap) -> FatcubeMap:
         seg = m.psi[start: start + nu * nv]
         peak = float(np.max(np.abs(seg))) or 1.0
         q = np.round(np.clip(seg / peak, -1.0, 1.0) * 255.0)
+        if jpeg_quality is not None:
+            import io as _io
+
+            from PIL import Image
+            img = Image.fromarray(
+                np.clip(q, 0.0, 255.0).astype(np.uint8).reshape(nu, nv),
+                mode="L")
+            buf = _io.BytesIO()
+            img.save(buf, format="JPEG", quality=int(jpeg_quality))
+            buf.seek(0)
+            q = np.asarray(Image.open(buf), np.float64).reshape(-1)
         psi_c[start: start + nu * nv] = q * peak / 255.0
     return FatcubeMap(mode_id=m.mode_id, k=m.k, center=m.center.copy(),
                       shell=m.shell, psi=psi_c, is_compressed=True)

@@ -153,3 +153,34 @@ def test_read_n_elements_file(tmp_path):
     bad.write_text("1 2 3\n")
     with pytest.raises(ValueError):
         read_n_elements_file(str(bad))
+
+
+def test_compress_map_fidelity_vs_jpeg():
+    """Transfer-error budget of Compress (ffat_solver.h:1124-1178):
+    the uint8 quantization stand-in must hold <= -40 dB, and the real
+    JPEG-65 roundtrip (the reference's actual pipeline, via PIL) lands
+    near -40 dB — i.e. the stand-in is the *more* accurate of the two
+    (measured table: docs/PERF.md 'FFAT compression')."""
+    import math
+
+    from openpbso_tpu.utils.oracle import ffat_map_val
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(64, 3))
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) \
+        * rng.uniform(1.5, 4.0, (64, 1))
+    m = synth_fatcube(1, 700.0, n=8, seed=2)
+    raw = np.array([ffat_map_val(m, p) for p in pts])
+
+    def err_db(cm):
+        got = np.array([ffat_map_val(cm, p) for p in pts])
+        return 20 * math.log10(np.linalg.norm(got - raw)
+                               / np.linalg.norm(raw))
+
+    e_u8 = err_db(compress_map(m))
+    assert e_u8 <= -40.0, f"uint8 quantization: {e_u8:.1f} dB"
+    e_jpeg = err_db(compress_map(m, jpeg_quality=65))
+    assert e_jpeg <= -30.0, f"jpeg-65 roundtrip: {e_jpeg:.1f} dB"
+    # the stand-in cannot be lossier than the real codec it stands in for
+    assert e_u8 <= e_jpeg + 1.0
