@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--one-shot", action="store_true",
                    help="serve a single connection then exit")
+    p.add_argument("--qnorm-every", type=int, default=None,
+                   help="stream per-mode energy telemetry every N blocks "
+                        "(transfer-ball HUD feed; default 8 with --web, "
+                        "else off)")
     p.add_argument("--web", action="store_true",
                    help="speak HTTP/WebSocket instead of the raw protocol "
                         "and serve a browser demo page at /")
@@ -85,8 +89,12 @@ def main(argv=None) -> int:
     if args.web:
         from ..runtime.wsbridge import WebSocketAudioServer
         cls = WebSocketAudioServer
+    qnorm_every = args.qnorm_every
+    if qnorm_every is None:
+        qnorm_every = 8 if args.web else 0
     srv = cls(make, model=model, host=args.host, port=args.port,
-              lookahead=args.lookahead, session_loader=load_from_meta)
+              lookahead=args.lookahead, session_loader=load_from_meta,
+              qnorm_every=qnorm_every)
     kind = "http/websocket" if args.web else "pbso protocol"
     print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)

@@ -90,16 +90,22 @@ class AudioServer:
     """Serve one engine over TCP. Use serve_forever() or serve_one()."""
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
-                 port: int = 0, lookahead: int = 1, session_loader=None):
+                 port: int = 0, lookahead: int = 1, session_loader=None,
+                 qnorm_every: int = 0):
         """``make_session()`` -> a fresh ModalSession per connection;
-        ``model`` (optional) enables vertex-addressed hits;
-        ``session_loader(meta_path)`` -> (model, session) enables the
-        ``load_model`` hot-swap command (off by default: it opens
-        server-side files named by the client)."""
+        ``model`` (optional) enables vertex/face-addressed hits and the
+        scene/mode-shape viewer commands; ``session_loader(meta_path)`` ->
+        (model, session) enables the ``load_model`` hot-swap command (off
+        by default: it opens server-side files named by the client);
+        ``qnorm_every`` > 0 streams per-mode energy telemetry (the
+        transfer-ball HUD feed) every that many blocks."""
         self._make_session = make_session
         self._model = model
         self._session_loader = session_loader
         self._lookahead = lookahead
+        self._qnorm_every = qnorm_every
+        self._ball_mesh = (None, None)
+        self._ball_transfer = None
         self._sock = socket.create_server((host, port))
         self.address = self._sock.getsockname()
 
@@ -135,7 +141,8 @@ class AudioServer:
         block = session.config.block_size
         sink = _SocketSink(conn, block,
                            channels=int(session.gains.shape[-1]))
-        engine = StreamingEngine(session, sink, lookahead=self._lookahead)
+        engine = StreamingEngine(session, sink, lookahead=self._lookahead,
+                                 qnorm_every=self._qnorm_every)
         engine.start()
         try:
             buf = b""
@@ -167,8 +174,94 @@ class AudioServer:
         if "space" in msg:
             return np.asarray(msg["space"], np.float64)
         if self._model is None:
-            raise ValueError("vertex-addressed commands need a model")
+            raise ValueError("vertex/face-addressed commands need a model")
+        if "face" in msg:
+            return self._face_space(msg)
         return self._model.modal_force_vertex(int(msg["vertex"]))
+
+    def _face_space(self, msg) -> np.ndarray:
+        """Barycentric face hit: the browser ray-pick flow
+        (GetModalForceFace, real_time_modal_sound.cpp:236-266 — one shared
+        face normal for all three corners)."""
+        m = self._model
+        f = int(msg["face"])
+        if not 0 <= f < m.faces.shape[0]:
+            raise IndexError(f"face {f} out of range [0, {m.faces.shape[0]})")
+        bary = np.asarray(msg.get("bary", (1 / 3.0,) * 3), np.float64)
+        if bary.shape != (3,):
+            raise ValueError("bary must be 3 barycentric weights")
+        vids = m.faces[f]
+        v = m.vertices
+        n = np.cross(v[vids[1]] - v[vids[0]], v[vids[2]] - v[vids[0]])
+        norm = np.linalg.norm(n)
+        n = n / norm if norm > 0 else m.normals[vids[0]]
+        return m.modal_force_face(vids, bary, n)
+
+    def _scene_payload(self) -> dict:
+        """Mesh + metadata for the browser viewer (the reference renders
+        the .tet.obj in its libigl viewport, real_time_modal_sound.cpp
+        :508-509; a TPU deployment streams it to the client instead)."""
+        if self._model is None:
+            raise ValueError("scene command needs a model")
+        m = self._model
+        return {"scene": {
+            "vertices": np.asarray(m.vertices, np.float32).ravel().tolist(),
+            "faces": np.asarray(m.faces, np.int32).ravel().tolist(),
+            "normals": np.asarray(m.normals, np.float32).ravel().tolist(),
+            "modes_audible": int(m.num_modes_audible),
+        }}
+
+    def _mode_shape_payload(self, msg) -> dict:
+        """Per-vertex displacement of one mode for the client-side
+        mode-shape animation viewer (ModalViewer::UpdateModeShape,
+        real_time_modal_sound.cpp:133-148, 855-884: the client renders
+        v + scale * U_mode * cos(omega t))."""
+        if self._model is None:
+            raise ValueError("mode_shape command needs a model")
+        m = self._model
+        k = int(msg.get("mode", 0))
+        if not 0 <= k < m.num_modes_audible:
+            raise IndexError(
+                f"mode {k} out of range [0, {m.num_modes_audible})")
+        disp = np.asarray(m.modes.modes[k], np.float32)
+        freq = float(np.sqrt(m.modes.omega_squared[k]
+                             / m.material.density) / (2 * np.pi))
+        return {"mode_shape": {"mode": k, "freq_hz": freq,
+                               "disp": disp.ravel().tolist()}}
+
+    def _ball_payload(self, engine, subdivisions: int = 2) -> dict:
+        """Icosphere mesh + cached per-vertex transfer matrix for the
+        transfer-ball HUD (real_time_modal_sound.cpp:897, 917-927: ball
+        vertex v colored by log10(qnorm . transfer(v)) each frame).
+        Colors stream separately as qnorm telemetry arrives."""
+        from ..io.objmesh import icosphere
+        v, f = self._ball_mesh
+        if v is None:
+            v, f = icosphere(subdivisions, 1.0)
+            self._ball_mesh = (v, f)
+        if self._ball_transfer is None and engine.session.ffat is not None:
+            import jax.numpy as jnp
+
+            from ..ops.ffat import compute_transfer
+            self._ball_transfer = np.asarray(compute_transfer(
+                engine.session.ffat, jnp.asarray(v, jnp.float32)))
+        return {"ball": {
+            "vertices": np.asarray(v, np.float32).ravel().tolist(),
+            "faces": np.asarray(f, np.int32).ravel().tolist(),
+            "has_transfer": self._ball_transfer is not None,
+        }}
+
+    def ball_colors(self, qnorm: np.ndarray) -> np.ndarray | None:
+        """log10(qnorm . transfer) per ball vertex (the reference's live
+        HUD coloring, real_time_modal_sound.cpp:960-979)."""
+        if self._ball_transfer is None:
+            return None
+        w = np.asarray(qnorm, np.float64)
+        if w.ndim == 2:
+            w = w.sum(axis=0)
+        t = self._ball_transfer
+        vals = t[:, : w.shape[0]] @ w[: t.shape[1]]
+        return np.log10(np.maximum(vals, 1e-30))
 
     def _dispatch(self, engine, sink, line: bytes) -> bool:
         """Apply one command; returns True on quit."""
@@ -187,8 +280,23 @@ class AudioServer:
             elif cmd == "sustain":
                 engine.sustained_start(int(msg.get("obj", 0)),
                                        self._space_for(msg))
+            elif cmd == "drag":
+                # mouse-velocity sustained drag: each client frame live-
+                # updates the single sustained force's spatial pattern,
+                # scaled by the normalized mouse speed (the reference's
+                # callback_post_draw flow, real_time_modal_sound.cpp
+                # :1126-1160)
+                vel = float(msg.get("vel", 1.0))
+                engine.sustained_update(int(msg.get("obj", 0)),
+                                        self._space_for(msg) * vel)
             elif cmd == "release":
                 engine.sustained_end(int(msg.get("obj", 0)))
+            elif cmd == "scene":
+                sink.send_json(self._scene_payload())
+            elif cmd == "mode_shape":
+                sink.send_json(self._mode_shape_payload(msg))
+            elif cmd == "ball":
+                sink.send_json(self._ball_payload(engine))
             elif cmd == "arparam":
                 engine.set_ar_params(int(msg.get("obj", 0)),
                                      tuple(msg.get("a", (0.783, 0.116))),
@@ -219,6 +327,7 @@ class AudioServer:
                     new_sess.step()  # compile before parking the stream
                     swap_model(engine, new_sess)
                     self._model = model
+                    self._ball_transfer = None  # new model, new FFAT
                     sink.send_json({
                         "loaded": str(msg["meta"]),
                         # bank width = the space-vector length hit_space

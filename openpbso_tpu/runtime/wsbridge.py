@@ -96,13 +96,27 @@ class _FrameReader:
 
 
 class _WSSink:
-    """Audio sink writing PCM as binary websocket frames."""
+    """Audio sink writing PCM as binary websocket frames.
 
-    def __init__(self, conn: socket.socket, send_timeout: float = 5.0):
+    Writes are paced to real time (plus a small lead): the browser plays
+    at the sample rate, so an unpaced stream only grows client latency —
+    and on a small host it lets the synthesis thread starve the command
+    dispatcher of CPU. This is the role the blocking audio device played
+    for the reference (PaModalCallback pulls one block per ~11.6 ms,
+    real_time_modal_sound.cpp:192-212); the engine's capacity-2 sound
+    queue then paces the synth thread exactly like the reference's
+    spin-enqueue (modal_solver.h:275).
+    """
+
+    def __init__(self, conn: socket.socket, send_timeout: float = 5.0,
+                 pace_lead: float | None = 0.3):
         self._conn = conn
         conn.settimeout(send_timeout)
         self._lock = threading.Lock()
         self.closed = False
+        self._pace_lead = pace_lead
+        self._t0: float | None = None
+        self._samples = 0
 
     def _send(self, frame: bytes) -> bool:
         try:
@@ -114,6 +128,15 @@ class _WSSink:
             return False
 
     def write(self, block: np.ndarray) -> bool:
+        if self._pace_lead is not None:
+            import time as _time
+            now = _time.monotonic()
+            if self._t0 is None:
+                self._t0 = now
+            due = self._t0 + self._samples / SAMPLE_RATE - self._pace_lead
+            if due > now:
+                _time.sleep(due - now)
+            self._samples += int(np.shape(block)[0])
         data = np.ascontiguousarray(block, "<f4").tobytes()
         return self._send(encode_frame(OP_BINARY, data))
 
@@ -183,9 +206,33 @@ class WebSocketAudioServer(AudioServer):
                         "channels": int(session.gains.shape[-1]),
                         "block_size": session.config.block_size,
                         "modes": int(session.bank.num_modes)})
-        engine = StreamingEngine(session, sink, lookahead=self._lookahead)
+        engine = StreamingEngine(session, sink, lookahead=self._lookahead,
+                                 qnorm_every=self._qnorm_every)
         engine.start()
         reader = _FrameReader(conn)
+        pusher = None
+        if self._qnorm_every > 0 and session.ffat is not None \
+                and self._model is not None:
+            # transfer-ball HUD feed: color the icosphere by the latest
+            # per-mode energy telemetry (real_time_modal_sound.cpp:960-979)
+            stop_push = threading.Event()
+
+            def _push_colors():
+                self._ball_payload(engine)  # warm mesh + transfer cache
+                import time as _time
+                while not stop_push.is_set() and not sink.closed:
+                    q = engine.latest_qnorm()
+                    if q is not None:
+                        c = self.ball_colors(q)
+                        if c is not None:
+                            sink.send_json(
+                                {"ball_colors":
+                                 np.asarray(c, np.float32).tolist()})
+                    _time.sleep(0.15)
+
+            pusher = (threading.Thread(target=_push_colors, daemon=True),
+                      stop_push)
+            pusher[0].start()
         try:
             while not sink.closed and engine.healthy:
                 try:
@@ -206,77 +253,308 @@ class WebSocketAudioServer(AudioServer):
                 sink.send_json({"error": f"synthesis failed: "
                                          f"{engine.error!r}"})
         finally:
+            if pusher is not None:
+                pusher[1].set()
+                pusher[0].join(timeout=5.0)
             # stop synthesis FIRST so no PCM frame follows the CLOSE frame
             engine.stop()
             sink.close()
 
 
+# The browser viewer: the reference's interactive surface re-hosted in a
+# self-contained page (no JS dependencies, software-projected canvas 3D):
+#   - mesh viewport with orbit camera; orbiting moves the listener
+#     (computeTransfer on camera move, real_time_modal_sound.cpp:1166-1175)
+#   - shift-click ray-pick -> face + barycentric -> hit_face
+#     (CurrentMouseSurfPos / GetModalForceFace, :162-185, 236-266)
+#   - shift-drag -> sustained AR contact with mouse-velocity scaling
+#     (:1126-1160); keys 1/2/3 pick the force type (:1052-1063),
+#     'd' repeats the last hit (:1111-1118)
+#   - gaussian width slider 10-500 us (:783-792)
+#   - mode-shape animation viewer with scale control (:855-884, 1037-1046)
+#   - transfer-ball HUD colored live from qnorm telemetry (:917-979)
+#   - buffer-health bar (:818-831)
 DEMO_PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>openpbso-tpu live demo</title>
 <style>
  body{font-family:system-ui,sans-serif;background:#14161a;color:#dfe3ea;
-      max-width:640px;margin:2rem auto;padding:0 1rem}
- button{font-size:1.05rem;padding:.5rem 1.1rem;margin:.25rem;border:0;
+      max-width:860px;margin:1.2rem auto;padding:0 1rem}
+ button{font-size:1rem;padding:.45rem 1rem;margin:.2rem;border:0;
         border-radius:.5rem;background:#3b82f6;color:#fff;cursor:pointer}
  button:disabled{background:#444}
+ canvas{background:#0b0d10;border-radius:.5rem;touch-action:none}
+ #row{display:flex;gap:1rem;align-items:flex-start;flex-wrap:wrap}
+ #side{width:200px}
+ label{font-size:.85rem;color:#9aa3b2;display:block;margin-top:.5rem}
  input[type=range]{width:100%}
- #log{font-family:ui-monospace,monospace;font-size:.85rem;color:#9aa3b2;
-      white-space:pre-line;margin-top:1rem}
+ #log{font-family:ui-monospace,monospace;font-size:.8rem;color:#9aa3b2;
+      white-space:pre-line;margin-top:.6rem;max-height:8rem;overflow:auto}
  .bar{height:10px;background:#222;border-radius:5px;overflow:hidden}
  .bar>div{height:100%;width:0;background:#22c55e}
+ #help{font-size:.8rem;color:#7b8494}
 </style></head><body>
-<h2>openpbso-tpu &mdash; live modal synthesis</h2>
-<p>PCM streams from the synthesis server over a WebSocket and plays via
-WebAudio. Strike the object, drag the listener.</p>
+<h3>openpbso-tpu &mdash; live modal synthesis</h3>
+<div id="help">shift-click: strike &middot; shift-drag: sustained contact
+ &middot; drag: orbit (moves listener) &middot; keys 1/2/3: point/gaussian/AR
+ &middot; d: repeat hit</div>
 <button id="start">connect + start audio</button>
-<button id="hit" disabled>hit</button>
-<button id="hitg" disabled>soft hit</button>
-<div><label>listener azimuth <input id="az" type="range" min="0" max="628"
- value="157" disabled></label></div>
-<div class="bar"><div id="meter"></div></div>
+<span id="ftype">force: gaussian</span>
+<div id="row">
+ <canvas id="view" width="520" height="390"></canvas>
+ <div id="side">
+  <canvas id="ball" width="150" height="150"></canvas>
+  <label>gaussian width <span id="wv">200</span> &micro;s
+   <input id="width" type="range" min="10" max="500" value="200"></label>
+  <label>mode shape <input id="mode" type="number" min="-1" value="-1"
+   style="width:4.5rem"> (-1 off)</label>
+  <label>shape scale <input id="mscale" type="range" min="1" max="100"
+   value="30"></label>
+  <label>buffer health</label><div class="bar"><div id="meter"></div></div>
+ </div>
+</div>
 <div id="log"></div>
 <script>
-let ws=null,ctx=null,info=null,t=0,blocks=0,peak=0;
-const log=m=>{document.getElementById('log').textContent=
-  m+"\\n"+document.getElementById('log').textContent.slice(0,600)};
-window.state={blocks:0,peak:0,connected:false};
+'use strict';
+let ws=null,actx=null,info=null,t=0;
+let scene=null,ball=null,ballColors=null,modeShape=null;
+let yaw=0.9,pitch=0.4,dist=3.2,center=[0,0,0],radius=1;
+let forceKind='gaussian',lastHit=null,dragging=false,orbiting=false;
+const S={blocks:0,peak:0,connected:false,lastPick:null,health:1};
+window.state=S;
+const $=id=>document.getElementById(id);
+const log=m=>{$('log').textContent=(m+"\\n"+
+  $('log').textContent).slice(0,2000)};
+const send=o=>{if(ws&&ws.readyState===1){ws.send(JSON.stringify(o));
+  return true}return false};
+window.send=send;
+// ---- vec helpers ----
+const sub=(a,b)=>[a[0]-b[0],a[1]-b[1],a[2]-b[2]];
+const add=(a,b)=>[a[0]+b[0],a[1]+b[1],a[2]+b[2]];
+const mul=(a,s)=>[a[0]*s,a[1]*s,a[2]*s];
+const dot=(a,b)=>a[0]*b[0]+a[1]*b[1]+a[2]*b[2];
+const cross=(a,b)=>[a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],
+                    a[0]*b[1]-a[1]*b[0]];
+const norm=a=>{const n=Math.hypot(a[0],a[1],a[2])||1;return mul(a,1/n)};
+// ---- camera ----
+const FOV=Math.PI/4;
+function camera(w,h){
+  const cp=Math.cos(pitch),sp=Math.sin(pitch);
+  const eye=add(center,mul([cp*Math.cos(yaw),sp,cp*Math.sin(yaw)],
+                           dist*radius));
+  const fwd=norm(sub(center,eye));
+  const right=norm(cross(fwd,[0,1,0]));
+  const up=cross(right,fwd);
+  const tf=Math.tan(FOV/2),aspect=w/h;
+  return {eye,fwd,right,up,tf,aspect,w,h};
+}
+function project(c,p){
+  const q=sub(p,c.eye);
+  const z=dot(q,c.fwd);
+  if(z<1e-4)return null;
+  return [(dot(q,c.right)/(z*c.tf*c.aspect)+1)/2*c.w,
+          (1-dot(q,c.up)/(z*c.tf))/2*c.h,z];
+}
+function pixelRay(c,x,y){
+  const nx=2*x/c.w-1,ny=1-2*y/c.h;
+  return {o:c.eye,d:norm(add(c.fwd,add(mul(c.right,nx*c.tf*c.aspect),
+                                       mul(c.up,ny*c.tf))))};
+}
+// ---- Moller-Trumbore ray pick: face + barycentric (the browser side of
+// igl::unproject_onto_mesh, real_time_modal_sound.cpp:162-185) ----
+function pick(x,y){
+  if(!scene)return null;
+  const c=camera($('view').width,$('view').height);
+  const r=pixelRay(c,x,y);
+  let best=null;
+  for(let f=0;f<scene.nf;f++){
+    const i0=scene.f[3*f],i1=scene.f[3*f+1],i2=scene.f[3*f+2];
+    const v0=scene.vert(i0),e1=sub(scene.vert(i1),v0),
+          e2=sub(scene.vert(i2),v0);
+    const pv=cross(r.d,e2),det=dot(e1,pv);
+    if(Math.abs(det)<1e-12)continue;
+    const inv=1/det,tv=sub(r.o,v0);
+    const u=dot(tv,pv)*inv;if(u<0||u>1)continue;
+    const qv=cross(tv,e1);
+    const v=dot(r.d,qv)*inv;if(v<0||u+v>1)continue;
+    const tt=dot(e2,qv)*inv;
+    if(tt>1e-6&&(!best||tt<best.t))best={t:tt,face:f,bary:[1-u-v,u,v]};
+  }
+  return best;
+}
+window.pick=pick;
+// ---- render loop ----
+function shade(base,d){const k=0.35+0.65*Math.max(0,d);
+  return `rgb(${base[0]*k|0},${base[1]*k|0},${base[2]*k|0})`}
+function drawMesh(cv,vertFn,faces,nf,base,colors){
+  const g=cv.getContext('2d');
+  g.clearRect(0,0,cv.width,cv.height);
+  if(!faces)return;
+  const c=camera(cv.width,cv.height);
+  const light=norm([0.4,0.8,0.5]);
+  const tris=[];
+  for(let f=0;f<nf;f++){
+    const p=[vertFn(faces[3*f]),vertFn(faces[3*f+1]),vertFn(faces[3*f+2])];
+    const s=[project(c,p[0]),project(c,p[1]),project(c,p[2])];
+    if(!s[0]||!s[1]||!s[2])continue;
+    const n=norm(cross(sub(p[1],p[0]),sub(p[2],p[0])));
+    if(dot(n,sub(c.eye,p[0]))<0)continue;   // backface
+    tris.push({z:(s[0][2]+s[1][2]+s[2][2])/3,s,
+               col:colors?colors(f):shade(base,dot(n,light))});
+  }
+  tris.sort((a,b)=>b.z-a.z);
+  for(const tr of tris){
+    g.beginPath();g.moveTo(tr.s[0][0],tr.s[0][1]);
+    g.lineTo(tr.s[1][0],tr.s[1][1]);g.lineTo(tr.s[2][0],tr.s[2][1]);
+    g.closePath();g.fillStyle=tr.col;g.fill();
+    g.strokeStyle='rgba(0,0,0,0.25)';g.stroke();}
+}
+function frame(ts){
+  if(scene){
+    let vf=i=>scene.vert(i);
+    const k=parseInt($('mode').value);
+    if(modeShape&&modeShape.mode===k&&k>=0){
+      const sc=$('mscale').value/100*radius*0.5;
+      const ph=Math.cos(2*Math.PI*1.5*ts/1000);  // slowed visual rate
+      vf=i=>{const v=scene.vert(i);
+        return [v[0]+sc*ph*modeShape.disp[3*i],
+                v[1]+sc*ph*modeShape.disp[3*i+1],
+                v[2]+sc*ph*modeShape.disp[3*i+2]]}
+    }
+    drawMesh($('view'),vf,scene.f,scene.nf,[92,140,230]);
+  }
+  if(ball){
+    const bc=$('ball');
+    let colors=null;
+    if(ballColors){
+      let lo=1e30,hi=-1e30;
+      for(const v of ballColors){lo=Math.min(lo,v);hi=Math.max(hi,v);}
+      const span=Math.max(hi-lo,1e-6);
+      colors=f=>{const i0=ball.f[3*f];
+        const w=(ballColors[i0]-lo)/span;
+        return `rgb(${(40+215*w)|0},${60|0},${(255-200*w)|0})`};
+    }
+    // the HUD ball orbits with the same camera (viewport 2 of the
+    // reference's 3-viewport layout)
+    drawMesh(bc,i=>ball.vert(i),ball.f,ball.nf,[150,150,160],colors);
+  }
+  requestAnimationFrame(frame);
+}
+requestAnimationFrame(frame);
+// ---- audio ----
 function play(f32){
   const ch=info.channels,n=f32.length/ch;
-  const buf=ctx.createBuffer(ch,n,info.sample_rate);
+  const buf=actx.createBuffer(ch,n,info.sample_rate);
   for(let c=0;c<ch;c++){const d=buf.getChannelData(c);
     for(let i=0;i<n;i++)d[i]=f32[i*ch+c];}
-  const src=ctx.createBufferSource();src.buffer=buf;src.connect(ctx.destination);
-  if(t<ctx.currentTime)t=ctx.currentTime+0.05;
+  const src=actx.createBufferSource();src.buffer=buf;
+  src.connect(actx.destination);
+  if(t<actx.currentTime)t=actx.currentTime+0.05;
   src.start(t);t+=n/info.sample_rate;
 }
-document.getElementById('start').onclick=async()=>{
-  ctx=new AudioContext();await ctx.resume();
+// ---- wire ----
+function wrapMesh(m){
+  const v=new Float32Array(m.vertices),f=new Int32Array(m.faces);
+  return {v,f,nf:f.length/3,vert:i=>[v[3*i],v[3*i+1],v[3*i+2]]};
+}
+$('start').onclick=async()=>{
+  actx=new AudioContext();await actx.resume();
   ws=new WebSocket(`ws://${location.host}/ws`);
   ws.binaryType='arraybuffer';
+  ws.onopen=()=>{};
   ws.onmessage=ev=>{
     if(typeof ev.data==='string'){
       const m=JSON.parse(ev.data);
-      if(m.hello){info=m;window.state.connected=true;
-        log('connected: '+ev.data);
-        for(const id of['hit','hitg','az'])
-          document.getElementById(id).disabled=false;
-      } else log('server: '+ev.data);
+      if(m.hello){info=m;S.connected=true;log('connected: '+ev.data);
+        send({cmd:'scene'});send({cmd:'ball'});
+        setInterval(()=>send({cmd:'stats'}),2000);}
+      else if(m.scene){
+        scene=wrapMesh(m.scene);scene.modes=m.scene.modes_audible;
+        let lo=[1e9,1e9,1e9],hi=[-1e9,-1e9,-1e9];
+        for(let i=0;i<scene.v.length/3;i++){const p=scene.vert(i);
+          for(let a=0;a<3;a++){lo[a]=Math.min(lo[a],p[a]);
+            hi[a]=Math.max(hi[a],p[a]);}}
+        center=mul(add(lo,hi),0.5);
+        radius=Math.hypot(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2])/2||1;
+        S.scene=true;log(`scene: ${scene.v.length/3} verts, `+
+          `${scene.nf} faces, ${scene.modes} modes`);
+        sendListener();}
+      else if(m.ball){ball=wrapMesh(m.ball);S.ball=true;}
+      else if(m.ball_colors){ballColors=m.ball_colors;S.ballColors=true;}
+      else if(m.mode_shape){modeShape=m.mode_shape;
+        log(`mode ${m.mode_shape.mode}: ${m.mode_shape.freq_hz.toFixed(1)} Hz`);}
+      else if(m.health!==undefined){S.health=m.health;
+        $('meter').style.width=(m.health*100)+'%';}
+      else log('server: '+ev.data);
       return;}
     const f32=new Float32Array(ev.data);
-    blocks++;window.state.blocks=blocks;
+    S.blocks++;
     let p=0;for(const v of f32)p=Math.max(p,Math.abs(v));
-    peak=Math.max(peak,p);window.state.peak=peak;
-    document.getElementById('meter').style.width=
-      Math.min(100,p*300)+'%';
+    S.peak=Math.max(S.peak,p);
     play(f32);
   };
-  ws.onclose=()=>{window.state.connected=false;log('closed');};
+  ws.onclose=()=>{S.connected=false;log('closed');};
 };
-const send=o=>ws&&ws.readyState===1&&ws.send(JSON.stringify(o));
-document.getElementById('hit').onclick=()=>send({cmd:'hit',obj:0,vertex:3});
-document.getElementById('hitg').onclick=()=>send(
-  {cmd:'hit',obj:0,vertex:3,kind:'gaussian',width_us:400});
-document.getElementById('az').oninput=e=>{const a=e.target.value/100;
-  send({cmd:'listener',pos:[Math.cos(a),0.4,Math.sin(a)]});};
+// ---- listener follows the orbit camera ----
+let listenerTimer=null;
+function sendListener(){
+  const c=camera(1,1);
+  if(listenerTimer)return;
+  listenerTimer=setTimeout(()=>{listenerTimer=null;
+    send({cmd:'listener',pos:c.eye});},100);
+}
+// ---- mouse: orbit / pick / sustained drag ----
+const view=$('view');
+let lastXY=null,lastDragT=0;
+view.onpointerdown=e=>{
+  const r=view.getBoundingClientRect();
+  const x=e.clientX-r.left,y=e.clientY-r.top;
+  lastXY=[x,y];
+  if(e.shiftKey){
+    const hit=pick(x,y);S.lastPick=hit;
+    if(hit){
+      if(forceKind==='ar'){dragging=true;
+        send({cmd:'sustain',obj:0,face:hit.face,bary:hit.bary});}
+      else{lastHit={cmd:'hit',obj:0,face:hit.face,bary:hit.bary,
+        kind:forceKind,width_us:+$('width').value};send(lastHit);}
+    }
+  } else orbiting=true;
+  view.setPointerCapture(e.pointerId);
+};
+view.onpointermove=e=>{
+  const r=view.getBoundingClientRect();
+  const x=e.clientX-r.left,y=e.clientY-r.top;
+  if(orbiting&&lastXY){
+    yaw+=(x-lastXY[0])*0.01;
+    pitch=Math.max(-1.4,Math.min(1.4,pitch+(y-lastXY[1])*0.01));
+    sendListener();
+  } else if(dragging&&lastXY){
+    const now=performance.now();
+    if(now-lastDragT>33){
+      lastDragT=now;
+      const hit=pick(x,y);
+      if(hit){
+        // normalized mouse speed scales the sustained force (the
+        // reference's velocity drag, real_time_modal_sound.cpp:1126-1160)
+        const vel=Math.min(1,Math.hypot(x-lastXY[0],y-lastXY[1])/30);
+        send({cmd:'drag',obj:0,face:hit.face,bary:hit.bary,vel});
+      }
+    }
+  }
+  if(orbiting||dragging)lastXY=[x,y];
+};
+view.onpointerup=e=>{
+  if(dragging)send({cmd:'release',obj:0});
+  dragging=false;orbiting=false;lastXY=null;
+};
+window.onkeydown=e=>{
+  if(e.key==='1')forceKind='point';
+  else if(e.key==='2')forceKind='gaussian';
+  else if(e.key==='3')forceKind='ar';
+  else if(e.key==='d'&&lastHit)send(lastHit);
+  $('ftype').textContent='force: '+forceKind;
+};
+$('width').oninput=e=>$('wv').textContent=e.target.value;
+$('mode').onchange=e=>{const k=+e.target.value;
+  if(k>=0)send({cmd:'mode_shape',mode:k});else modeShape=null;};
 </script></body></html>
 """

@@ -160,3 +160,106 @@ def test_oversized_frame_rejected_stream_survives_next_client(ws_server):
     op, hello = c2.read_frame()
     assert op == OP_TEXT and b"sample_rate" in hello
     c2.close()
+
+
+@pytest.fixture
+def ws_viewer_server(synth_model_root):
+    """WS server with a real model + FFAT: the browser-viewer surface."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.ffat import build_ffat
+
+    paths = resolve_model_dir(synth_model_root, "synth")
+    model = load_model(paths)
+    n_aud = model.num_modes_audible
+
+    def make_session():
+        bank = bank_from_material(
+            model.material.density, model.modes.omega_squared[:n_aud],
+            model.material.alpha, model.material.beta, block_size=BLOCK,
+            dtype=jnp.float32)
+        ffat = build_ffat(model.ffat_maps, num_modes=bank.num_modes)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"))
+        sess.set_listener(np.asarray([1.5, 0.3, 0.2]))
+        sess.step()
+        return sess
+
+    srv = WebSocketAudioServer(make_session, model=model, qnorm_every=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, model
+    srv.close()
+
+
+def test_browser_viewer_protocol(ws_viewer_server):
+    """The reference's interactive surface over the wire: scene mesh,
+    ray-picked face hits, mouse-velocity sustained drag, mode shapes,
+    transfer-ball colors from qnorm telemetry."""
+    srv, model = ws_viewer_server
+    c = _WSClient(*srv.address)
+
+    msgs = {}
+    peak = 0.0
+
+    def pump(until, timeout=60.0):
+        # PCM is real-time paced (wsbridge._WSSink), so pump by deadline;
+        # jit compiles inside command handlers can take seconds on the
+        # shared single core
+        nonlocal peak
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            op, payload = c.read_frame()
+            if op == OP_TEXT:
+                m = json.loads(payload)
+                for k in ("hello", "scene", "ball", "ball_colors",
+                          "mode_shape", "error"):
+                    if k in m:
+                        msgs[k] = m[k]
+            elif op == OP_BINARY:
+                pcm = np.frombuffer(payload, "<f4")
+                peak = max(peak, float(np.abs(pcm).max()))
+            if until in msgs:
+                return msgs[until]
+        raise AssertionError(f"no {until!r} reply (have {list(msgs)})")
+
+    pump("hello")
+    c.send_json(cmd="scene")
+    scene = pump("scene")
+    assert scene["modes_audible"] == model.num_modes_audible
+    nv = len(scene["vertices"]) // 3
+    nf = len(scene["faces"]) // 3
+    assert nv == model.num_vertices and nf == model.faces.shape[0]
+
+    c.send_json(cmd="ball")
+    ball = pump("ball")
+    assert ball["has_transfer"] and len(ball["faces"]) % 3 == 0
+
+    c.send_json(cmd="mode_shape", mode=1)
+    ms = pump("mode_shape")
+    assert ms["mode"] == 1 and ms["freq_hz"] > 0
+    assert len(ms["disp"]) == 3 * nv
+
+    # ray-picked face hit with barycentric weights -> audio
+    c.send_json(cmd="hit", obj=0, face=2, bary=[0.2, 0.5, 0.3],
+                kind="gaussian", width_us=300.0)
+    pump("ball_colors")          # qnorm telemetry is flowing
+    import time as _time
+    deadline = _time.monotonic() + 30.0
+    while peak == 0.0 and _time.monotonic() < deadline:
+        op, payload = c.read_frame()
+        if op == OP_BINARY:
+            peak = float(np.abs(np.frombuffer(payload, "<f4")).max())
+    assert peak > 0.0
+
+    # mouse-velocity sustained drag
+    c.send_json(cmd="sustain", obj=0, face=1, bary=[0.4, 0.3, 0.3])
+    c.send_json(cmd="drag", obj=0, face=1, bary=[0.1, 0.8, 0.1], vel=0.5)
+    c.send_json(cmd="release", obj=0)
+    # malformed face -> error reply, stream alive
+    c.send_json(cmd="hit", obj=0, face=10 ** 6)
+    pump("error")
+    c.send_json(cmd="stats")
+    c.close()
