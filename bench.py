@@ -6,11 +6,16 @@ x 1k modes faster than real time on one TPU chip. This bench runs the full
 block step (force synthesis + modal IIR + transfer dot + stereo mixdown) in
 steady state and reports scene audio samples/sec and the real-time factor.
 
-Two quantities matter and are both printed to stderr:
-- throughput: multi-block scan dispatch (step_multi) — the true device rate,
-  with per-dispatch host/tunnel overhead amortized. This is the headline.
-- latency: single-block synced dispatch — what a real-time stream pays per
-  11.6 ms deadline.
+Measurement modes (the JSON metric string names the one used):
+- --span (default): chunked-span dispatch (ops/span.py) — 128 blocks per
+  dispatch as FFT-free MXU matmuls; the best measured rate for both shared
+  and heterogeneous banks. The default run also emits the heterogeneous
+  span RTF on stderr so both numbers are tracked per round.
+- --multi: the step_multi scan (the round-1 headline mode).
+- --pipelined: async single-block dispatches (one small compile; fallback
+  when the box is too loaded to compile the span in time).
+- latency: single-block synced dispatch, printed to stderr — what a
+  real-time stream pays per 11.6 ms deadline.
 
 Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -121,12 +126,12 @@ def time_pipelined(bank, state, gains, s, backend, iters=64):
     return (iters * s) / dt
 
 
-def time_span(bank, lam64, state, gains, s, n_blocks=64, iters=4,
+def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
               num_slots=1):
     """Span dispatch (ops/span.py): one MXU dispatch per n_blocks.
 
-    The heterogeneous-bank headline path: per-object power tables factor
-    into baby/giant steps, so the whole span is a few batched matmuls.
+    The headline path for both bank layouts: the chunked span renders
+    N samples as FFT-free batched matmuls against baby lam-power tables.
     num_slots=1 matches the one planted hit (the session's slot-bucket
     gating dispatches exactly this at runtime).
     """
@@ -188,22 +193,17 @@ def main():
     explicit_mode = any(f in sys.argv
                         for f in ("--multi", "--pipelined", "--span"))
     if not explicit_mode:
-        # Default: the best measurement per bank layout — shared banks via
-        # the scan dispatch (128 blocks/dispatch), heterogeneous banks via
-        # the span dispatch (ops/span.py, 64 blocks/dispatch) — each in a
-        # guarded child process: compiles can take unbounded time when the
-        # box is loaded (XLA compiles on this shared single core). Fall
-        # back to the robust single-compile pipelined measurement on
-        # timeout.
+        # Default: the chunked-span dispatch (ops/span.py, 64
+        # blocks/dispatch — the best measured mode for BOTH shared and
+        # heterogeneous banks, docs/PERF.md round-2 tables), in a guarded
+        # child process: compiles can take unbounded time when the box is
+        # loaded (XLA compiles on this shared single core). Fall back to
+        # the robust single-compile pipelined measurement on timeout.
         import subprocess
         child_args = [a for a in sys.argv[1:]]
         try:
-            mode = "--span" if hetero else "--multi"
-            if not hetero and not any(a.startswith("--nblocks=")
-                                      for a in child_args):
-                child_args = child_args + ["--nblocks=128"]
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), mode,
+                [sys.executable, os.path.abspath(__file__), "--span",
                  "--skip-single"] + child_args,
                 capture_output=True, text=True, timeout=420)
             for line in r.stdout.splitlines():
@@ -218,7 +218,7 @@ def main():
 
     if "--span" in sys.argv:
         nb = (nblocks if any(a.startswith("--nblocks=") for a in sys.argv)
-              else 64)
+              else 128)
         bank, state, gains, lam64 = build(o, m, s, backend, hetero=hetero,
                                           need_tables=False)
         sps = time_span(bank, lam64, state, gains, s, n_blocks=nb)

@@ -80,6 +80,63 @@ class SpanTables:
         return self.a_re.shape[0] == 1
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FullSpanTables:
+    """One shared [M, N+1] lam-power table (shared banks only).
+
+    For a shared bank the factored form's [O, X, M] row intermediates cost
+    more HBM than simply holding every power: the table is static across
+    spans, and the whole span becomes three giant [O(K), M] @ [M, N]
+    matmuls with no intermediates at all (the span generalization of the
+    blocked backend's shared-table fast path, ops/integrator._mode_reduce).
+    """
+    p_re: jax.Array   # [M, N+1]
+    p_im: jax.Array
+
+    @property
+    def span(self) -> int:
+        return self.p_re.shape[-1] - 1
+
+    @property
+    def shared(self) -> bool:
+        return True
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChunkSpanTables:
+    """Baby-table-only span form: chunk kernels + a chunk-state scan.
+
+    The conv-based span forms pay one length-2N FFT triple per span, and
+    the TPU FFT is VPU-bound (~11 ms at [256, 65536] — docs/PERF.md).
+    This form needs only lam^r for r in [0, C] ([Og, C+1, M]): forces
+    inject per-chunk states (a batched matmul), a C-strided lax.scan
+    propagates them (X = N/C steps of one [O, M] complex multiply-add),
+    and one more matmul renders every chunk's homogeneous response from
+    its start state. Within-chunk causal convs are [C, C] Toeplitz
+    batched matmuls. No FFT anywhere; everything lands on the MXU.
+
+    Accuracy class: chunk-serial lam^C rotation in f32 (like the blocked
+    per-block path) — phase error accrues per chunk, not per sample.
+    """
+    b_re: jax.Array   # [Og, C+1, M]
+    b_im: jax.Array
+    n_chunks: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def chunk(self) -> int:
+        return self.b_re.shape[1] - 1
+
+    @property
+    def span(self) -> int:
+        return self.chunk * self.n_chunks
+
+    @property
+    def shared(self) -> bool:
+        return self.b_re.shape[0] == 1
+
+
 def choose_radix(span: int, target: int = 256) -> int:
     """Largest divisor of ``span`` <= target (baby-table length R).
 
@@ -102,13 +159,18 @@ def build_span_tables(
     pad_modes_to: int = 128,
     shared: bool | None = None,
     dtype=jnp.float32,
-) -> SpanTables:
-    """Factor tables from the float64 eigenvalues (NOT the bank's f32 cast:
+    form: str = "auto",
+):
+    """Span tables from the float64 eigenvalues (NOT the bank's f32 cast:
     lam^N amplifies base rounding by N, so the f64 source is required —
     same reason the blocked tables are host-f64, ops/coeffs.py).
 
     ``lam64``: [M] or [O, M] complex128 (as returned by lambda_from_modes);
     modes are zero-padded to ``num_modes`` (or a lane multiple).
+    ``form``: 'chunked' (ChunkSpanTables, FFT-free — the default, fastest
+    measured on TPU for shared AND heterogeneous banks), 'factored'
+    (baby/giant SpanTables + FFT conv), 'full' (one [M, N+1]
+    FullSpanTables + FFT conv, shared banks only), or 'auto' (= chunked).
     """
     lam = np.atleast_2d(np.asarray(lam64, np.complex128))
     o, m = lam.shape
@@ -124,6 +186,23 @@ def build_span_tables(
         shared = o == 1 or all(np.array_equal(lam[0], lam[i])
                                for i in range(1, o))
     src = lam[:1] if shared else lam
+    if form == "auto":
+        form = "chunked"
+    if form == "chunked":
+        c = radix if radix is not None else choose_radix(span)
+        if span % c:
+            raise ValueError(f"chunk {c} does not divide span {span}")
+        b = np.moveaxis(_power_table(src, c), -1, 1)
+        return ChunkSpanTables(b_re=jnp.asarray(b.real, dtype),
+                               b_im=jnp.asarray(b.imag, dtype),
+                               n_chunks=span // c)
+    if form == "full":
+        if not shared:
+            raise ValueError("full span tables need a shared bank "
+                             "([O, M, N] would defeat the purpose)")
+        p = _power_table(src[0], span)          # [M, N+1]
+        return FullSpanTables(p_re=jnp.asarray(p.real, dtype),
+                              p_im=jnp.asarray(p.imag, dtype))
     # _power_table puts the exponent axis last; tables are [Og, rows, M]
     a = np.moveaxis(_power_table(src, np.arange(x + 1, dtype=np.int64) * r),
                     -1, 1)
@@ -175,6 +254,12 @@ def integrate_span(
     n = f_k.shape[-1]
     assert tables.span == n, (
         f"span tables built for {tables.span} samples, got {n}")
+    if isinstance(tables, ChunkSpanTables):
+        return _integrate_span_chunked(z_re, z_im, bank, tables, space_k,
+                                       f_k, transfer)
+    if isinstance(tables, FullSpanTables):
+        return _integrate_span_full(z_re, z_im, bank, tables, space_k, f_k,
+                                    transfer)
     x, r = tables.big_steps, tables.radix
     a_re, a_im = tables.a_re, tables.a_im
     b_re, b_im = tables.b_re, tables.b_im
@@ -224,6 +309,111 @@ def integrate_span(
     return z_re_out, z_im_out, sound
 
 
+def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
+                            space_k, f_k, transfer):
+    """FFT-free span: per-chunk force injection + chunk-state scan +
+    cross-chunk hom, all matmul-shaped (see ChunkSpanTables)."""
+    o, m = z_re.shape
+    k = space_k.shape[1]
+    n = f_k.shape[-1]
+    c, x = tables.chunk, tables.n_chunks
+    b_re, b_im = tables.b_re, tables.b_im
+    dtype = z_re.dtype
+    tmask = transfer * bank.mask
+    be_re = bank.b_re[:, None, :] * space_k            # [O, K, M]
+    be_im = bank.b_im[:, None, :] * space_k
+
+    # short per-slot kernels g_k[d] = Im(B[d] t b e_k) . 1, d in [0, C)
+    tb_re = tmask[:, None, :] * be_re                  # [O, K, M]
+    tb_im = tmask[:, None, :] * be_im
+    g = (_contract_xr(tb_re, b_im[:, :c])
+         + _contract_xr(tb_im, b_re[:, :c]))           # [O, K, C]
+
+    # within-chunk causal conv: Toeplitz batched matmul, summed over slots
+    fc = f_k.reshape(o, k, x, c)
+    delta = np.arange(c)[:, None] - np.arange(c)[None, :]
+    t_g = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
+        * jnp.asarray(delta >= 0, dtype)               # [O, K, C(out), C(in)]
+    conv = jnp.einsum("okcj,okxj->oxc", t_g, fc,
+                      precision=PRECISION)             # [O, X, C]
+
+    # per-chunk modal force gathers: t_k = sum_j B[C-1-j] f_chunk[j]
+    rows = fc[..., ::-1].reshape(o, k * x, c)
+    t_re = _contract_xm(rows, b_re[:, :c]).reshape(o, k, x, m)
+    t_im = _contract_xm(rows, b_im[:, :c]).reshape(o, k, x, m)
+    inj_re = jnp.sum(be_re[:, :, None, :] * t_re
+                     - be_im[:, :, None, :] * t_im, axis=1)  # [O, X, M]
+    inj_im = jnp.sum(be_re[:, :, None, :] * t_im
+                     + be_im[:, :, None, :] * t_re, axis=1)
+
+    # chunk-state scan: z_{x+1} = lam^C z_x + inj[x]; emits chunk starts
+    pc_re, pc_im = b_re[:, c], b_im[:, c]              # [Og, M]
+
+    def body(carry, inj_x):
+        zr, zi = carry
+        ir, ii = inj_x
+        zr_n = pc_re * zr - pc_im * zi + ir
+        zi_n = pc_im * zr + pc_re * zi + ii
+        return (zr_n, zi_n), (zr, zi)
+
+    (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
+        body, (z_re, z_im),
+        (jnp.moveaxis(inj_re, 1, 0), jnp.moveaxis(inj_im, 1, 0)))
+    zs_re = jnp.moveaxis(zs_re, 0, 1)                  # [O, X, M]
+    zs_im = jnp.moveaxis(zs_im, 0, 1)
+
+    # cross-chunk hom from each chunk's start state: Im(B[1..C] z_x) . t
+    wz_re = tmask[:, None, :] * zs_re
+    wz_im = tmask[:, None, :] * zs_im
+    hom = (_contract_xr(wz_im, b_re[:, 1:])
+           + _contract_xr(wz_re, b_im[:, 1:]))         # [O, X, C]
+
+    sound = (hom + conv).reshape(o, n)
+    return zr_f, zi_f, sound
+
+
+def _integrate_span_full(z_re, z_im, bank, tables: FullSpanTables,
+                         space_k, f_k, transfer):
+    """Shared-bank span via the full [M, N+1] power table: three giant
+    matmul pairs, no per-object tables, no row intermediates."""
+    o, m = z_re.shape
+    k = space_k.shape[1]
+    n = f_k.shape[-1]
+    dtype = z_re.dtype
+    p_re, p_im = tables.p_re, tables.p_im          # [M, N+1]
+    tmask = transfer * bank.mask
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=PRECISION)
+
+    # hom[o, s] = Im(P_{s+1} z) . t
+    hom = mm(tmask * z_im, p_re[:, 1:]) + mm(tmask * z_re, p_im[:, 1:])
+
+    # per-slot g_k[d] = Im(P_d b e_k) . t
+    be_re = bank.b_re[:, None, :] * space_k        # [O, K, M]
+    be_im = bank.b_im[:, None, :] * space_k
+    tb_re = (tmask[:, None, :] * be_re).reshape(o * k, m)
+    tb_im = (tmask[:, None, :] * be_im).reshape(o * k, m)
+    g = (mm(tb_re, p_im[:, :n]) + mm(tb_im, p_re[:, :n])).reshape(o, k, n)
+
+    nf = 2 * n
+    conv_f = jnp.sum(jnp.fft.rfft(g, n=nf, axis=-1)
+                     * jnp.fft.rfft(f_k, n=nf, axis=-1), axis=1)
+    sound = hom + jnp.fft.irfft(conv_f, n=nf, axis=-1)[..., :n].astype(dtype)
+
+    # state injection: F_k,m = sum_d P_d f_k_rev[d]
+    f_rev = f_k[:, :, ::-1].reshape(o * k, n)
+    fk_re = mm(f_rev, p_re[:, :n].T).reshape(o, k, m)
+    fk_im = mm(f_rev, p_im[:, :n].T).reshape(o, k, m)
+    inj_re = jnp.sum(be_re * fk_re - be_im * fk_im, axis=1)
+    inj_im = jnp.sum(be_re * fk_im + be_im * fk_re, axis=1)
+
+    pn_re, pn_im = p_re[:, n], p_im[:, n]          # lam^N
+    z_re_out = pn_re * z_re - pn_im * z_im + inj_re
+    z_im_out = pn_im * z_re + pn_re * z_im + inj_im
+    return z_re_out, z_im_out, sound
+
+
 @jax.jit
 def decay_span(
     z_re: jax.Array,
@@ -240,6 +430,33 @@ def decay_span(
     """
     o, m = z_re.shape
     n = tables.span
+    if isinstance(tables, ChunkSpanTables):
+        c, x = tables.chunk, tables.n_chunks
+        b_re, b_im = tables.b_re, tables.b_im
+        tmask = transfer * bank.mask
+        pc_re, pc_im = b_re[:, c], b_im[:, c]
+
+        def body(carry, _):
+            zr, zi = carry
+            return (pc_re * zr - pc_im * zi,
+                    pc_im * zr + pc_re * zi), (zr, zi)
+
+        (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
+            body, (z_re, z_im), None, length=x)
+        wz_re = tmask[:, None, :] * jnp.moveaxis(zs_re, 0, 1)
+        wz_im = tmask[:, None, :] * jnp.moveaxis(zs_im, 0, 1)
+        sound = (_contract_xr(wz_im, b_re[:, 1:])
+                 + _contract_xr(wz_re, b_im[:, 1:])).reshape(o, n)
+        return zr_f, zi_f, sound
+    if isinstance(tables, FullSpanTables):
+        p_re, p_im = tables.p_re, tables.p_im
+        tmask = transfer * bank.mask
+        sound = (jnp.matmul(tmask * z_im, p_re[:, 1:], precision=PRECISION)
+                 + jnp.matmul(tmask * z_re, p_im[:, 1:],
+                              precision=PRECISION))
+        pn_re, pn_im = p_re[:, n], p_im[:, n]
+        return (pn_re * z_re - pn_im * z_im,
+                pn_im * z_re + pn_re * z_im, sound)
     x = tables.big_steps
     a_re, a_im = tables.a_re, tables.a_im
     b_re, b_im = tables.b_re, tables.b_im

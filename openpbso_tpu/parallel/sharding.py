@@ -165,11 +165,17 @@ def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
 
 
 def span_table_specs(tables) -> object:
-    """PartitionSpecs for ops.span.SpanTables: mode axis splits, the
-    power-row axis replicates, the object axis follows the bank layout."""
-    from ..ops.span import SpanTables
+    """PartitionSpecs for ops.span tables: mode axis splits, the
+    power axis replicates, the object axis follows the bank layout."""
+    from ..ops.span import ChunkSpanTables, FullSpanTables, SpanTables
+    if isinstance(tables, FullSpanTables):
+        spec = P("mode", None)
+        return FullSpanTables(p_re=spec, p_im=spec)
     spec = (P(None, None, "mode") if tables.shared
             else P("obj", None, "mode"))
+    if isinstance(tables, ChunkSpanTables):
+        return ChunkSpanTables(b_re=spec, b_im=spec,
+                               n_chunks=tables.n_chunks)
     return SpanTables(a_re=spec, a_im=spec, b_re=spec, b_im=spec)
 
 

@@ -78,12 +78,15 @@ def test_choose_radix():
     assert choose_radix(13 * 13, target=16) == 13
 
 
-@pytest.mark.parametrize("kind", ["hetero", "shared"])
-def test_span_matches_blocked_sequence(kind, dberr):
+@pytest.mark.parametrize("kind,form", [
+    ("hetero", "chunked"), ("hetero", "factored"),
+    ("shared", "chunked"), ("shared", "factored"), ("shared", "full"),
+])
+def test_span_matches_blocked_sequence(kind, form, dberr):
     n_blocks = 8
     bank, lam64 = (_hetero_bank() if kind == "hetero" else _shared_bank())
     tables = build_span_tables(lam64, n_blocks * S,
-                               num_modes=bank.num_modes)
+                               num_modes=bank.num_modes, form=form)
     assert tables.shared == (kind == "shared")
     state = _seeded_state(bank, n_blocks)
     gains = jnp.ones((bank.num_objects, 2), jnp.float32)
