@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     p.add_argument("--web", action="store_true",
                    help="speak HTTP/WebSocket instead of the raw protocol "
                         "and serve a browser demo page at /")
+    p.add_argument("--multi-client", action="store_true",
+                   help="broadcast ONE synthesis stream to many concurrent "
+                        "clients (shared world/listener) instead of one "
+                        "engine per connection")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -89,6 +93,12 @@ def main(argv=None) -> int:
     if args.web:
         from ..runtime.wsbridge import WebSocketAudioServer
         cls = WebSocketAudioServer
+        if args.multi_client:
+            p.error("--multi-client currently speaks the raw TCP protocol "
+                    "only (drop --web)")
+    elif args.multi_client:
+        from ..runtime.server import BroadcastAudioServer
+        cls = BroadcastAudioServer
     qnorm_every = args.qnorm_every
     if qnorm_every is None:
         qnorm_every = 8 if args.web else 0

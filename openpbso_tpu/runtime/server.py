@@ -27,12 +27,16 @@ streams the engine's output over TCP:
   replies (stats, errors) interleave in-band with the sentinel length
   0xFFFFFFFF followed by their own length + payload.
 
-One client at a time (the synthesis engine is a singleton); additional
-connections are refused with a JSON error.
+``AudioServer`` serves one client at a time (a fresh engine per
+connection). ``BroadcastAudioServer`` fans ONE engine's stream out to many
+concurrent clients — the many-listener deployment shape of a 256-object
+TPU scene; each client has a bounded PCM queue so a slow client drops
+blocks instead of stalling the shared synthesis stream.
 """
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import struct
 import threading
@@ -339,13 +343,7 @@ class AudioServer:
                         "objects": int(new_sess.bank.num_objects),
                     })
             elif cmd == "stats":
-                st = engine.profiler.stats()
-                sink.send_json({
-                    "health": engine.health.health,
-                    "blocks": engine._blocks_done,
-                    "p50_ms": st.p50_ms if st else None,
-                    "p99_ms": st.p99_ms if st else None,
-                })
+                sink.send_json(self._stats_payload(engine))
             else:
                 sink.send_json({"error": f"unknown cmd {cmd!r}"})
         except (KeyError, IndexError, ValueError, TypeError, OSError,
@@ -355,6 +353,236 @@ class AudioServer:
             # never escape the per-connection handler
             sink.send_json({"error": str(e)})
         return False
+
+    def _stats_payload(self, engine) -> dict:
+        st = engine.profiler.stats()
+        return {
+            "health": engine.health.health,
+            "blocks": engine._blocks_done,
+            "p50_ms": st.p50_ms if st else None,
+            "p99_ms": st.p99_ms if st else None,
+        }
+
+
+# ---------------------------------------------------------------------------
+# broadcast (multi-client) serving
+# ---------------------------------------------------------------------------
+
+
+class _ClientStream:
+    """One broadcast client: a bounded PCM queue drained by a writer thread.
+
+    The fan-out hub enqueues every synthesized block; when a client cannot
+    drain fast enough the OLDEST queued block is dropped (bounded latency,
+    the shared stream never stalls — the per-client analog of the
+    reference's stale-buffer replay, real_time_modal_sound.cpp:203-210).
+    """
+
+    def __init__(self, sink: _SocketSink, depth: int = 8):
+        self.sink = sink
+        self.dropped = 0
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._drain,
+                                        name="pbso-client-tx", daemon=True)
+        self._thread.start()
+
+    def offer(self, block: np.ndarray) -> None:
+        while True:
+            try:
+                self._q.put_nowait(block)
+                return
+            except queue.Full:
+                try:
+                    self._q.get_nowait()
+                    self.dropped += 1
+                except queue.Empty:
+                    pass
+
+    def _drain(self) -> None:
+        while not self.sink.closed:
+            try:
+                block = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if not self.sink.write(block):
+                return  # socket dead; sink.closed is now set
+
+    def join(self, timeout: float = 5.0) -> None:
+        self._thread.join(timeout=timeout)
+
+
+class _FanoutSink:
+    """Audio sink multiplexing one engine's stream to N client queues.
+
+    Writes are paced to real time plus a small lead (``pace_lead``
+    seconds): with no blocking audio device downstream, an unpaced engine
+    would synthesize far ahead of real time and every client queue would
+    drop almost everything. This is the role the reference's blocking
+    PortAudio callback plays (real_time_modal_sound.cpp:192-212); the
+    engine's capacity-2 sound queue then paces the synth thread like the
+    reference's spin-enqueue (modal_solver.h:275).
+    """
+
+    def __init__(self, pace_lead: float | None = 0.3):
+        self._lock = threading.Lock()
+        self._clients: list[_ClientStream] = []
+        self._pace_lead = pace_lead
+        self._t0: float | None = None
+        self._samples = 0
+
+    def register(self, client: _ClientStream) -> None:
+        with self._lock:
+            self._clients.append(client)
+
+    def unregister(self, client: _ClientStream) -> None:
+        with self._lock:
+            if client in self._clients:
+                self._clients.remove(client)
+
+    @property
+    def n_clients(self) -> int:
+        with self._lock:
+            return len(self._clients)
+
+    def write(self, block: np.ndarray) -> bool:
+        if self._pace_lead is not None:
+            import time as _time
+            now = _time.monotonic()
+            if self._t0 is None:
+                self._t0 = now
+            due = self._t0 + self._samples / SAMPLE_RATE - self._pace_lead
+            if due > now:
+                _time.sleep(due - now)
+            self._samples += int(np.shape(block)[0])
+        with self._lock:
+            clients = list(self._clients)
+        for c in clients:
+            if c.sink.closed:
+                self.unregister(c)
+            else:
+                c.offer(block)
+        return True
+
+    def close(self) -> None:
+        with self._lock:
+            clients, self._clients = self._clients, []
+        for c in clients:
+            c.sink.close()
+
+
+class BroadcastAudioServer(AudioServer):
+    """One engine, many clients.
+
+    The reference's deployment is one local listener per process; a TPU
+    scene of hundreds of objects is naturally a shared world that many
+    listeners observe, so the serving surface must fan out. One
+    StreamingEngine synthesizes continuously for the server's lifetime;
+    every connected client receives the same PCM stream and shares the
+    command surface (hits, sustains, clears are world state). ``quit``
+    disconnects only that client. ``listener`` moves the SHARED listener —
+    per-client independent listeners need per-client transfer rows and are
+    served by Scene's multi-listener channels instead.
+
+    ``load_model`` hot-swaps the stream for everyone (same channel/block
+    guard as AudioServer).
+    """
+
+    def __init__(self, make_session, model=None, host: str = "127.0.0.1",
+                 port: int = 0, lookahead: int = 1, session_loader=None,
+                 qnorm_every: int = 0, client_queue_depth: int = 8,
+                 pace_lead: float | None = 0.3):
+        super().__init__(make_session, model=model, host=host, port=port,
+                         lookahead=lookahead, session_loader=session_loader,
+                         qnorm_every=qnorm_every)
+        self._client_depth = client_queue_depth
+        self._fanout = _FanoutSink(pace_lead=pace_lead)
+        self._engine = None
+        self._engine_lock = threading.Lock()
+
+    def _ensure_engine(self):
+        from .engine import StreamingEngine
+        with self._engine_lock:
+            if self._engine is None:
+                session = self._make_session()
+                self._engine = StreamingEngine(
+                    session, self._fanout, lookahead=self._lookahead,
+                    qnorm_every=self._qnorm_every)
+                self._engine.start()
+            return self._engine
+
+    def serve_forever(self) -> None:
+        engine = self._ensure_engine()
+        self._sock.settimeout(1.0)
+        while engine.healthy:
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return  # listening socket closed (shutdown)
+            threading.Thread(target=self._serve_client, args=(conn,),
+                             name="pbso-client-rx", daemon=True).start()
+
+    # serve_one is not meaningful for a broadcast server; route it to the
+    # same per-client path so existing drivers still work
+    def serve_one(self, timeout: float | None = None) -> None:
+        engine = self._ensure_engine()
+        self._sock.settimeout(timeout)
+        conn, _ = self._sock.accept()
+        self._serve_client(conn)
+        del engine
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        engine = self._ensure_engine()
+        block = engine.session.config.block_size
+        try:
+            sink = _SocketSink(conn, block,
+                               channels=int(engine.session.gains.shape[-1]))
+        except OSError:
+            conn.close()
+            return
+        client = _ClientStream(sink, depth=self._client_depth)
+        self._fanout.register(client)
+        try:
+            buf = b""
+            conn.settimeout(5.0)
+            while not sink.closed and engine.healthy:
+                try:
+                    chunk = conn.recv(4096)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not line.strip():
+                        continue
+                    if self._dispatch(engine, sink, line):
+                        return
+            if not engine.healthy and engine.error is not None:
+                sink.send_json({"error": f"synthesis failed: "
+                                         f"{engine.error!r}"})
+        finally:
+            self._fanout.unregister(client)
+            sink.closed = True
+            client.join()
+            conn.close()
+
+    def _stats_payload(self, engine) -> dict:
+        payload = super()._stats_payload(engine)
+        payload["clients"] = self._fanout.n_clients
+        return payload
+
+    def close(self) -> None:
+        super().close()
+        with self._engine_lock:
+            engine, self._engine = self._engine, None
+        if engine is not None:
+            engine.stop()
+        self._fanout.close()
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from openpbso_tpu.ops.coeffs import bank_from_material
-from openpbso_tpu.runtime.server import AudioClient, AudioServer
+from openpbso_tpu.runtime.server import (AudioClient, AudioServer,
+                                         BroadcastAudioServer)
 from openpbso_tpu.runtime.session import ModalSession
 from openpbso_tpu.runtime.solver import SolverConfig
 from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
@@ -146,6 +147,105 @@ def test_load_model_hot_swap(server_with_loader, synth_model_root):
     c.read_block()  # still streaming
     c.send(cmd="quit")
     c.close()
+
+
+@pytest.fixture
+def broadcast_server():
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    srv = BroadcastAudioServer(make_session)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, md
+    srv.close()
+    t.join(timeout=10)
+
+
+def test_broadcast_two_clients_share_stream(broadcast_server):
+    """One engine fans out to concurrent clients: a hit sent by client A is
+    audible on BOTH streams, and one client quitting leaves the other
+    streaming."""
+    srv, md = broadcast_server
+    a = AudioClient(*srv.address)
+    b = AudioClient(*srv.address)
+    assert a.block_size == BLOCK and b.block_size == BLOCK
+    # both connected before the hit so both must hear it (poll: the header
+    # is sent a moment before fan-out registration completes)
+    n = None
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        a.messages.clear()
+        a.send(cmd="stats")
+        for _ in range(50):
+            a.read_block()
+            if a.messages:
+                break
+        n = a.messages[0]["clients"]
+        if n == 2:
+            break
+        time.sleep(0.05)
+    assert n == 2
+    a.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+           kind="gaussian", width_us=2000.0)
+    for c in (a, b):
+        peak = 0.0
+        for _ in range(60):
+            peak = max(peak, float(np.abs(c.read_block()).max()))
+            if peak > 0:
+                break
+        assert peak > 0.0, "hit inaudible on one broadcast client"
+    # B quits; A keeps streaming and the count drops
+    b.send(cmd="quit")
+    b.close()
+    deadline = time.time() + 10
+    n = None
+    while time.time() < deadline:
+        a.messages.clear()
+        a.send(cmd="stats")
+        for _ in range(50):
+            a.read_block()
+            if a.messages:
+                break
+        n = a.messages[0]["clients"]
+        if n == 1:
+            break
+        time.sleep(0.1)
+    assert n == 1
+    assert a.read_block().shape == (BLOCK, 2)
+    a.send(cmd="quit")
+    a.close()
+
+
+def test_broadcast_late_joiner_and_bad_command(broadcast_server):
+    """A client connecting mid-stream picks up from the next block; a bad
+    command errors only its own connection."""
+    srv, md = broadcast_server
+    a = AudioClient(*srv.address)
+    for _ in range(3):
+        a.read_block()
+    late = AudioClient(*srv.address)
+    assert late.read_block().shape == (BLOCK, 2)
+    late.send(cmd="hit", obj=99, space=[1.0] * md.num_modes)
+    for _ in range(50):
+        late.read_block()
+        if late.messages:
+            break
+    assert late.messages and "error" in late.messages[0]
+    # A's stream got no error message and keeps flowing
+    assert a.read_block().shape == (BLOCK, 2)
+    assert not a.messages
+    for c in (a, late):
+        c.send(cmd="quit")
+        c.close()
 
 
 def test_out_of_range_hit_does_not_kill_server(server):
