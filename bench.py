@@ -33,7 +33,7 @@ import numpy as np
 
 
 def build(o, m, s, backend, dtype_name="float32", hetero=False,
-          need_tables=True):
+          need_tables=True, listeners=1):
     import dataclasses
 
     import jax.numpy as jnp
@@ -69,7 +69,8 @@ def build(o, m, s, backend, dtype_name="float32", hetero=False,
         bank = bank_from_material(CERAMIC.density, md.omega_squared,
                                   CERAMIC.alpha, CERAMIC.beta,
                                   num_objects=o, block_size=s, dtype=dtype)
-    state = make_solver_state(o, bank.num_modes, num_slots=8, dtype=dtype)
+    state = make_solver_state(o, bank.num_modes, num_slots=8, dtype=dtype,
+                              num_listeners=listeners)
     # plant one gaussian hit per object so the force path does real work
     rng = np.random.default_rng(0)
     slots = state.slots
@@ -80,7 +81,12 @@ def build(o, m, s, backend, dtype_name="float32", hetero=False,
         space=slots.space.at[:, 0, :].set(
             jnp.asarray(rng.standard_normal((o, bank.num_modes)), dtype)))
     state = dataclasses.replace(state, slots=slots)
-    gains = jnp.ones((o, 2), dtype)
+    if listeners > 1:
+        # shared-state multi-listener: [L, O, M] transfer rows, one output
+        # channel per listener (distinct rows so no contraction collapses)
+        state = dataclasses.replace(state, transfer=jnp.asarray(
+            rng.uniform(0.5, 2.0, (listeners, o, bank.num_modes)), dtype))
+    gains = jnp.ones((o, 2 if listeners <= 1 else listeners), dtype)
     return bank, state, gains, lam64
 
 
@@ -177,6 +183,7 @@ def main():
     backend = "blocked"
     hetero = False
     nblocks = 32
+    listeners = 1
     for arg in sys.argv[1:]:
         if arg.startswith("--backend="):
             backend = arg.split("=", 1)[1]
@@ -188,6 +195,8 @@ def main():
             s = int(arg.split("=", 1)[1])
         elif arg == "--hetero":
             hetero = True
+        elif arg.startswith("--listeners="):
+            listeners = int(arg.split("=", 1)[1])
         elif arg.startswith("--nblocks="):
             nblocks = int(arg.split("=", 1)[1])
     explicit_mode = any(f in sys.argv
@@ -220,19 +229,27 @@ def main():
         nb = (nblocks if any(a.startswith("--nblocks=") for a in sys.argv)
               else 128)
         bank, state, gains, lam64 = build(o, m, s, backend, hetero=hetero,
-                                          need_tables=False)
+                                          need_tables=False,
+                                          listeners=listeners)
         sps = time_span(bank, lam64, state, gains, s, n_blocks=nb)
         how = f"span dispatch ({nb} blocks, 1-slot bucket)"
+        if listeners > 1:
+            how += f", {listeners} shared-state listeners"
         backend = "span"
     else:
-        bank, state, gains, _ = build(o, m, s, backend, hetero=hetero)
+        bank, state, gains, _ = build(o, m, s, backend, hetero=hetero,
+                                      listeners=listeners)
+        if listeners > 1:
+            how_suffix = f", {listeners} shared-state listeners"
+        else:
+            how_suffix = ""
         if "--multi" in sys.argv:
             sps = time_multi(bank, state, gains, s, backend,
                              n_blocks=nblocks)
-            how = f"multi-block scan ({nblocks} blocks/dispatch)"
+            how = f"multi-block scan ({nblocks} blocks/dispatch)" + how_suffix
         else:
             sps = time_pipelined(bank, state, gains, s, backend)
-            how = "pipelined single-block dispatch"
+            how = "pipelined single-block dispatch" + how_suffix
     # print the headline line FIRST: remote-compile times for the secondary
     # (single-block synced) measurement are unpredictable on the tunneled
     # dev TPU and must not be able to starve the driver of the JSON line

@@ -41,18 +41,27 @@ class Scene:
                  binaural: bool = False,
                  ear_distance: float = 0.18,
                  listener_offsets: np.ndarray | None = None,
+                 shared_state: bool = True,
                  dtype=None):
-        """``binaural`` gives each logical object two solver rows (left/right
-        ear) with independent FFAT lookups per ear — true interaural level
-        differences from the transfer maps (the reference duplicates one
-        mono signal to both channels, real_time_modal_sound.cpp:207-210).
-        Hits/forces are mirrored to both rows automatically.
+        """``binaural`` renders each logical object to two output channels
+        (left/right ear) with independent FFAT lookups per ear — true
+        interaural level differences from the transfer maps (the reference
+        duplicates one mono signal to both channels,
+        real_time_modal_sound.cpp:207-210).
 
-        ``listener_offsets`` [L, 3] generalizes this to L listeners: each
-        logical object gets L solver rows, listener l's transfer is looked
-        up from ``listener + offsets[l]``, and the mix has L output
-        channels (one per listener). ``binaural`` is the L=2 special case
-        with offsets ±ear_distance/2 along the ear axis."""
+        ``listener_offsets`` [L, 3] generalizes this to L listeners:
+        listener l's transfer is looked up from ``listener + offsets[l]``
+        and the mix has L output channels (one per listener). ``binaural``
+        is the L=2 special case with offsets ±ear_distance/2 along the ear
+        axis.
+
+        ``shared_state`` (default): the L listeners share ONE [O, M]
+        oscillator state with [L, O, M] transfer rows — sound is linear in
+        the transfer, so each listener costs one extra mode-reduce.
+        ``shared_state=False`` keeps the round-1 layout (each logical
+        object replicated into L solver rows), which also replicates the
+        state, force, and table work L-fold; identical output, kept for
+        the SPMD object-axis sharding path which shards solver rows."""
         import jax.numpy as jnp
 
         from ..ops.coeffs import build_modal_bank, lambda_from_modes
@@ -73,7 +82,8 @@ class Scene:
         self.num_listeners = (2 if binaural
                               else (len(self._offsets)
                                     if self._offsets is not None else 1))
-        if self.num_listeners > 1:
+        self.shared_state = shared_state and self.num_listeners > 1
+        if self.num_listeners > 1 and not self.shared_state:
             # row i*L + l = listener l's copy of logical object i
             instances = [inst for inst in instances
                          for _ in range(self.num_listeners)]
@@ -111,15 +121,20 @@ class Scene:
         self.session = ModalSession(
             self.bank, ffat=ffat,
             config=SolverConfig(block_size=block_size, backend=backend),
-            num_slots=num_slots, dtype=dtype)
+            num_slots=num_slots, dtype=dtype,
+            num_listeners=(self.num_listeners if self.shared_state else 1))
 
         self.positions = np.stack([np.asarray(i.position, np.float64)
                                    for i in instances])
         n_ch = self.num_listeners if self.num_listeners > 1 else 2
         gains = np.zeros((o, n_ch))
         for i, inst in enumerate(instances):
-            if self.num_listeners > 1:
-                # each row feeds only its listener's output channel
+            if self.shared_state:
+                # one row per logical object; every listener channel hears
+                # it at the instance gain
+                gains[i, :] = inst.gain
+            elif self.num_listeners > 1:
+                # each replicated row feeds only its listener's channel
                 gains[i, i % self.num_listeners] = inst.gain
             else:
                 left = inst.gain * (1.0 - max(inst.pan, 0.0))
@@ -137,7 +152,7 @@ class Scene:
     def hit(self, index: int, vertex: int, **kw) -> None:
         """Strike logical instance ``index`` at mesh vertex ``vertex``."""
         ll = self.num_listeners
-        if ll > 1:
+        if ll > 1 and not self.shared_state:
             space = self.logical_instances[index].model.modal_force_vertex(
                 vertex)
             for l in range(ll):
@@ -163,14 +178,21 @@ class Scene:
                 offsets = np.stack([-ear, ear])
             else:
                 offsets = self._offsets
-            rows = np.arange(len(self.instances)) % self.num_listeners
-            rel = (world_pos[None, :] + offsets[rows]) - self.positions
+            if self.shared_state:
+                # [L, O, 3]: listener l's position relative to each object
+                rel = ((world_pos[None, None, :] + offsets[:, None, :])
+                       - self.positions[None, :, :])
+            else:
+                rows = np.arange(len(self.instances)) % self.num_listeners
+                rel = (world_pos[None, :] + offsets[rows]) - self.positions
         else:
             rel = world_pos[None, :] - self.positions  # [O, 3]
         self.session.set_listener(rel)
         if distance_attenuation:
-            r = np.maximum(np.linalg.norm(rel, axis=1), 1e-3)
-            att = (1.0 / r)[:, None]
+            r = np.maximum(np.linalg.norm(rel, axis=-1), 1e-3)
+            # replicated/single: r [O] -> per-row column; shared-state
+            # multi-listener: r [L, O] -> per-(object, channel) factors
+            att = (1.0 / r.T) if r.ndim == 2 else (1.0 / r)[:, None]
             self.session.gains = jnp.asarray(self._base_gains * att,
                                              self.session.gains.dtype)
         else:

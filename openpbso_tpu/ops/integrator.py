@@ -57,7 +57,19 @@ PRECISION = {
 
 
 def _mode_reduce(w: jax.Array, table: jax.Array) -> jax.Array:
-    """einsum('om,oms->os') that lowers to a true matmul for shared tables."""
+    """einsum('om,oms->os') that lowers to a true matmul for shared tables.
+
+    ``w`` may carry a leading listener axis ([L, O, M] -> [L, O, S]): sound
+    is linear in the transfer weights, so L listeners sharing one [O, M]
+    oscillator state cost only L mode-reduces, not L-fold state/force work
+    (the shared-state multi-listener path, models/scene.py)."""
+    if w.ndim == 3:
+        if table.shape[0] == 1:
+            lo, o, m = w.shape
+            out = jnp.matmul(w.reshape(lo * o, m), table[0],
+                             precision=PRECISION)
+            return out.reshape(lo, o, -1)
+        return jnp.einsum("lom,oms->los", w, table, precision=PRECISION)
     if table.shape[0] == 1:
         return jnp.matmul(w, table[0], precision=PRECISION)
     return jnp.einsum("om,oms->os", w, table, precision=PRECISION)
@@ -133,13 +145,14 @@ def step_block_scan(
         # f_s: [O] one sample of the time profile
         zr_n = bank.lam_re * zr - bank.lam_im * zi + be_re * f_s[:, None]
         zi_n = bank.lam_im * zr + bank.lam_re * zi + be_im * f_s[:, None]
+        # tmask may carry a leading listener axis ([L, O, M] -> [L, O])
         sound = jnp.sum(tmask * zi_n, axis=-1)
         out = (sound, zi_n * zi_n) if compute_qnorm else (sound, None)
         return (zr_n, zi_n), out
 
     (z_re, z_im), (sound, qsq) = jax.lax.scan(
         body, (z_re, z_im), jnp.swapaxes(time_profile, 0, 1))
-    sound = jnp.swapaxes(sound, 0, 1)
+    sound = jnp.moveaxis(sound, 0, -1)   # [S, (L,) O] -> [(L,) O, S]
     qnorm = jnp.sqrt(jnp.sum(qsq, axis=0)) if compute_qnorm else None
     return z_re, z_im, sound, qnorm
 
@@ -232,7 +245,7 @@ def step_block_scan_xfade(
 
     (z_re, z_im), (sound, qsq) = jax.lax.scan(
         body, (z_re, z_im), (jnp.swapaxes(time_profile, 0, 1), ramp))
-    sound = jnp.swapaxes(sound, 0, 1)
+    sound = jnp.moveaxis(sound, 0, -1)   # [S, (L,) O] -> [(L,) O, S]
     qnorm = jnp.sqrt(jnp.sum(qsq, axis=0)) if compute_qnorm else None
     return z_re, z_im, sound, qnorm
 

@@ -257,6 +257,9 @@ def integrate_span(
     if isinstance(tables, ChunkSpanTables):
         return _integrate_span_chunked(z_re, z_im, bank, tables, space_k,
                                        f_k, transfer)
+    if transfer.ndim == 3:
+        raise ValueError("multi-listener transfer rows need the chunked "
+                         "span form (build_span_tables form='chunked')")
     if isinstance(tables, FullSpanTables):
         return _integrate_span_full(z_re, z_im, bank, tables, space_k, f_k,
                                     transfer)
@@ -312,30 +315,56 @@ def integrate_span(
 def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
                             space_k, f_k, transfer):
     """FFT-free span: per-chunk force injection + chunk-state scan +
-    cross-chunk hom, all matmul-shaped (see ChunkSpanTables)."""
+    cross-chunk hom, all matmul-shaped (see ChunkSpanTables).
+
+    ``transfer`` may carry a leading listener axis ([L, O, M] -> sound
+    [O, L, N]): the state/injection work is listener-independent, so L
+    listeners sharing one oscillator state pay only L-fold mode-reduces.
+    NOTE the multi-listener sound layout is [O, L, N] (listener axis
+    *inside*): every per-object contraction batches on O, so this is the
+    layout the MXU produces contiguously — transposing to [L, O, N] would
+    cost a full extra HBM round trip of the largest tensor in the span
+    (measured: the transposed form was slower than brute-force row
+    replication at 256 obj x 1024 modes x 4 listeners)."""
     o, m = z_re.shape
     k = space_k.shape[1]
     n = f_k.shape[-1]
     c, x = tables.chunk, tables.n_chunks
     b_re, b_im = tables.b_re, tables.b_im
     dtype = z_re.dtype
+    multi = transfer.ndim == 3
+    nl = transfer.shape[0] if multi else 1
     tmask = transfer * bank.mask
     be_re = bank.b_re[:, None, :] * space_k            # [O, K, M]
     be_im = bank.b_im[:, None, :] * space_k
+    if multi:
+        # [O, L, M]: the only transpose in the multi path (L*O*M, small)
+        tmask_t = jnp.swapaxes(tmask, 0, 1)
 
     # short per-slot kernels g_k[d] = Im(B[d] t b e_k) . 1, d in [0, C)
-    tb_re = tmask[:, None, :] * be_re                  # [O, K, M]
-    tb_im = tmask[:, None, :] * be_im
+    if multi:
+        tb_re = (tmask_t[:, :, None, :]
+                 * be_re[:, None, :, :]).reshape(o, nl * k, m)
+        tb_im = (tmask_t[:, :, None, :]
+                 * be_im[:, None, :, :]).reshape(o, nl * k, m)
+    else:
+        tb_re = tmask[:, None, :] * be_re              # [O, K, M]
+        tb_im = tmask[:, None, :] * be_im
     g = (_contract_xr(tb_re, b_im[:, :c])
-         + _contract_xr(tb_im, b_re[:, :c]))           # [O, K, C]
+         + _contract_xr(tb_im, b_re[:, :c]))           # [O, (L*)K, C]
 
     # within-chunk causal conv: Toeplitz batched matmul, summed over slots
     fc = f_k.reshape(o, k, x, c)
     delta = np.arange(c)[:, None] - np.arange(c)[None, :]
     t_g = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
         * jnp.asarray(delta >= 0, dtype)               # [O, K, C(out), C(in)]
-    conv = jnp.einsum("okcj,okxj->oxc", t_g, fc,
-                      precision=PRECISION)             # [O, X, C]
+    if multi:
+        conv = jnp.einsum("olkcj,okxj->olxc",
+                          t_g.reshape(o, nl, k, c, c), fc,
+                          precision=PRECISION)         # [O, L, X, C]
+    else:
+        conv = jnp.einsum("okcj,okxj->oxc", t_g, fc,
+                          precision=PRECISION)         # [O, X, C]
 
     # per-chunk modal force gathers: t_k = sum_j B[C-1-j] f_chunk[j]
     rows = fc[..., ::-1].reshape(o, k * x, c)
@@ -363,12 +392,20 @@ def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
     zs_im = jnp.moveaxis(zs_im, 0, 1)
 
     # cross-chunk hom from each chunk's start state: Im(B[1..C] z_x) . t
-    wz_re = tmask[:, None, :] * zs_re
-    wz_im = tmask[:, None, :] * zs_im
-    hom = (_contract_xr(wz_im, b_re[:, 1:])
-           + _contract_xr(wz_re, b_im[:, 1:]))         # [O, X, C]
-
-    sound = (hom + conv).reshape(o, n)
+    if multi:
+        wz_re = (tmask_t[:, :, None, :]
+                 * zs_re[:, None, :, :]).reshape(o, nl * x, m)
+        wz_im = (tmask_t[:, :, None, :]
+                 * zs_im[:, None, :, :]).reshape(o, nl * x, m)
+        hom = (_contract_xr(wz_im, b_re[:, 1:])
+               + _contract_xr(wz_re, b_im[:, 1:]))     # [O, L*X, C]
+        sound = (hom.reshape(o, nl, x, c) + conv).reshape(o, nl, n)
+    else:
+        wz_re = tmask[:, None, :] * zs_re
+        wz_im = tmask[:, None, :] * zs_im
+        hom = (_contract_xr(wz_im, b_re[:, 1:])
+               + _contract_xr(wz_re, b_im[:, 1:]))     # [O, X, C]
+        sound = (hom + conv).reshape(o, n)
     return zr_f, zi_f, sound
 
 
@@ -443,11 +480,27 @@ def decay_span(
 
         (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
             body, (z_re, z_im), None, length=x)
-        wz_re = tmask[:, None, :] * jnp.moveaxis(zs_re, 0, 1)
-        wz_im = tmask[:, None, :] * jnp.moveaxis(zs_im, 0, 1)
+        zs_re = jnp.moveaxis(zs_re, 0, 1)              # [O, X, M]
+        zs_im = jnp.moveaxis(zs_im, 0, 1)
+        if transfer.ndim == 3:                         # [L, O, M] listeners
+            nl = transfer.shape[0]
+            tmask_t = jnp.swapaxes(tmask, 0, 1)        # [O, L, M]
+            wz_re = (tmask_t[:, :, None, :]
+                     * zs_re[:, None, :, :]).reshape(o, nl * x, m)
+            wz_im = (tmask_t[:, :, None, :]
+                     * zs_im[:, None, :, :]).reshape(o, nl * x, m)
+            sound = (_contract_xr(wz_im, b_re[:, 1:])
+                     + _contract_xr(wz_re, b_im[:, 1:]))
+            # [O, L, N]: listener axis inside (see _integrate_span_chunked)
+            return zr_f, zi_f, sound.reshape(o, nl, n)
+        wz_re = tmask[:, None, :] * zs_re
+        wz_im = tmask[:, None, :] * zs_im
         sound = (_contract_xr(wz_im, b_re[:, 1:])
                  + _contract_xr(wz_re, b_im[:, 1:])).reshape(o, n)
         return zr_f, zi_f, sound
+    if transfer.ndim == 3:
+        raise ValueError("multi-listener transfer rows need the chunked "
+                         "span form (build_span_tables form='chunked')")
     if isinstance(tables, FullSpanTables):
         p_re, p_im = tables.p_re, tables.p_im
         tmask = transfer * bank.mask

@@ -94,11 +94,19 @@ class ModalSession:
         seed: int = 0,
         dtype=jnp.float32,
         lam64: np.ndarray | None = None,
+        num_listeners: int = 1,
     ):
         """``lam64``: the float64 complex eigenvalues the bank was built
         from (lambda_from_modes), [M] or [O, M]. Optional; when present the
         session can build span tables (ops/span.py) and render_multi takes
-        the one-dispatch MXU span path instead of the per-block scan."""
+        the one-dispatch MXU span path instead of the per-block scan.
+
+        ``num_listeners`` > 1 switches to shared-state multi-listener
+        rendering: ONE [O, M] oscillator state with [L, O, M] transfer rows
+        and one output channel per listener (sound is linear in the
+        transfer, so each extra listener costs only a mode-reduce — not the
+        L-fold state/force replication of building L copies of each
+        object). Listener moves pass [L, 3] (or [L, O, 3]) positions."""
         self.bank = bank
         self.ffat = ffat
         self._lam64 = (None if lam64 is None
@@ -106,9 +114,14 @@ class ModalSession:
         self._span_cache: dict[int, object] = {}
         self.config = config or SolverConfig()
         o, m = bank.num_objects, bank.num_modes
+        self.num_listeners = int(num_listeners)
         self.state = make_solver_state(
-            o, m, num_slots=num_slots, seed=seed, dtype=dtype)
-        self.gains = default_gains(o, dtype)
+            o, m, num_slots=num_slots, seed=seed, dtype=dtype,
+            num_listeners=self.num_listeners)
+        if self.num_listeners > 1:
+            self.gains = jnp.ones((o, self.num_listeners), dtype)
+        else:
+            self.gains = default_gains(o, dtype)
         self.use_transfer = ffat is not None
         self._dtype = dtype
         # host mirror for slot recycling: absolute expiry sample per slot
@@ -272,9 +285,25 @@ class ModalSession:
         if self.ffat is None or not self.use_transfer:
             return
         pos = jnp.asarray(pos, self._dtype)
-        if pos.ndim == 1:
-            pos = jnp.broadcast_to(pos, (self.bank.num_objects, 3))
-        transfer = compute_transfer(self.ffat, pos)
+        o = self.bank.num_objects
+        if self.num_listeners > 1:
+            # [3] -> all listeners at one spot; [L, 3] -> per listener;
+            # [L, O, 3] -> per listener per object
+            if pos.ndim == 1:
+                pos = jnp.broadcast_to(pos, (self.num_listeners, 3))
+            if pos.ndim == 2:
+                if pos.shape != (self.num_listeners, 3):
+                    raise ValueError(
+                        f"expected [{self.num_listeners}, 3] listener "
+                        f"positions, got {pos.shape}")
+                pos = jnp.broadcast_to(pos[:, None, :],
+                                       (self.num_listeners, o, 3))
+            transfer = jax.vmap(
+                lambda p: compute_transfer(self.ffat, p))(pos)  # [L, O, M]
+        else:
+            if pos.ndim == 1:
+                pos = jnp.broadcast_to(pos, (o, 3))
+            transfer = compute_transfer(self.ffat, pos)
         if self.config.smooth_transfer and self._xfade_from is None:
             # remember the outgoing row; the next block ramps to the new
             # one (repeated moves within one block keep the oldest start)

@@ -52,6 +52,30 @@ class BlockOutput:
     qnorm: jax.Array | None   # [O, M] per-mode energy, if requested
 
 
+def _mixdown(sound: jax.Array, gains: jax.Array) -> jax.Array:
+    """Object mixdown -> output channels, already 1/1E10 scaled.
+
+    ``sound`` [O, S] with gains [O, C] (stereo / per-channel), or the
+    shared-state multi-listener form [L, O, S] with gains [O, L] where
+    channel l is listener l's own mix. (Span dispatches use the [O, L, N]
+    layout instead — _mixdown_span.)"""
+    if sound.ndim == 3:
+        mix = jnp.einsum("los,ol->sl", sound, gains, precision=PRECISION)
+    else:
+        mix = jnp.einsum("os,oc->sc", sound, gains, precision=PRECISION)
+    return mix / OUTPUT_SCALE
+
+
+def _mixdown_span(sound: jax.Array, gains: jax.Array) -> jax.Array:
+    """Span-path mixdown: multi-listener span sound is [O, L, N] (listener
+    axis inside — the layout the per-object contractions produce without a
+    large transpose, ops/span.py::_integrate_span_chunked)."""
+    if sound.ndim == 3:
+        mix = jnp.einsum("oln,ol->nl", sound, gains, precision=PRECISION)
+        return mix / OUTPUT_SCALE
+    return _mixdown(sound, gains)
+
+
 def _step_block_impl(
     state: SolverState,
     bank: ModalBank,
@@ -96,6 +120,12 @@ def _step_block_impl(
         sus = state.sustained
         time_profile, space = time_imp, space_imp
 
+    if state.transfer.ndim == 3:
+        # shared-state multi-listener rows: the Pallas kernel has no
+        # listener axis; the blocked form handles [L, O, M] natively
+        from ..ops.integrator import resolve_backend_name
+        if resolve_backend_name(backend, bank) == "pallas":
+            backend = "blocked"
     if transfer_prev is None:
         integrate = get_backend(backend, bank)
         z_re, z_im, sound, qnorm = integrate(
@@ -115,8 +145,7 @@ def _step_block_impl(
         # each mode shard contributed a partial transfer dot
         sound = jax.lax.psum(sound, mode_axis)
 
-    mix = jnp.einsum("os,oc->sc", sound, gains,
-                 precision=PRECISION) / OUTPUT_SCALE
+    mix = _mixdown(sound, gains)
     if obj_axis is not None:
         mix = jax.lax.psum(mix, obj_axis)
     new_state = dataclasses.replace(
@@ -196,8 +225,7 @@ def decay_block(
     from ..ops.integrator import decay_block_blocked
     z_re, z_im, sound, qnorm = decay_block_blocked(
         state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
-    mix = jnp.einsum("os,oc->sc", sound, gains,
-                 precision=PRECISION) / OUTPUT_SCALE
+    mix = _mixdown(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
         block_start=state.block_start + block_size)
@@ -324,8 +352,7 @@ def step_span(
     f_k, space_k = force_span(slots, state.block_start, n, block_size)
     z_re, z_im, sound = integrate_span(
         state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer)
-    mix = jnp.einsum("os,oc->sc", sound, gains,
-                     precision=PRECISION) / OUTPUT_SCALE
+    mix = _mixdown_span(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
         block_start=state.block_start + n)
@@ -348,8 +375,7 @@ def decay_span_step(
     n = n_blocks * block_size
     z_re, z_im, sound = decay_span(
         state.z_re, state.z_im, bank, tables, state.transfer)
-    mix = jnp.einsum("os,oc->sc", sound, gains,
-                     precision=PRECISION) / OUTPUT_SCALE
+    mix = _mixdown_span(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
         block_start=state.block_start + n)

@@ -26,7 +26,9 @@ class SolverState:
     z_im: jax.Array            # [O, M] oscillator state Im(z) (= q)
     slots: ForceSlots          # pending/active impact forces
     sustained: SustainedState  # sustained AR contact channel
-    transfer: jax.Array        # [O, M] latest acoustic transfer row
+    transfer: jax.Array        # [O, M] latest acoustic transfer row, or
+    #   [L, O, M] per-listener rows sharing one oscillator state (sound is
+    #   linear in the transfer, so L listeners cost L mode-reduces only)
     block_start: jax.Array     # [] int32 global sample index
 
     @property
@@ -45,16 +47,20 @@ def make_solver_state(
     num_slots: int = 16,
     seed: int = 0,
     unit_transfer: bool = True,
+    num_listeners: int = 1,
     dtype=jnp.float32,
 ) -> SolverState:
     """Fresh state: silent oscillators, empty force slots, unit transfer.
 
     The unit transfer level is the reference's 1E7 (modal_solver.h:89-92) so
     that disabling FFAT maps reproduces the same output scale.
+    ``num_listeners`` > 1 makes the transfer [L, O, M] (shared-state
+    multi-listener rows; one output channel per listener).
     """
     o, m = num_objects, num_modes
-    transfer = (jnp.full((o, m), UNIT_TRANSFER, dtype) if unit_transfer
-                else jnp.zeros((o, m), dtype))
+    tshape = (o, m) if num_listeners <= 1 else (num_listeners, o, m)
+    transfer = (jnp.full(tshape, UNIT_TRANSFER, dtype) if unit_transfer
+                else jnp.zeros(tshape, dtype))
     return SolverState(
         z_re=jnp.zeros((o, m), dtype),
         z_im=jnp.zeros((o, m), dtype),

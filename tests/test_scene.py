@@ -115,11 +115,16 @@ def test_binaural_interaural_difference(two_models):
     scene = Scene([SceneInstance(ma, np.zeros(3))], block_size=128,
                   backend="blocked", binaural=True, ear_distance=0.4,
                   dtype=jnp.float64)
-    assert scene.num_objects == 2  # two solver rows for one logical object
+    # shared-state layout: ONE solver row per logical object with a
+    # per-ear [2, O, M] transfer (tests/test_multilistener.py checks
+    # parity against the replicated layout)
+    assert scene.num_objects == 1
+    assert scene.session.num_listeners == 2
     # listener to the +x side: right ear (further +x) differs from left
     scene.set_listener(np.asarray([0.9, 0.1, 0.2]))
     t = np.asarray(scene.session.state.transfer)
-    assert not np.allclose(t[0, :12], t[1, :12])
+    assert t.shape[0] == 2
+    assert not np.allclose(t[0, 0, :12], t[1, 0, :12])
     scene.hit(0, 4)
     audio = scene.render(4)
     l, r = audio[:, 0], audio[:, 1]
@@ -138,13 +143,13 @@ def test_multi_listener_scene(two_models):
                   backend="blocked", listener_offsets=offsets,
                   dtype=jnp.float64)
     assert scene.num_listeners == 3
-    assert scene.num_objects == 3                 # 1 logical x 3 listeners
-    assert scene.session.gains.shape == (3, 3)    # one channel per listener
+    assert scene.num_objects == 1                 # shared oscillator state
+    assert scene.session.gains.shape == (1, 3)    # one channel per listener
     scene.set_listener(np.asarray([0.8, 0.2, 0.1]))
-    t = np.asarray(scene.session.state.transfer)
+    t = np.asarray(scene.session.state.transfer)  # [L, O, M]
     # three distinct lookups
-    assert not np.allclose(t[0, :12], t[1, :12])
-    assert not np.allclose(t[1, :12], t[2, :12])
+    assert not np.allclose(t[0, 0, :12], t[1, 0, :12])
+    assert not np.allclose(t[1, 0, :12], t[2, 0, :12])
     scene.hit(0, 4)
     audio = scene.render(4)
     assert audio.shape == (4 * 128, 3)

@@ -162,7 +162,10 @@ def broadcast_server():
         sess.step()
         return sess
 
-    srv = BroadcastAudioServer(make_session)
+    # small pacing lead: JSON replies ride in-band BEHIND any buffered
+    # PCM, so a big lead makes reply-polling loops read through hundreds
+    # of queued blocks first
+    srv = BroadcastAudioServer(make_session, pace_lead=0.05)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv, md
@@ -181,14 +184,16 @@ def test_broadcast_two_clients_share_stream(broadcast_server):
     # both connected before the hit so both must hear it (poll: the header
     # is sent a moment before fan-out registration completes)
     n = None
-    deadline = time.time() + 10
+    deadline = time.time() + 30
     while time.time() < deadline:
         a.messages.clear()
         a.send(cmd="stats")
-        for _ in range(50):
+        for _ in range(200):
             a.read_block()
             if a.messages:
                 break
+        if not a.messages:
+            continue
         n = a.messages[0]["clients"]
         if n == 2:
             break
@@ -206,15 +211,17 @@ def test_broadcast_two_clients_share_stream(broadcast_server):
     # B quits; A keeps streaming and the count drops
     b.send(cmd="quit")
     b.close()
-    deadline = time.time() + 10
+    deadline = time.time() + 30
     n = None
     while time.time() < deadline:
         a.messages.clear()
         a.send(cmd="stats")
-        for _ in range(50):
+        for _ in range(200):
             a.read_block()
             if a.messages:
                 break
+        if not a.messages:
+            continue
         n = a.messages[0]["clients"]
         if n == 1:
             break
