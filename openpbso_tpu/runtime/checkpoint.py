@@ -32,18 +32,26 @@ def save_state(path: str, state: SolverState) -> None:
     np.savez_compressed(path, **_flatten(state))
 
 
-def load_state(path: str, template: SolverState) -> SolverState:
+def load_state(path: str, template: SolverState,
+               _allow_session: bool = False) -> SolverState:
     """Restore a snapshot into the dtype/sharding of ``template``.
 
     Shapes must match (same scene dimensions); dtypes are cast to the
     template's. When restoring INTO a ModalSession, use load_session
     instead — it also refreshes the session's host mirrors (sample
     clock, slot expiry, sustained activity), which gate the decay fast
-    path and slot recycling.
+    path and slot recycling. Loading a *session* snapshot here is
+    therefore refused: it would silently desync those mirrors (the next
+    hit() could overwrite a slot that is still producing).
     """
     import jax
     import jax.numpy as jnp
     data = np.load(path)
+    if "_session_expiry" in data and not _allow_session:
+        raise ValueError(
+            "this file is a save_session snapshot (it carries host "
+            "slot/clock mirrors); restore it with load_session(path, "
+            "session) so the mirrors stay in sync with the device state")
     leaves, treedef = jax.tree.flatten(template)
     restored = []
     for i, leaf in enumerate(leaves):
@@ -75,7 +83,7 @@ def save_session(path: str, session) -> None:
 
 def load_session(path: str, session) -> None:
     """Restore a save_session snapshot into ``session`` (shapes must match)."""
-    session.state = load_state(path, session.state)
+    session.state = load_state(path, session.state, _allow_session=True)
     data = np.load(path)
     if "_session_expiry" in data:
         if data["_session_expiry"].shape != session._expiry.shape:
