@@ -54,7 +54,8 @@ def _session_for(num_modes, num_objects, block, backend, with_ffat,
     return md, sess
 
 
-def run_config(n: int, backend: str, out_dir: str) -> dict:
+def run_config(n: int, backend: str, out_dir: str,
+               doppler: bool = False) -> dict:
     rng = np.random.default_rng(100 + n)
     t_start = time.perf_counter()
     if n == 1:
@@ -83,7 +84,12 @@ def run_config(n: int, backend: str, out_dir: str) -> dict:
             sess.hit(0, rng.standard_normal(48), kind="gaussian",
                      width_us=100.0 + 40.0 * (step % 3),
                      when=step * 10 * 512)
-        audio = sess.render_moving(per_block, blocks_per_dispatch=100)
+        if doppler:
+            # beyond-reference: same render with physical propagation
+            # delay (time-varying r/c -> Doppler shift; ops/doppler.py)
+            audio = sess.render_doppler(per_block, blocks_per_dispatch=100)
+        else:
+            audio = sess.render_moving(per_block, blocks_per_dispatch=100)
     elif n == 4:
         md, sess = _session_for(128, 8, 512, backend, with_ffat=True)
         sess.set_listener(np.asarray([1.0, 0.6, 0.2]))
@@ -119,6 +125,7 @@ def run_config(n: int, backend: str, out_dir: str) -> dict:
     return {
         "config": n,
         "backend": backend,
+        **({"doppler": True} if doppler else {}),
         "samples": int(audio.shape[0]),
         "audio_seconds": round(duration, 3),
         "wall_seconds": round(wall, 3),
@@ -135,12 +142,16 @@ def main(argv=None) -> int:
                    help="run one config (1-5); 0 = all")
     p.add_argument("--backend", default="blocked",
                    choices=["blocked", "scan", "pallas"])
+    p.add_argument("--doppler", action="store_true",
+                   help="config 3: apply physical propagation delay "
+                        "(Doppler) to the moving-listener render")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     configs = [args.config] if args.config else [1, 2, 3, 4, 5]
     results = []
     for n in configs:
-        r = run_config(n, args.backend, args.out_dir)
+        r = run_config(n, args.backend, args.out_dir,
+                       doppler=args.doppler)
         print(json.dumps(r))
         results.append(r)
     report = os.path.join(args.out_dir, "report.json")

@@ -30,3 +30,10 @@ OUTPUT_SCALE = 1e10              # output divisor (real_time_modal_sound.cpp:208
 DEFAULT_AUDIBLE_FREQ = 20000.0   # Hz             (real_time_modal_sound.cpp:328)
 
 FILE_NOT_EXIST = "__NA_FILE"     # CLI sentinel   (config.h:11)
+
+SOUND_SPEED = 343.0              # m/s, air at ~20C; the value implied by the
+#   FFAT wavenumbers k = omega/c the offline wavesolver fits against
+#   (ffat_solver.h:44-53 h0(kr) kernel). Used by the beyond-reference
+#   Doppler renderer (ops/doppler.py) — the reference itself applies no
+#   propagation delay (modal_solver.h:286-300 holds the listener
+#   block-constant).

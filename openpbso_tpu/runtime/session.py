@@ -668,6 +668,77 @@ class ModalSession:
         self._last_listener = positions[-1]
         return np.concatenate(out, axis=0)
 
+    def render_doppler(self, positions: np.ndarray,
+                       blocks_per_dispatch: int = 64,
+                       smooth: bool | None = None,
+                       c: float | None = None) -> np.ndarray:
+        """Moving-listener render with physical Doppler (beyond-reference).
+
+        Like render_moving, but the received signal is delayed by the
+        time-varying propagation time r(t)/c per object — which IS the
+        Doppler effect (a radial approach speed v compresses the received
+        phase by 1 + v/c). The reference applies no propagation delay at
+        all (modal_solver.h:286-300 evaluates amplitude only). Amplitude
+        falloff stays with the per-block FFAT transfer, exactly as in
+        render_moving; the delay is the one added physical term
+        (ops/doppler.py).
+
+        ``positions``: [T, 3] (shared) or [T, O, 3] listener positions
+        *relative to each object* (the FFAT map frame), row t = block t.
+        Returns [T * S, C] float32. Samples whose emission time precedes
+        the render start are silent (the wavefront has not arrived yet).
+        """
+        from ..config import SOUND_SPEED
+        from ..ops.doppler import (delay_resample, distances_to_delays,
+                                   sample_distances)
+        from .solver import step_multi_transfers_sound
+        if self.num_listeners > 1:
+            raise ValueError("render_doppler supports single-listener "
+                             "sessions (per-listener delays would need "
+                             "[L, O, N] gathers)")
+        self._maybe_rebase()
+        if smooth is None:
+            smooth = self.config.smooth_transfer
+        if c is None:
+            c = SOUND_SPEED
+        positions = np.asarray(positions, np.float64)
+        t_total = positions.shape[0]
+        o = self.bank.num_objects
+        if positions.ndim == 2:
+            positions = np.broadcast_to(positions[:, None, :],
+                                        (t_total, o, 3))
+        if self.ffat is not None and self.use_transfer:
+            rows = jax.vmap(lambda p: compute_transfer(self.ffat, p))(
+                jnp.asarray(positions, self._dtype)).astype(self._dtype)
+        else:
+            rows = jnp.broadcast_to(
+                self.state.transfer,
+                (t_total,) + tuple(self.state.transfer.shape))
+        if self._xfade_from is not None and smooth:
+            self.state = dataclasses.replace(self.state,
+                                             transfer=self._xfade_from)
+        self._xfade_from = None
+        sounds = []
+        done = 0
+        while done < t_total:
+            n = min(blocks_per_dispatch, t_total - done)
+            self.state, snd = step_multi_transfers_sound(
+                self.state, self.bank, rows[done:done + n],
+                n_blocks=n, block_size=self.config.block_size,
+                backend=self.config.backend, smooth=smooth,
+                with_sustained=self._with_sustained(),
+                num_slots=self._slot_bucket())
+            self._clock += n * self.config.block_size
+            sounds.append(np.asarray(snd))
+            done += n
+        sound = np.concatenate(sounds, axis=-1)            # [O, N]
+        dist = sample_distances(positions, self.config.block_size)
+        delay = distances_to_delays(jnp.asarray(dist, self._dtype), c)
+        mix = delay_resample(jnp.asarray(sound, self._dtype), delay,
+                             self.gains)
+        self._last_listener = positions[-1]
+        return np.asarray(mix)
+
     def render_raw(self, num_blocks: int) -> np.ndarray:
         """Offline render of per-object raw sound: [O, num_blocks * S]."""
         out = []

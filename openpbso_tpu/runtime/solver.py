@@ -312,6 +312,45 @@ def step_multi_transfers(
     return state, mixes.reshape(n_blocks * block_size, mixes.shape[-1])
 
 
+@partial(jax.jit,
+         static_argnames=("n_blocks", "block_size", "backend", "smooth",
+                          "with_sustained", "num_slots"))
+def step_multi_transfers_sound(
+    state: SolverState,
+    bank: ModalBank,
+    transfers: jax.Array,      # [n_blocks, O, M] per-block transfer rows
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+    backend: str = "blocked",
+    smooth: bool = False,
+    with_sustained: bool = True,
+    num_slots: int | None = None,
+) -> tuple[SolverState, jax.Array]:
+    """step_multi_transfers returning the raw per-object sound instead of
+    the mix: (state', sound [O, n_blocks*S]).
+
+    Used by the Doppler renderer (session.render_doppler), which must
+    delay-resample each object's signal BEFORE the channel mixdown."""
+    gains_dummy = jnp.zeros((state.z_re.shape[0], 1), state.z_re.dtype)
+
+    def body(carry, tr):
+        st, prev = carry
+        st = dataclasses.replace(st, transfer=tr)
+        st, sound, _mix, _ = _step_block_impl(
+            st, bank, gains_dummy, block_size, backend, False,
+            transfer_prev=(prev if smooth else None),
+            with_sustained=with_sustained, num_slots=num_slots)
+        return (st, tr), sound
+
+    (state, _), sounds = jax.lax.scan(body, (state, state.transfer),
+                                      transfers)
+    # [n_blocks, O, S] -> [O, n_blocks * S]
+    sound = jnp.moveaxis(sounds, 0, 1).reshape(
+        state.z_re.shape[0], n_blocks * block_size)
+    return state, sound
+
+
 @partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots"))
 def step_span(
     state: SolverState,

@@ -128,3 +128,92 @@ def test_future_dated_hits_fire_inside_span(dberr):
         got_sess.hit(0, space, when=3)       # not block-aligned
     with pytest.raises(ValueError):
         got_sess.hit(0, space, when=0)       # in the past
+
+
+# --------------------------------------------------------------- Doppler
+
+
+def _tone_session(f0=1000.0, block=512, density=2700.0,
+                  alpha=1e-2, beta=1e-7):
+    """Single object, single lightly-damped mode at ~f0 Hz, unit transfer."""
+    import jax.numpy as jnp
+    omega = 2 * np.pi * f0
+    omega_sq = np.asarray([omega * omega * density])
+    bank = bank_from_material(density, omega_sq, alpha, beta,
+                              num_objects=1, block_size=block,
+                              dtype=jnp.float32)
+    return ModalSession(bank, config=SolverConfig(block_size=block,
+                                                  backend="blocked"))
+
+
+def _dominant_freq(x, sr=44100):
+    """Frequency from zero-crossing count (sub-Hz at ~1 s windows)."""
+    sign = np.sign(x)
+    crossings = np.count_nonzero(np.diff(sign) != 0)
+    return crossings / 2 * sr / x.size
+
+
+def test_doppler_frequency_shift():
+    """An approaching listener hears the mode shifted by (1 + v/c):
+    the core physical claim of the delay model (ops/doppler.py)."""
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+    block = 512
+    f0 = 1000.0
+    v = 0.05 * SOUND_SPEED                    # 17.15 m/s approach
+    sess = _tone_session(f0=f0, block=block)
+    sess.hit(0, np.ones(1), kind="point")
+    t_blocks = 86                             # ~1 s
+    times = np.arange(t_blocks) * block / SAMPLE_RATE
+    r0 = 30.0                                 # stays positive: r(1s) = 12.85
+    rel = np.zeros((t_blocks, 3))
+    rel[:, 0] = r0 - v * times                # radial approach
+    mix = sess.render_doppler(rel)
+    assert mix.shape == (t_blocks * block, 2)
+    # measure on a window after arrival (r0/c = 87 ms) and before the end
+    w0, w1 = int(0.3 * SAMPLE_RATE), int(0.95 * SAMPLE_RATE)
+    got = _dominant_freq(mix[w0:w1, 0])
+    want = f0 * (1 + v / SOUND_SPEED)         # 1050 Hz
+    assert abs(got - want) < 5.0, f"measured {got:.1f} Hz, want {want:.1f}"
+    # sanity: an unshifted render measures f0, not f0*(1+v/c)
+    sess2 = _tone_session(f0=f0, block=block)
+    sess2.hit(0, np.ones(1), kind="point")
+    ref = sess2.render(t_blocks)
+    ref_f = _dominant_freq(ref[w0:w1, 0])
+    assert abs(ref_f - f0) < 5.0
+
+
+def test_doppler_arrival_delay_and_static_parity():
+    """A static listener at distance r hears the same signal delayed by
+    r/c — silence before the wavefront arrives, exact integer-delay copy
+    after (linear interp is exact at integer delays)."""
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+    block = 256
+    delay_samples = 64
+    r = delay_samples * SOUND_SPEED / SAMPLE_RATE
+    t_blocks = 8
+    a = _tone_session(f0=700.0, block=block)
+    b = _tone_session(f0=700.0, block=block)
+    for s in (a, b):
+        s.hit(0, np.ones(1), kind="gaussian", width_us=400.0)
+    rel = np.zeros((t_blocks, 3))
+    rel[:, 2] = r
+    got = a.render_doppler(rel)
+    ref = b.render(t_blocks)
+    n = t_blocks * block
+    assert np.abs(got[:delay_samples]).max() == 0.0     # not yet arrived
+    np.testing.assert_allclose(got[delay_samples:, 0],
+                               ref[: n - delay_samples, 0],
+                               rtol=0, atol=1e-7)
+
+
+def test_doppler_rejects_multi_listener():
+    import jax.numpy as jnp
+    md = synth_mode_data(8, 8, seed=3)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=2, block_size=128,
+                              dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128),
+                        num_listeners=2)
+    with pytest.raises(ValueError, match="single-listener"):
+        sess.render_doppler(np.zeros((4, 3)))
