@@ -227,7 +227,7 @@ def main():
 
     if "--span" in sys.argv:
         nb = (nblocks if any(a.startswith("--nblocks=") for a in sys.argv)
-              else 128)
+              else 512)
         bank, state, gains, lam64 = build(o, m, s, backend, hetero=hetero,
                                           need_tables=False,
                                           listeners=listeners)

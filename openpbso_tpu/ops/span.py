@@ -137,12 +137,20 @@ class ChunkSpanTables:
         return self.b_re.shape[0] == 1
 
 
-def choose_radix(span: int, target: int = 256) -> int:
+def choose_radix(span: int, target: int = 512) -> int:
     """Largest divisor of ``span`` <= target (baby-table length R).
 
     R ~ sqrt(N) balances table HBM ([O,R,M]) against the W intermediates
-    ([O,N/R,M]); 256 keeps the matmul minor dims MXU-tile aligned for the
-    native block sizes (all powers of two).
+    ([O,N/R,M]); powers of two keep the matmul minor dims MXU-tile aligned
+    for the native block sizes. Measured ladder for the chunked form at
+    256 obj x 1024 modes, 256-block spans (docs/PERF.md round-2 sweep):
+    chunk 128 / 256 / 512 / 1024 -> hetero RTF 38 / 59 / 61 / 55 (shared
+    48 / 67 / 75 / 63) — 512 wins both layouts; 1024 loses because the
+    within-chunk Toeplitz conv work scales with C*N. Larger chunks also
+    mean FEWER serial f32 lam^C rotations (better phase accuracy). NOTE
+    the Toeplitz intermediate is [O, K, C, C]: at C=512 a full 16-slot
+    table materializes ~4.3 GB — the session's slot-bucket gating
+    (usually K=1) keeps this small.
     """
     for r in range(min(target, span), 0, -1):
         if span % r == 0:

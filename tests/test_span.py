@@ -71,8 +71,11 @@ def _seeded_state(bank, n_blocks, seed=0):
 
 
 def test_choose_radix():
-    assert choose_radix(512) == 256
-    assert choose_radix(512 * 64) == 256
+    # default target 512: the measured optimum for the chunked span
+    # (docs/PERF.md chunk sweep; 1024 loses to C*N conv scaling)
+    assert choose_radix(512) == 512
+    assert choose_radix(512 * 64) == 512
+    assert choose_radix(256) == 256
     assert 512 * 3 % choose_radix(512 * 3) == 0
     assert choose_radix(7) == 7
     assert choose_radix(13 * 13, target=16) == 13
