@@ -90,12 +90,12 @@ def main(argv=None) -> int:
         return make_session(new_args)
 
     cls = AudioServer
-    if args.web:
+    if args.web and args.multi_client:
+        from ..runtime.wsbridge import BroadcastWebSocketAudioServer
+        cls = BroadcastWebSocketAudioServer
+    elif args.web:
         from ..runtime.wsbridge import WebSocketAudioServer
         cls = WebSocketAudioServer
-        if args.multi_client:
-            p.error("--multi-client currently speaks the raw TCP protocol "
-                    "only (drop --web)")
     elif args.multi_client:
         from ..runtime.server import BroadcastAudioServer
         cls = BroadcastAudioServer

@@ -463,6 +463,15 @@ class _FanoutSink:
                 c.offer(block)
         return True
 
+    def broadcast_json(self, obj) -> None:
+        """Best-effort JSON side-message to every connected client
+        (telemetry: ball colors, health — not per-client replies)."""
+        with self._lock:
+            clients = list(self._clients)
+        for c in clients:
+            if not c.sink.closed:
+                c.sink.send_json(obj)
+
     def close(self) -> None:
         with self._lock:
             clients, self._clients = self._clients, []

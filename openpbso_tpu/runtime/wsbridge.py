@@ -157,13 +157,17 @@ class WebSocketAudioServer(AudioServer):
     transport differs. ``GET /`` serves the demo page.
     """
 
-    def _handle(self, conn: socket.socket) -> None:
+    def _upgrade(self, conn: socket.socket) -> bool:
+        """Serve the demo page / 400s, or complete the WS handshake.
+
+        Returns True when the socket is now an upgraded WebSocket; False
+        when the request was already answered (page, 404, 400)."""
         conn.settimeout(10.0)
         req = b""
         while b"\r\n\r\n" not in req:
             chunk = conn.recv(8192)
             if not chunk:
-                return
+                return False
             req += chunk
         head = req.split(b"\r\n\r\n", 1)[0].decode("latin-1")
         lines = head.split("\r\n")
@@ -171,7 +175,7 @@ class WebSocketAudioServer(AudioServer):
         if parts[0] != "GET" or len(parts) < 2:
             conn.sendall(b"HTTP/1.1 400 Bad Request\r\n"
                          b"Content-Length: 0\r\nConnection: close\r\n\r\n")
-            return
+            return False
         path = parts[1]
         headers = {}
         for ln in lines[1:]:
@@ -189,7 +193,7 @@ class WebSocketAudioServer(AudioServer):
                          b"\r\nContent-Length: " +
                          str(len(body)).encode() +
                          b"\r\nConnection: close\r\n\r\n" + body)
-            return
+            return False
 
         key = headers.get("sec-websocket-key", "")
         conn.sendall(
@@ -197,6 +201,11 @@ class WebSocketAudioServer(AudioServer):
             b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
             b"Sec-WebSocket-Accept: " + ws_accept_key(key).encode() +
             b"\r\n\r\n")
+        return True
+
+    def _handle(self, conn: socket.socket) -> None:
+        if not self._upgrade(conn):
+            return
 
         from .engine import StreamingEngine
         session = self._make_session()
@@ -558,3 +567,145 @@ $('mode').onchange=e=>{const k=+e.target.value;
   if(k>=0)send({cmd:'mode_shape',mode:k});else modeShape=null;};
 </script></body></html>
 """
+
+
+class BroadcastWebSocketAudioServer(WebSocketAudioServer):
+    """One engine, many browsers: the WS transport of BroadcastAudioServer.
+
+    Every connected WebSocket client receives the same PCM stream through
+    a bounded per-client queue (a slow tab drops its oldest blocks, the
+    shared stream never stalls); hits, sustains, and listener moves are
+    world state shared by all clients. The transfer-ball telemetry pusher
+    runs once server-side and broadcasts colors to everyone (per-client
+    pushers would steal each other's qnorm messages). ``quit``/CLOSE
+    disconnects only that client.
+    """
+
+    def __init__(self, make_session, model=None, host: str = "127.0.0.1",
+                 port: int = 0, lookahead: int = 1, session_loader=None,
+                 qnorm_every: int = 0, client_queue_depth: int = 8,
+                 pace_lead: float | None = 0.3):
+        super().__init__(make_session, model=model, host=host, port=port,
+                         lookahead=lookahead, session_loader=session_loader,
+                         qnorm_every=qnorm_every)
+        from .server import _FanoutSink
+        self._client_depth = client_queue_depth
+        self._fanout = _FanoutSink(pace_lead=pace_lead)
+        self._engine = None
+        self._engine_lock = threading.Lock()
+        self._pusher = None
+
+    def _ensure_engine(self):
+        from .engine import StreamingEngine
+        with self._engine_lock:
+            if self._engine is None:
+                session = self._make_session()
+                self._engine = StreamingEngine(
+                    session, self._fanout, lookahead=self._lookahead,
+                    qnorm_every=self._qnorm_every)
+                self._engine.start()
+                if self._qnorm_every > 0 and session.ffat is not None \
+                        and self._model is not None:
+                    stop = threading.Event()
+
+                    def _push_colors():
+                        self._ball_payload(self._engine)
+                        import time as _time
+                        while not stop.is_set():
+                            q = self._engine.latest_qnorm()
+                            if q is not None:
+                                c = self.ball_colors(q)
+                                if c is not None:
+                                    self._fanout.broadcast_json(
+                                        {"ball_colors": np.asarray(
+                                            c, np.float32).tolist()})
+                            _time.sleep(0.15)
+
+                    t = threading.Thread(target=_push_colors, daemon=True)
+                    t.start()
+                    self._pusher = (t, stop)
+            return self._engine
+
+    def serve_forever(self) -> None:
+        engine = self._ensure_engine()
+        self._sock.settimeout(1.0)
+        while engine.healthy:
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=self._serve_client, args=(conn,),
+                             name="pbso-ws-client", daemon=True).start()
+
+    def serve_one(self, timeout: float | None = None) -> None:
+        self._ensure_engine()
+        self._sock.settimeout(timeout)
+        conn, _ = self._sock.accept()
+        self._serve_client(conn)
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        from .server import _ClientStream
+        engine = self._ensure_engine()
+        try:
+            upgraded = self._upgrade(conn)
+        except OSError:
+            upgraded = False
+        if not upgraded:
+            conn.close()
+            return
+        session = engine.session
+        # per-client sink without its own pacing: the shared fan-out hub
+        # paces the stream once for everyone
+        sink = _WSSink(conn, pace_lead=None)
+        sink.send_json({"hello": "openpbso-tpu",
+                        "sample_rate": SAMPLE_RATE,
+                        "channels": int(session.gains.shape[-1]),
+                        "block_size": session.config.block_size,
+                        "modes": int(session.bank.num_modes)})
+        client = _ClientStream(sink, depth=self._client_depth)
+        self._fanout.register(client)
+        reader = _FrameReader(conn)
+        try:
+            while not sink.closed and engine.healthy:
+                try:
+                    opcode, payload = reader.read_frame()
+                except socket.timeout:
+                    continue
+                except (ConnectionError, OSError):
+                    break
+                if opcode == OP_CLOSE:
+                    break
+                if opcode == OP_PING:
+                    sink.pong(payload)
+                    continue
+                if opcode == OP_TEXT and payload.strip():
+                    if self._dispatch(engine, sink, payload):
+                        break
+            if not engine.healthy and engine.error is not None:
+                sink.send_json({"error": f"synthesis failed: "
+                                         f"{engine.error!r}"})
+        finally:
+            self._fanout.unregister(client)
+            sink.closed = True
+            client.join()
+            sink.close()
+            conn.close()
+
+    def _stats_payload(self, engine) -> dict:
+        payload = super()._stats_payload(engine)
+        payload["clients"] = self._fanout.n_clients
+        return payload
+
+    def close(self) -> None:
+        super().close()
+        if self._pusher is not None:
+            self._pusher[1].set()
+            self._pusher[0].join(timeout=5.0)
+            self._pusher = None
+        with self._engine_lock:
+            engine, self._engine = self._engine, None
+        if engine is not None:
+            engine.stop()
+        self._fanout.close()

@@ -263,3 +263,78 @@ def test_browser_viewer_protocol(ws_viewer_server):
     pump("error")
     c.send_json(cmd="stats")
     c.close()
+
+
+@pytest.fixture
+def ws_broadcast_server():
+    from openpbso_tpu.runtime.wsbridge import BroadcastWebSocketAudioServer
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    srv = BroadcastWebSocketAudioServer(make_session, pace_lead=0.05)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, md
+    srv.close()
+    t.join(timeout=10)
+
+
+def test_ws_broadcast_two_clients(ws_broadcast_server):
+    """Two browsers share one engine: both get the hello + the same PCM
+    stream, a hit from one is audible on both, quit leaves the other."""
+    import time as _time
+    srv, md = ws_broadcast_server
+    a = _WSClient(*srv.address)
+    b = _WSClient(*srv.address)
+
+    def next_json(c, tries=300):
+        for _ in range(tries):
+            op, payload = c.read_frame()
+            if op == OP_TEXT:
+                return json.loads(payload)
+        raise AssertionError("no JSON frame")
+
+    def next_pcm_peak(c, tries=200):
+        peak = 0.0
+        for _ in range(tries):
+            op, payload = c.read_frame()
+            if op == OP_BINARY:
+                pcm = np.frombuffer(payload, "<f4")
+                peak = max(peak, float(np.abs(pcm).max()))
+                if peak > 0:
+                    return peak
+        return peak
+
+    for c in (a, b):
+        hello = next_json(c)
+        assert hello["hello"] == "openpbso-tpu"
+        assert hello["block_size"] == BLOCK
+    # wait for both registrations, then hit
+    deadline = _time.time() + 30
+    n = 0
+    while _time.time() < deadline and n != 2:
+        a.send_json(cmd="stats")
+        msg = next_json(a)
+        n = msg.get("clients", 0)
+    assert n == 2
+    a.send_json(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+                kind="gaussian", width_us=2000.0)
+    assert next_pcm_peak(a) > 0
+    assert next_pcm_peak(b) > 0
+    b.close()
+    deadline = _time.time() + 30
+    n = 2
+    while _time.time() < deadline and n != 1:
+        a.send_json(cmd="stats")
+        n = next_json(a).get("clients", 2)
+    assert n == 1
+    op, _ = a.read_frame()   # stream still flowing for A
+    a.close()
