@@ -1,0 +1,167 @@
+"""render_timeline — bake a scripted event timeline to audio.
+
+The reference is interactive-only: every hit comes from a live mouse click
+and every listener move from the live camera (real_time_modal_sound.cpp
+:594-622, :1166-1175). A production sound pipeline bakes instead: a JSON
+timeline of impacts and listener motion renders deterministically to a wav
+in a handful of device dispatches (future-dated force slots + per-block
+transfer schedules; optionally with physical Doppler).
+
+Timeline schema (JSON)::
+
+    {
+      "duration_s": 2.0,
+      "events": [
+        {"t": 0.10, "obj": 0, "vertex": 12, "kind": "gaussian",
+         "width_us": 200.0, "amp": 1.0},
+        {"t": 0.50, "obj": 0, "space": [..], "kind": "point"}
+      ],
+      "listener": [
+        {"t": 0.0, "pos": [1.0, 0.5, 0.0]},
+        {"t": 2.0, "pos": [0.2, 0.5, 0.8]}
+      ],
+      "doppler": false,
+      "smooth": true
+    }
+
+Event times are quantized to block starts — the reference's force
+granularity (ModalSolver::step dequeues at most one force message per
+block, modal_solver.h:184). The listener path is linearly interpolated
+between keyframes at block rate; ``doppler`` adds the r(t)/c propagation
+delay (session.render_doppler), ``smooth`` ramps the transfer per block.
+
+    python -m openpbso_tpu.apps.render_timeline --demo-synth \
+        --timeline events.json --out baked.wav
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..config import DEFAULT_BLOCK, FILE_NOT_EXIST, SAMPLE_RATE
+
+
+def listener_blocks(keyframes: list[dict], n_blocks: int,
+                    block_size: int) -> np.ndarray:
+    """Keyframes [{"t": s, "pos": [3]}] -> per-block positions [T, 3]."""
+    if not keyframes:
+        raise ValueError("timeline needs at least one listener keyframe")
+    ks = sorted(keyframes, key=lambda k: float(k["t"]))
+    times = np.asarray([float(k["t"]) for k in ks])
+    pos = np.asarray([[float(v) for v in k["pos"]] for k in ks])
+    if pos.shape[1] != 3:
+        raise ValueError("listener pos must be [x, y, z]")
+    block_t = np.arange(n_blocks) * block_size / SAMPLE_RATE
+    out = np.stack([np.interp(block_t, times, pos[:, i]) for i in range(3)],
+                   axis=1)
+    return out
+
+
+def schedule_events(session, events: list[dict], model=None) -> int:
+    """Future-date every event into the session's force slots.
+
+    Times quantize to block starts (modal_solver.h:184 granularity).
+    Events address a mesh vertex (needs ``model``) or raw modal
+    amplitudes (``space``). Returns the number scheduled."""
+    block = session.config.block_size
+    count = 0
+    for ev in sorted(events, key=lambda e: float(e.get("t", 0.0))):
+        t = float(ev.get("t", 0.0))
+        when = int(round(t * SAMPLE_RATE / block)) * block
+        if "space" in ev:
+            space = np.asarray(ev["space"], np.float64)
+        elif model is not None:
+            space = model.modal_force_vertex(int(ev["vertex"]))
+        else:
+            raise ValueError(f"event at t={t} needs 'space' (no model "
+                             f"loaded for vertex addressing)")
+        session.hit(int(ev.get("obj", 0)), space,
+                    kind=str(ev.get("kind", "point")),
+                    width_us=float(ev.get("width_us", 100.0)),
+                    amp=float(ev.get("amp", 1.0)),
+                    when=max(when, session.sample_clock))
+        count += 1
+    return count
+
+
+def bake(session, timeline: dict, model=None,
+         blocks_per_dispatch: int = 64) -> np.ndarray:
+    """Render one timeline; returns [N, C] float32."""
+    block = session.config.block_size
+    n_blocks = int(np.ceil(float(timeline["duration_s"])
+                           * SAMPLE_RATE / block))
+    schedule_events(session, timeline.get("events", []), model)
+    keyframes = timeline.get("listener")
+    doppler = bool(timeline.get("doppler", False))
+    smooth = bool(timeline.get("smooth", True))
+    if keyframes:
+        per_block = listener_blocks(keyframes, n_blocks, block)
+        if doppler:
+            return session.render_doppler(
+                per_block, blocks_per_dispatch=blocks_per_dispatch,
+                smooth=smooth)
+        if session.ffat is not None and session.use_transfer:
+            return session.render_moving(
+                per_block, blocks_per_dispatch=blocks_per_dispatch,
+                smooth=smooth)
+        # no transfer maps: the listener path only matters for Doppler
+        session.set_listener(per_block[0])
+    elif doppler:
+        raise ValueError("doppler needs a listener path")
+    return session.render_multi(n_blocks,
+                                blocks_per_dispatch=blocks_per_dispatch)
+
+
+def main(argv=None) -> int:
+    from .real_time_modal_sound import make_session
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--timeline", required=True, help="JSON timeline file")
+    p.add_argument("--out", default="timeline.wav")
+    p.add_argument("-d", dest="data_dir", default=FILE_NOT_EXIST)
+    p.add_argument("-name", dest="obj_name", default=FILE_NOT_EXIST)
+    p.add_argument("-m", dest="mesh", default=FILE_NOT_EXIST)
+    p.add_argument("-s", dest="surf_mode", default=FILE_NOT_EXIST)
+    p.add_argument("-t", dest="material", default=FILE_NOT_EXIST)
+    p.add_argument("-p", dest="ffat_map", default=FILE_NOT_EXIST)
+    p.add_argument("--block", type=int, default=DEFAULT_BLOCK)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "blocked", "scan", "pallas"])
+    p.add_argument("--instances", type=int, default=1)
+    p.add_argument("--no-transfer", action="store_true")
+    p.add_argument("--listener", default="1.0,0.5,0.5")
+    p.add_argument("--smooth-transfer", action="store_true")
+    p.add_argument("--demo-synth", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--blocks-per-dispatch", type=int, default=64)
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        try:
+            jax.config.update("jax_platforms",
+                              "cpu" if args.platform == "cpu" else "")
+        except Exception:
+            pass
+    with open(args.timeline) as f:
+        timeline = json.load(f)
+    model, session = make_session(args)
+    audio = bake(session, timeline, model,
+                 blocks_per_dispatch=args.blocks_per_dispatch)
+    from ..runtime.audio import WavFileSink
+    sink = WavFileSink(args.out, normalize=True)
+    sink.write(audio)
+    sink.close()
+    print(json.dumps({
+        "out": args.out,
+        "samples": int(audio.shape[0]),
+        "seconds": round(audio.shape[0] / SAMPLE_RATE, 3),
+        "channels": int(audio.shape[1]),
+        "events": len(timeline.get("events", [])),
+        "peak": float(np.abs(audio).max()),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,95 @@
+"""Timeline baking (apps/render_timeline.py): scripted events + listener
+paths render deterministically in a handful of dispatches."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.apps.render_timeline import (bake, listener_blocks,
+                                               schedule_events)
+from openpbso_tpu.config import SAMPLE_RATE
+from openpbso_tpu.ops.coeffs import bank_from_material
+from openpbso_tpu.runtime.session import ModalSession
+from openpbso_tpu.runtime.solver import SolverConfig
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+S = 128
+
+
+def _session():
+    md = synth_mode_data(10, 8, seed=2)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=2, block_size=S,
+                              dtype=jnp.float32)
+    return ModalSession(bank, config=SolverConfig(block_size=S,
+                                                  backend="blocked")), md
+
+
+def test_listener_blocks_interpolates():
+    ks = [{"t": 0.0, "pos": [0, 0, 0]}, {"t": 1.0, "pos": [2, 0, 0]}]
+    n_blocks = SAMPLE_RATE // S       # ~1 s
+    rows = listener_blocks(ks, n_blocks, S)
+    assert rows.shape == (n_blocks, 3)
+    assert rows[0, 0] == 0.0
+    # midpoint block sits near x=1
+    assert abs(rows[n_blocks // 2, 0] - 1.0) < 0.02
+    # held past the final keyframe
+    rows2 = listener_blocks(ks, 2 * n_blocks, S)
+    assert abs(rows2[-1, 0] - 2.0) < 1e-9
+
+
+def test_events_fire_at_block_quantized_times():
+    sess, md = _session()
+    events = [{"t": 0.25, "obj": 0, "space": [1.0] * md.num_modes,
+               "kind": "point"},
+              {"t": 0.5, "obj": 1, "space": [1.0] * md.num_modes,
+               "kind": "gaussian", "width_us": 500.0}]
+    assert schedule_events(sess, events) == 2
+    audio = bake(sess, {"duration_s": 0.75, "events": []})
+    n_first = int(round(0.25 * SAMPLE_RATE / S)) * S
+    # silence until the first quantized event block
+    assert np.abs(audio[:n_first]).max() == 0.0
+    assert np.abs(audio[n_first:]).max() > 0.0
+
+
+def test_bake_matches_manual_session():
+    """bake() == hand-driving the session with the same future-dated hits."""
+    tl = {"duration_s": 0.4,
+          "events": [{"t": 0.1, "obj": 0, "space": [1.0] * 10,
+                      "kind": "gaussian", "width_us": 400.0}]}
+    a, _ = _session()
+    got = bake(a, tl)
+    b, _ = _session()
+    when = int(round(0.1 * SAMPLE_RATE / S)) * S
+    b.hit(0, np.ones(10), kind="gaussian", width_us=400.0, when=when)
+    n_blocks = int(np.ceil(0.4 * SAMPLE_RATE / S))
+    ref = b.render_multi(n_blocks, blocks_per_dispatch=64)
+    np.testing.assert_allclose(got, ref, atol=0.0)
+
+
+def test_cli_end_to_end(tmp_path):
+    from openpbso_tpu.apps.render_timeline import main
+    tl = {"duration_s": 0.4,
+          "events": [{"t": 0.05, "obj": 0, "vertex": 3,
+                      "kind": "gaussian", "width_us": 300.0}],
+          "listener": [{"t": 0.0, "pos": [0.6, 0.4, 0.2]},
+                       {"t": 0.4, "pos": [0.2, 0.4, 0.6]}],
+          "doppler": True}
+    tpath = tmp_path / "tl.json"
+    tpath.write_text(json.dumps(tl))
+    out = tmp_path / "baked.wav"
+    rc = main(["--timeline", str(tpath), "--out", str(out),
+               "--demo-synth", "--platform", "cpu", "--block", "128"])
+    assert rc == 0
+    import wave
+    with wave.open(str(out)) as w:
+        assert w.getframerate() == SAMPLE_RATE
+        assert w.getnframes() >= int(0.4 * SAMPLE_RATE)
+
+
+def test_doppler_requires_listener():
+    sess, _ = _session()
+    with pytest.raises(ValueError, match="listener"):
+        bake(sess, {"duration_s": 0.1, "doppler": True})
