@@ -40,10 +40,10 @@ class ShardedSession(ModalSession):
 
     def __init__(self, bank: ModalBank, mesh: Mesh, ffat=None, config=None,
                  num_slots: int = 16, seed: int = 0, dtype=jnp.float32,
-                 lam64: np.ndarray | None = None):
+                 lam64: np.ndarray | None = None, num_listeners: int = 1):
         super().__init__(bank, ffat=ffat, config=config,
                          num_slots=num_slots, seed=seed, dtype=dtype,
-                         lam64=lam64)
+                         lam64=lam64, num_listeners=num_listeners)
         if self.config.backend not in ("blocked", "auto"):
             raise ValueError("ShardedSession supports the blocked/span "
                              f"forms, not backend={self.config.backend!r}")
@@ -61,6 +61,7 @@ class ShardedSession(ModalSession):
         fn = self._fns.get(key)
         if fn is None:
             block = self.config.block_size
+            kw["num_listeners"] = self.num_listeners
             if kind == "step":
                 fn = make_sharded_step(self.mesh, self.bank,
                                        block_size=block, **kw)
@@ -169,8 +170,9 @@ class ShardedSession(ModalSession):
         super().set_listener(pos)
         from jax.sharding import NamedSharding, PartitionSpec as P
         import jax
+        spec = (P("obj", "mode") if self.num_listeners <= 1
+                else P(None, "obj", "mode"))
         self.state = dataclasses.replace(
             self.state,
-            transfer=jax.device_put(
-                self.state.transfer,
-                NamedSharding(self.mesh, P("obj", "mode"))))
+            transfer=jax.device_put(self.state.transfer,
+                                    NamedSharding(self.mesh, spec)))

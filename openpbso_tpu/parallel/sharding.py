@@ -42,8 +42,12 @@ def make_mesh(n_obj_shards: int, n_mode_shards: int = 1,
     return Mesh(grid, axis_names=("obj", "mode"))
 
 
-def state_specs() -> SolverState:
-    """PartitionSpecs for every SolverState leaf."""
+def state_specs(num_listeners: int = 1) -> SolverState:
+    """PartitionSpecs for every SolverState leaf.
+
+    ``num_listeners`` > 1: the transfer is [L, O, M] (shared-state
+    multi-listener rows, runtime/state.py) — the listener axis replicates
+    while obj/mode shard as usual."""
     from ..ops.forces import ForceSlots, SustainedState
     om = P("obj", "mode")
     o = P("obj")
@@ -53,9 +57,15 @@ def state_specs() -> SolverState:
                          space=P("obj", None, "mode")),
         sustained=SustainedState(
             active=o, space=om, ar_hist=o, a=o, sigma=o, mu=o, key=o),
-        transfer=om,
+        transfer=(om if num_listeners <= 1 else P(None, "obj", "mode")),
         block_start=P(),
     )
+
+
+def _sound_spec(num_listeners: int):
+    """Per-block sound is [O, S] or [L, O, S] (listener axis leading)."""
+    return (P("obj", None) if num_listeners <= 1
+            else P(None, "obj", None))
 
 
 def bank_specs(bank: ModalBank) -> ModalBank:
@@ -74,7 +84,8 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
                       backend: str = "blocked",
                       compute_qnorm: bool = False,
                       with_sustained: bool = True,
-                      num_slots: int | None = None):
+                      num_slots: int | None = None,
+                      num_listeners: int = 1):
     """Build a jitted SPMD block step over ``mesh``.
 
     Returns ``step(state, bank, gains) -> (state', sound, mix, qnorm)`` where
@@ -94,8 +105,10 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
                                 with_sustained=with_sustained,
                                 num_slots=num_slots)
 
-    specs_in = (state_specs(), bank_specs(bank), P("obj", None))
-    specs_out = (state_specs(), P("obj", None), P(), None)
+    specs_in = (state_specs(num_listeners), bank_specs(bank),
+                P("obj", None))
+    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
+                 P(), None)
     if compute_qnorm:
         specs_out = specs_out[:3] + (P("obj", "mode"),)
 
@@ -109,7 +122,8 @@ def make_sharded_xfade_step(mesh: Mesh, bank: ModalBank, *,
                             backend: str = "blocked",
                             compute_qnorm: bool = False,
                             with_sustained: bool = True,
-                            num_slots: int | None = None):
+                            num_slots: int | None = None,
+                            num_listeners: int = 1):
     """SPMD transfer-ramp block step (runtime/solver.py::step_block_xfade):
     the transfer interpolates linearly from ``transfer_prev`` to
     state.transfer across the block after a listener move.
@@ -126,10 +140,12 @@ def make_sharded_xfade_step(mesh: Mesh, bank: ModalBank, *,
                                 with_sustained=with_sustained,
                                 num_slots=num_slots)
 
-    specs_in = (state_specs(), bank_specs(bank), P("obj", None),
-                P("obj", "mode"))
-    specs_out = (state_specs(), P("obj", None), P(),
-                 P("obj", "mode") if compute_qnorm else None)
+    tspec = (P("obj", "mode") if num_listeners <= 1
+             else P(None, "obj", "mode"))
+    specs_in = (state_specs(num_listeners), bank_specs(bank),
+                P("obj", None), tspec)
+    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
+                 P(), P("obj", "mode") if compute_qnorm else None)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -139,7 +155,8 @@ def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
                        block_size: int = DEFAULT_BLOCK,
                        backend: str = "blocked",
                        with_sustained: bool = True,
-                       num_slots: int | None = None):
+                       num_slots: int | None = None,
+                       num_listeners: int = 1):
     """SPMD multi-block scan: n_blocks per dispatch, one [S,C] psum per
     block riding ICI (the only cross-chip traffic).
 
@@ -157,8 +174,9 @@ def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
         state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
         return state, mixes.reshape(n_blocks * block_size, -1)
 
-    specs_in = (state_specs(), bank_specs(bank), P("obj", None))
-    specs_out = (state_specs(), P())
+    specs_in = (state_specs(num_listeners), bank_specs(bank),
+                P("obj", None))
+    specs_out = (state_specs(num_listeners), P())
     sharded = jax.shard_map(local_multi, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -183,7 +201,8 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
                       n_blocks: int,
                       block_size: int = DEFAULT_BLOCK,
                       num_slots: int | None = None,
-                      decay: bool = False):
+                      decay: bool = False,
+                      num_listeners: int = 1):
     """SPMD span dispatch (ops/span.py): N = n_blocks*S samples per
     dispatch with ONE [N, C] psum over the mesh — the minimum possible
     cross-chip traffic per second of audio.
@@ -192,10 +211,9 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
     causal convolution and are reduced together with the object-axis mix
     sum. Returns ``step(state, bank, tables, gains) -> (state', mix)``.
     """
-    from ..config import OUTPUT_SCALE
     from ..ops.forces import force_span
-    from ..ops.integrator import PRECISION
     from ..ops.span import decay_span, integrate_span
+    from ..runtime.solver import _mixdown_span
     n = n_blocks * block_size
 
     def local_span(state, bank, tables, gains):
@@ -212,17 +230,17 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
                 state.z_re, state.z_im, bank, tables, space_k, f_k,
                 state.transfer)
         sound = jax.lax.psum(sound, "mode")
-        mix = jnp.einsum("os,oc->sc", sound, gains,
-                         precision=PRECISION) / OUTPUT_SCALE
+        # multi-listener span sound is [O, L, N] (ops/span.py layout)
+        mix = _mixdown_span(sound, gains)
         mix = jax.lax.psum(mix, "obj")
         new_state = dataclasses.replace(
             state, z_re=z_re, z_im=z_im,
             block_start=state.block_start + n)
         return new_state, mix.astype(jnp.float32)
 
-    specs_in = (state_specs(), bank_specs(bank), span_table_specs(tables),
-                P("obj", None))
-    specs_out = (state_specs(), P())
+    specs_in = (state_specs(num_listeners), bank_specs(bank),
+                span_table_specs(tables), P("obj", None))
+    specs_out = (state_specs(num_listeners), P())
     sharded = jax.shard_map(local_span, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -236,7 +254,8 @@ def shard_span_tables(mesh: Mesh, tables):
 
 def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
                             block_size: int = DEFAULT_BLOCK,
-                            compute_qnorm: bool = False):
+                            compute_qnorm: bool = False,
+                            num_listeners: int = 1):
     """SPMD variant of the idle-scene decay step (solver.decay_block).
 
     Same host gating contract as the single-chip path: dispatch only when
@@ -244,26 +263,27 @@ def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
     identical to the full step (one psum for the mode-partial transfer
     dot, one for the stereo mix).
     """
-    from ..config import OUTPUT_SCALE
-    from ..ops.integrator import PRECISION, decay_block_blocked
+    from ..ops.integrator import decay_block_blocked
+    from ..runtime.solver import _mixdown
 
     def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
         z_re, z_im, sound, qnorm = decay_block_blocked(
             state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
         sound = jax.lax.psum(sound, "mode")
-        # precision pinned like runtime/solver.py:97 — the MXU default is
-        # one bf16 pass (-52.6 dB), below the -60 dB oracle contract
-        mix = jnp.einsum("os,oc->sc", sound, gains,
-                         precision=PRECISION) / OUTPUT_SCALE
+        # _mixdown pins full-f32 precision (the MXU default is one bf16
+        # pass, -52.6 dB, below the -60 dB oracle contract) and handles
+        # the [L, O, S] multi-listener layout
+        mix = _mixdown(sound, gains)
         mix = jax.lax.psum(mix, "obj")
         new_state = dataclasses.replace(
             state, z_re=z_re, z_im=z_im,
             block_start=state.block_start + block_size)
         return new_state, sound, mix.astype(jnp.float32), qnorm
 
-    specs_in = (state_specs(), bank_specs(bank), P("obj", None))
-    specs_out = (state_specs(), P("obj", None), P(),
-                 P("obj", "mode") if compute_qnorm else None)
+    specs_in = (state_specs(num_listeners), bank_specs(bank),
+                P("obj", None))
+    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
+                 P(), P("obj", "mode") if compute_qnorm else None)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -276,7 +296,8 @@ def _put(mesh: Mesh, x, spec):
 
 
 def shard_state(mesh: Mesh, state: SolverState) -> SolverState:
-    specs = state_specs()
+    nl = state.transfer.shape[0] if state.transfer.ndim == 3 else 1
+    specs = state_specs(nl)
     return jax.tree.map(lambda x, s: _put(mesh, x, s), state, specs,
                         is_leaf=lambda x: x is None)
 

@@ -163,3 +163,51 @@ def test_sharded_engine_soak():
     assert np.abs(audio).max() > 0
     assert np.isfinite(audio).all()
     assert eng.health.health > 0.9
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2)])
+def test_sharded_multi_listener_parity(mesh_shape, dberr):
+    """Shared-state multi-listener rows ([L, O, M] transfer, listener axis
+    replicated over the mesh) through the SPMD step, decay, and span
+    paths vs the single-device session."""
+    import dataclasses
+
+    md = synth_mode_data(12, 6, seed=70)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=8, block_size=S,
+                              dtype=jnp.float32)
+    cfg = SolverConfig(block_size=S, backend="blocked")
+    mesh = make_mesh(*mesh_shape)
+    lam_o = np.broadcast_to(lam64, (8, lam64.shape[-1]))
+    sh = ShardedSession(bank, mesh, config=cfg, num_slots=4, lam64=lam_o,
+                        num_listeners=3)
+    ref = ModalSession(bank, config=cfg, num_slots=4, lam64=lam_o,
+                       num_listeners=3)
+    rng = np.random.default_rng(8)
+    rows = rng.uniform(0.5, 2.0,
+                       (3, 8, bank.num_modes)).astype(np.float32)
+    for s in (sh, ref):
+        s.state = dataclasses.replace(s.state,
+                                      transfer=jnp.asarray(rows))
+    if hasattr(sh, "mesh"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh.state = dataclasses.replace(
+            sh.state, transfer=jax.device_put(
+                sh.state.transfer,
+                NamedSharding(sh.mesh, P(None, "obj", "mode"))))
+    space = rng.standard_normal(12)
+    for s in (sh, ref):
+        s.hit(0, space, kind="gaussian", width_us=600.0)
+        s.hit(5, -space)
+    # per-block steps (full path)
+    got = np.concatenate([np.asarray(sh.step()[1]) for _ in range(3)])
+    want = np.concatenate([np.asarray(ref.step()[1]) for _ in range(3)])
+    assert got.shape == want.shape == (3 * S, 3)
+    assert dberr(got, want) <= -100.0
+    # span render (includes ring-down -> decay span once idle)
+    got2 = sh.render_multi(40, blocks_per_dispatch=8)
+    want2 = ref.render_multi(40, blocks_per_dispatch=8)
+    assert dberr(got2, want2) <= -100.0
