@@ -209,3 +209,52 @@ class Scene:
 
     def render_multi(self, num_blocks: int, **kw) -> np.ndarray:
         return self.session.render_multi(num_blocks, **kw)
+
+    def _relative_path(self, listener_path, object_paths):
+        """World listener path [T, 3] (and optionally per-block object
+        world positions [T, O, 3]) -> listener-relative [T, O, 3]."""
+        listener_path = np.asarray(listener_path, np.float64)
+        if listener_path.ndim != 2 or listener_path.shape[1] != 3:
+            raise ValueError("listener_path must be [T, 3] world positions")
+        t = listener_path.shape[0]
+        if object_paths is None:
+            obj = np.broadcast_to(self.positions[None, :, :],
+                                  (t, len(self.instances), 3))
+        else:
+            obj = np.asarray(object_paths, np.float64)
+            if obj.shape != (t, len(self.instances), 3):
+                raise ValueError(
+                    f"object_paths must be [T={t}, O="
+                    f"{len(self.instances)}, 3], got {obj.shape}")
+        return listener_path[:, None, :] - obj
+
+    def render_moving(self, listener_path: np.ndarray,
+                      object_paths: np.ndarray | None = None,
+                      **kw) -> np.ndarray:
+        """Moving-listener (and optionally moving-object) render: world
+        positions per block -> per-object relative transfer schedules in
+        chunked single dispatches (session.render_moving). Row t of
+        ``listener_path`` [T, 3] is the listener during block t;
+        ``object_paths`` [T, O, 3] moves the objects too (the reference
+        has no notion of motion at all — its one object sits at the
+        origin, real_time_modal_sound.cpp:508-525)."""
+        if self.num_listeners > 1:
+            raise ValueError("render_moving supports single-listener "
+                             "scenes (multi-listener scenes hold their "
+                             "offsets fixed; step them via set_listener)")
+        rel = self._relative_path(listener_path, object_paths)
+        self._last_rel = rel[-1]
+        return self.session.render_moving(rel, **kw)
+
+    def render_doppler(self, listener_path: np.ndarray,
+                       object_paths: np.ndarray | None = None,
+                       **kw) -> np.ndarray:
+        """render_moving + physical propagation delay r(t)/c per object
+        (session.render_doppler): moving listeners AND moving objects get
+        true Doppler shift from their radial velocities."""
+        if self.num_listeners > 1:
+            raise ValueError("render_doppler supports single-listener "
+                             "scenes")
+        rel = self._relative_path(listener_path, object_paths)
+        self._last_rel = rel[-1]
+        return self.session.render_doppler(rel, **kw)

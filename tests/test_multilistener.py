@@ -200,3 +200,76 @@ def test_multi_listener_qnorm_and_warmup():
     assert mix.shape == (S, 2)
     assert qn.shape == (sess.bank.num_objects, sess.bank.num_modes)
     assert float(np.asarray(qn).max()) > 0
+
+
+# --------------------------------------------- Scene-level moving renders
+
+
+@pytest.fixture
+def scene_model(tmp_path_factory):
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.utils.synth import synth_model_dir
+    root = tmp_path_factory.mktemp("scene_model")
+    synth_model_dir(str(root), "m", num_modes=12, subdivisions=1,
+                    ffat_n=8, seed=9)
+    return load_model(resolve_model_dir(str(root), "m"))
+
+
+def test_scene_render_moving_matches_stepwise(scene_model):
+    """Scene.render_moving == stepping the scene with set_listener per
+    block (block-constant rows, smooth off)."""
+    mk = lambda: Scene(  # noqa: E731
+        [SceneInstance(scene_model, np.asarray([0.0, 0.0, 0.0])),
+         SceneInstance(scene_model, np.asarray([1.0, 0.2, 0.0]))],
+        block_size=S, backend="blocked", dtype=jnp.float32)
+    t_blocks = 6
+    path = np.stack([np.linspace(0.5, 1.5, t_blocks),
+                     np.full(t_blocks, 0.4),
+                     np.linspace(0.2, -0.4, t_blocks)], axis=1)
+    a = mk()
+    a.hit(0, 3, kind="gaussian", width_us=600.0)
+    got = a.render_moving(path, smooth=False)
+    b = mk()
+    b.hit(0, 3, kind="gaussian", width_us=600.0)
+    chunks = []
+    for t in range(t_blocks):
+        b.set_listener(path[t])
+        _, mix, _ = b.step()
+        chunks.append(np.asarray(mix))
+    ref = np.concatenate(chunks, axis=0)
+    db = _db(got - ref, ref)
+    assert db <= -100, f"{db:.1f} dB"
+
+
+def test_scene_moving_objects_change_output(scene_model):
+    """object_paths moves the objects: a receding object renders
+    differently from a static one."""
+    mk = lambda: Scene(  # noqa: E731
+        [SceneInstance(scene_model, np.zeros(3))],
+        block_size=S, backend="blocked", dtype=jnp.float32)
+    t_blocks = 8
+    path = np.broadcast_to([1.0, 0.4, 0.1], (t_blocks, 3))
+    a = mk(); a.hit(0, 3)
+    static = a.render_moving(path, smooth=False)
+    b = mk(); b.hit(0, 3)
+    obj = np.zeros((t_blocks, 1, 3))
+    obj[:, 0, 0] = np.linspace(0.0, -2.0, t_blocks)   # receding in -x
+    moving = b.render_moving(path, object_paths=obj, smooth=False)
+    assert static.shape == moving.shape
+    assert not np.allclose(static, moving)
+
+
+def test_scene_render_doppler(scene_model):
+    """Scene Doppler wrapper runs end to end and delays onset by r/c."""
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+    sc = Scene([SceneInstance(scene_model, np.zeros(3))],
+               block_size=S, backend="blocked", dtype=jnp.float32)
+    t_blocks = 8
+    r = 2.0
+    path = np.broadcast_to([r, 0.0, 0.0], (t_blocks, 3))
+    sc.hit(0, 3)
+    audio = sc.render_doppler(path)
+    n_delay = int(r / SOUND_SPEED * SAMPLE_RATE)
+    assert np.abs(audio[: n_delay - 1]).max() == 0.0
+    assert np.abs(audio).max() > 0.0
