@@ -473,6 +473,12 @@ class _FanoutSink:
                 c.sink.send_json(obj)
 
     def close(self) -> None:
+        """No-op: engines call sink.close() when they stop, but the hub
+        OUTLIVES engines (BroadcastAudioServer._restart_engine swaps a
+        dead engine without disconnecting clients). The server closes
+        clients explicitly via shutdown()."""
+
+    def shutdown(self) -> None:
         with self._lock:
             clients, self._clients = self._clients, []
         for c in clients:
@@ -499,7 +505,11 @@ class BroadcastAudioServer(AudioServer):
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, client_queue_depth: int = 8,
-                 pace_lead: float | None = 0.3):
+                 pace_lead: float | None = 0.3, max_restarts: int = 3):
+        """``max_restarts``: consecutive engine-rebuild attempts after a
+        synthesis failure before the server gives up (a successful rebuild
+        resets the count) — elastic recovery the reference lacks entirely
+        (its sim thread dies invisibly, SURVEY section 5)."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
                          qnorm_every=qnorm_every)
@@ -507,6 +517,12 @@ class BroadcastAudioServer(AudioServer):
         self._fanout = _FanoutSink(pace_lead=pace_lead)
         self._engine = None
         self._engine_lock = threading.Lock()
+        self._max_restarts = max_restarts
+        self.restarts = 0
+        self._dead = False   # set when recovery is exhausted
+
+    def _after_engine_start(self, engine) -> None:
+        """Hook for subclasses (e.g. the WS telemetry pusher)."""
 
     def _ensure_engine(self):
         from .engine import StreamingEngine
@@ -517,12 +533,51 @@ class BroadcastAudioServer(AudioServer):
                     session, self._fanout, lookahead=self._lookahead,
                     qnorm_every=self._qnorm_every)
                 self._engine.start()
+                self._after_engine_start(self._engine)
             return self._engine
 
+    def _restart_engine(self) -> bool:
+        """Replace a dead engine in place; clients keep their streams.
+
+        The fan-out sink (and every registered client queue) survives the
+        swap — the new engine simply resumes writing blocks into it. The
+        failure and recovery are announced to all clients in-band."""
+        with self._engine_lock:
+            dead, self._engine = self._engine, None
+        err = repr(dead.error) if dead is not None else "unknown"
+        if dead is not None:
+            try:
+                dead.stop()
+            except Exception:  # noqa: BLE001 — a dead engine must not
+                pass           # block recovery
+        self._fanout.broadcast_json({"engine_failed": err,
+                                     "restarting": True})
+        try:
+            engine = self._ensure_engine()
+        except Exception as e:  # noqa: BLE001 — rebuild itself failed
+            self._fanout.broadcast_json(
+                {"error": f"engine rebuild failed: {e!r}"})
+            return False
+        self.restarts += 1
+        self._fanout.broadcast_json({"restarted": True})
+        return engine.healthy
+
     def serve_forever(self) -> None:
-        engine = self._ensure_engine()
+        self._ensure_engine()
         self._sock.settimeout(1.0)
-        while engine.healthy:
+        failures = 0
+        while True:
+            engine = self._engine
+            if engine is None or not engine.healthy:
+                failures += 1
+                if failures > self._max_restarts or \
+                        not self._restart_engine():
+                    self._fanout.broadcast_json(
+                        {"error": "synthesis failed permanently"})
+                    self._dead = True
+                    return
+                continue
+            failures = 0
             try:
                 conn, _ = self._sock.accept()
             except socket.timeout:
@@ -555,7 +610,10 @@ class BroadcastAudioServer(AudioServer):
         try:
             buf = b""
             conn.settimeout(5.0)
-            while not sink.closed and engine.healthy:
+            # the loop tracks the server's CURRENT engine: a mid-stream
+            # engine restart (see _restart_engine) must not disconnect
+            # clients — their queues survive the swap
+            while not sink.closed and not self._dead:
                 try:
                     chunk = conn.recv(4096)
                 except socket.timeout:
@@ -569,11 +627,12 @@ class BroadcastAudioServer(AudioServer):
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
                         continue
+                    engine = self._engine
+                    if engine is None or not engine.healthy:
+                        sink.send_json({"error": "engine restarting"})
+                        continue
                     if self._dispatch(engine, sink, line):
                         return
-            if not engine.healthy and engine.error is not None:
-                sink.send_json({"error": f"synthesis failed: "
-                                         f"{engine.error!r}"})
         finally:
             self._fanout.unregister(client)
             sink.closed = True
@@ -591,7 +650,7 @@ class BroadcastAudioServer(AudioServer):
             engine, self._engine = self._engine, None
         if engine is not None:
             engine.stop()
-        self._fanout.close()
+        self._fanout.shutdown()
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ import threading
 import numpy as np
 
 from ..config import SAMPLE_RATE
-from .server import AudioServer
+from .server import AudioServer, BroadcastAudioServer
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -569,81 +569,49 @@ $('mode').onchange=e=>{const k=+e.target.value;
 """
 
 
-class BroadcastWebSocketAudioServer(WebSocketAudioServer):
+class BroadcastWebSocketAudioServer(BroadcastAudioServer,
+                                    WebSocketAudioServer):
     """One engine, many browsers: the WS transport of BroadcastAudioServer.
 
-    Every connected WebSocket client receives the same PCM stream through
-    a bounded per-client queue (a slow tab drops its oldest blocks, the
-    shared stream never stalls); hits, sustains, and listener moves are
-    world state shared by all clients. The transfer-ball telemetry pusher
+    Inherits the broadcast machinery (fan-out hub with real-time pacing,
+    bounded per-client queues, elastic engine restart on synthesis
+    failure) from BroadcastAudioServer and the HTTP/WS handshake + demo
+    page from WebSocketAudioServer. The transfer-ball telemetry pusher
     runs once server-side and broadcasts colors to everyone (per-client
-    pushers would steal each other's qnorm messages). ``quit``/CLOSE
-    disconnects only that client.
+    pushers would steal each other's qnorm messages); a mid-stream engine
+    restart keeps every browser connected.
     """
 
-    def __init__(self, make_session, model=None, host: str = "127.0.0.1",
-                 port: int = 0, lookahead: int = 1, session_loader=None,
-                 qnorm_every: int = 0, client_queue_depth: int = 8,
-                 pace_lead: float | None = 0.3):
-        super().__init__(make_session, model=model, host=host, port=port,
-                         lookahead=lookahead, session_loader=session_loader,
-                         qnorm_every=qnorm_every)
-        from .server import _FanoutSink
-        self._client_depth = client_queue_depth
-        self._fanout = _FanoutSink(pace_lead=pace_lead)
-        self._engine = None
-        self._engine_lock = threading.Lock()
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
         self._pusher = None
 
-    def _ensure_engine(self):
-        from .engine import StreamingEngine
-        with self._engine_lock:
-            if self._engine is None:
-                session = self._make_session()
-                self._engine = StreamingEngine(
-                    session, self._fanout, lookahead=self._lookahead,
-                    qnorm_every=self._qnorm_every)
-                self._engine.start()
-                if self._qnorm_every > 0 and session.ffat is not None \
-                        and self._model is not None:
-                    stop = threading.Event()
+    def _after_engine_start(self, engine) -> None:
+        if self._pusher is not None or self._qnorm_every <= 0 \
+                or engine.session.ffat is None or self._model is None:
+            return
+        stop = threading.Event()
 
-                    def _push_colors():
-                        self._ball_payload(self._engine)
-                        import time as _time
-                        while not stop.is_set():
-                            q = self._engine.latest_qnorm()
-                            if q is not None:
-                                c = self.ball_colors(q)
-                                if c is not None:
-                                    self._fanout.broadcast_json(
-                                        {"ball_colors": np.asarray(
-                                            c, np.float32).tolist()})
-                            _time.sleep(0.15)
+        def _push_colors():
+            self._ball_payload(engine)
+            import time as _time
+            while not stop.is_set():
+                eng = self._engine
+                if eng is None:
+                    _time.sleep(0.15)
+                    continue
+                q = eng.latest_qnorm()
+                if q is not None:
+                    c = self.ball_colors(q)
+                    if c is not None:
+                        self._fanout.broadcast_json(
+                            {"ball_colors": np.asarray(
+                                c, np.float32).tolist()})
+                _time.sleep(0.15)
 
-                    t = threading.Thread(target=_push_colors, daemon=True)
-                    t.start()
-                    self._pusher = (t, stop)
-            return self._engine
-
-    def serve_forever(self) -> None:
-        engine = self._ensure_engine()
-        self._sock.settimeout(1.0)
-        while engine.healthy:
-            try:
-                conn, _ = self._sock.accept()
-            except socket.timeout:
-                continue
-            except OSError:
-                return
-            threading.Thread(target=self._serve_client, args=(conn,),
-                             name="pbso-ws-client", daemon=True).start()
-
-    def serve_one(self, timeout: float | None = None) -> None:
-        self._ensure_engine()
-        self._sock.settimeout(timeout)
-        conn, _ = self._sock.accept()
-        self._serve_client(conn)
+        t = threading.Thread(target=_push_colors, daemon=True)
+        t.start()
+        self._pusher = (t, stop)
 
     def _serve_client(self, conn: socket.socket) -> None:
         from .server import _ClientStream
@@ -668,7 +636,9 @@ class BroadcastWebSocketAudioServer(WebSocketAudioServer):
         self._fanout.register(client)
         reader = _FrameReader(conn)
         try:
-            while not sink.closed and engine.healthy:
+            # track the server's CURRENT engine so a mid-stream restart
+            # does not disconnect the browser
+            while not sink.closed and not self._dead:
                 try:
                     opcode, payload = reader.read_frame()
                 except socket.timeout:
@@ -681,11 +651,12 @@ class BroadcastWebSocketAudioServer(WebSocketAudioServer):
                     sink.pong(payload)
                     continue
                 if opcode == OP_TEXT and payload.strip():
+                    engine = self._engine
+                    if engine is None or not engine.healthy:
+                        sink.send_json({"error": "engine restarting"})
+                        continue
                     if self._dispatch(engine, sink, payload):
                         break
-            if not engine.healthy and engine.error is not None:
-                sink.send_json({"error": f"synthesis failed: "
-                                         f"{engine.error!r}"})
         finally:
             self._fanout.unregister(client)
             sink.closed = True
@@ -693,19 +664,9 @@ class BroadcastWebSocketAudioServer(WebSocketAudioServer):
             sink.close()
             conn.close()
 
-    def _stats_payload(self, engine) -> dict:
-        payload = super()._stats_payload(engine)
-        payload["clients"] = self._fanout.n_clients
-        return payload
-
     def close(self) -> None:
-        super().close()
         if self._pusher is not None:
             self._pusher[1].set()
             self._pusher[0].join(timeout=5.0)
             self._pusher = None
-        with self._engine_lock:
-            engine, self._engine = self._engine, None
-        if engine is not None:
-            engine.stop()
-        self._fanout.close()
+        super().close()

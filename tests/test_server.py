@@ -272,3 +272,39 @@ def test_out_of_range_hit_does_not_kill_server(server):
     assert block.shape == (BLOCK, 2)
     c.send(cmd="quit")
     c.close()
+
+
+def test_broadcast_engine_restart_keeps_clients(broadcast_server):
+    """Elastic recovery: a dead synthesis engine is rebuilt in place and
+    connected clients keep streaming through the swap (the reference's
+    sim thread dies invisibly and permanently, SURVEY section 5)."""
+    srv, md = broadcast_server
+    c = AudioClient(*srv.address)
+    assert c.read_block().shape == (BLOCK, 2)
+    # kill the engine exactly as a synthesis failure does (engine.py
+    # _synth_loop: sets .error then the stop flag)
+    engine = srv._engine
+    engine.error = RuntimeError("injected failure")
+    engine._stop.set()
+    # the server must rebuild; the client sees the failure + recovery
+    # messages in-band and PCM resumes on the same connection
+    deadline = time.time() + 60
+    restarted = False
+    while time.time() < deadline and not restarted:
+        c.read_block()
+        restarted = any("restarted" in m for m in c.messages)
+    assert restarted, c.messages
+    assert any("engine_failed" in m for m in c.messages)
+    assert srv.restarts == 1
+    # post-restart commands hit the NEW engine
+    c.messages.clear()
+    c.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+           kind="gaussian", width_us=2000.0)
+    peak = 0.0
+    for _ in range(200):
+        peak = max(peak, float(np.abs(c.read_block()).max()))
+        if peak > 0:
+            break
+    assert peak > 0.0
+    c.send(cmd="quit")
+    c.close()

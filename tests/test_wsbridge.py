@@ -338,3 +338,43 @@ def test_ws_broadcast_two_clients(ws_broadcast_server):
     assert n == 1
     op, _ = a.read_frame()   # stream still flowing for A
     a.close()
+
+
+def test_ws_broadcast_engine_restart(ws_broadcast_server):
+    """A browser stays connected through an engine restart: failure and
+    recovery announced in-band, PCM resumes on the same WebSocket."""
+    import time as _time
+    srv, md = ws_broadcast_server
+    c = _WSClient(*srv.address)
+    # burn the hello + reach steady streaming
+    got_pcm = False
+    for _ in range(100):
+        op, _p = c.read_frame()
+        if op == OP_BINARY:
+            got_pcm = True
+            break
+    assert got_pcm
+    engine = srv._engine
+    engine.error = RuntimeError("injected failure")
+    engine._stop.set()
+    deadline = _time.time() + 60
+    restarted = False
+    while _time.time() < deadline and not restarted:
+        op, payload = c.read_frame()
+        if op == OP_TEXT:
+            restarted = "restarted" in json.loads(payload)
+    assert restarted
+    assert srv.restarts == 1
+    # audio flows again on the same socket
+    c.send_json(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+                kind="gaussian", width_us=2000.0)
+    peak = 0.0
+    for _ in range(400):
+        op, payload = c.read_frame()
+        if op == OP_BINARY:
+            peak = max(peak, float(np.abs(
+                np.frombuffer(payload, "<f4")).max()))
+            if peak > 0:
+                break
+    assert peak > 0.0
+    c.close()
