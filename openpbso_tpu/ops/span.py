@@ -137,21 +137,29 @@ class ChunkSpanTables:
         return self.b_re.shape[0] == 1
 
 
-def choose_radix(span: int, target: int = 512) -> int:
+def choose_radix(span: int, target: int | None = None) -> int:
     """Largest divisor of ``span`` <= target (baby-table length R).
 
-    R ~ sqrt(N) balances table HBM ([O,R,M]) against the W intermediates
-    ([O,N/R,M]); powers of two keep the matmul minor dims MXU-tile aligned
-    for the native block sizes. Measured ladder for the chunked form at
-    256 obj x 1024 modes, 256-block spans (docs/PERF.md round-2 sweep):
-    chunk 128 / 256 / 512 / 1024 -> hetero RTF 38 / 59 / 61 / 55 (shared
-    48 / 67 / 75 / 63) — 512 wins both layouts; 1024 loses because the
-    within-chunk Toeplitz conv work scales with C*N. Larger chunks also
-    mean FEWER serial f32 lam^C rotations (better phase accuracy). NOTE
-    the Toeplitz intermediate is [O, K, C, C]: at C=512 a full 16-slot
-    table materializes ~4.3 GB — the session's slot-bucket gating
-    (usually K=1) keeps this small.
+    Default target scales with the span: ``min(512, max(64, span // 8))``
+    — at least ~8 chunks reuse each table load, capped at 512. Measured
+    ladders at 256 obj x 1024 modes (docs/PERF.md round-2 sweeps):
+
+    - long spans (256 blocks): chunk 128 / 256 / 512 / 1024 -> hetero RTF
+      38 / 59 / 61 / 55 (shared 48 / 67 / 75 / 63) — 512 wins both
+      layouts; 1024 loses because the within-chunk Toeplitz conv work
+      scales with C*N.
+    - single-block spans (the LIVE per-block path): table HBM dominates,
+      so small chunks win — hetero 2.13 ms at chunk 32 / 2.37 at 64 vs
+      2.84 for the fused Pallas kernel and 11.4 for the blocked form on
+      the same box; shared 1.60 at chunk 64 vs 2.24 blocked.
+
+    Larger chunks also mean FEWER serial f32 lam^C rotations (better
+    phase accuracy). NOTE the Toeplitz intermediate is [O, K, C, C]: at
+    C=512 a full 16-slot table materializes ~4.3 GB — the session's
+    slot-bucket gating (usually K=1) keeps this small.
     """
+    if target is None:
+        target = min(512, max(64, span // 8))
     for r in range(min(target, span), 0, -1):
         if span % r == 0:
             return r

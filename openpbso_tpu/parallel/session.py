@@ -125,6 +125,7 @@ class ShardedSession(ModalSession):
         return self._step_full()
 
     def _step_span(self, n_blocks: int, num_slots="auto", idle=None):
+        self._maybe_rebase()   # engine dispatches spans directly
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path
         if idle:

@@ -250,7 +250,14 @@ class StreamingEngine:
         """One synthesis dispatch -> list of host audio blocks."""
         want_qnorm = (self._qnorm_every > 0
                       and self._blocks_done % self._qnorm_every == 0)
+        use_span = (self._post_mix is None and self.session.span_eligible()
+                    and self.session._xfade_from is None)
         if self.lookahead == 1 or want_qnorm:
+            if not want_qnorm and use_span:
+                # single-block span dispatch: beats BOTH per-block forms
+                # (blocked for shared banks, the fused Pallas kernel for
+                # hetero) — docs/PERF.md single-block span measurements
+                return [np.asarray(self.session._step_span(1))]
             if want_qnorm:
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=True)
@@ -269,8 +276,7 @@ class StreamingEngine:
         # lookahead: when the session has span tables (and no post-mix
         # needs per-block [O,S] sound), ONE span dispatch synthesizes all L
         # blocks with no serial dependency (ops/span.py) — the fastest path.
-        if (self._post_mix is None and self.session.span_eligible()
-                and self.session._xfade_from is None):
+        if use_span:
             mix = np.asarray(self.session._step_span(self.lookahead))
             block = self.session.config.block_size
             return [mix[i * block:(i + 1) * block] for i in
@@ -357,7 +363,7 @@ class StreamingEngine:
             sustained=True,
             span_blocks=(
                 (self.lookahead,)
-                if self.lookahead > 1 and self._post_mix is None
+                if self._post_mix is None
                 and self.session.span_eligible() else ()),
         )
 

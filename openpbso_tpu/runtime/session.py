@@ -464,6 +464,9 @@ class ModalSession:
         [n_blocks*S, C] (not host-synced). Caller checked span_eligible.
         ``num_slots``/``idle`` override the host gating (warmup)."""
         from .solver import decay_span_step, step_span
+        # the engine dispatches spans directly (without step()/render_multi
+        # wrappers), so the int32 clock-wrap rebase must live here too
+        self._maybe_rebase()
         tables = self.span_tables_for(n_blocks)
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path

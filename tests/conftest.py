@@ -19,6 +19,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: the suite is compile-bound on this
+# 1-core box (~200 jit programs), and the workspace persists between
+# driver rounds, so warm runs skip most of the compile time. The cache
+# dir is gitignored.
+try:
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass  # older jax: cache flags absent — run uncached
+
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8
 

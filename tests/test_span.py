@@ -71,11 +71,13 @@ def _seeded_state(bank, n_blocks, seed=0):
 
 
 def test_choose_radix():
-    # default target 512: the measured optimum for the chunked span
-    # (docs/PERF.md chunk sweep; 1024 loses to C*N conv scaling)
-    assert choose_radix(512) == 512
-    assert choose_radix(512 * 64) == 512
-    assert choose_radix(256) == 256
+    # span-scaled default: min(512, max(64, span // 8)) — small chunks for
+    # single-block (live) spans where table HBM dominates, 512 for long
+    # offline spans (docs/PERF.md sweeps)
+    assert choose_radix(512) == 64
+    assert choose_radix(512 * 8) == 512
+    assert choose_radix(512 * 512) == 512
+    assert choose_radix(256) == 64
     assert 512 * 3 % choose_radix(512 * 3) == 0
     assert choose_radix(7) == 7
     assert choose_radix(13 * 13, target=16) == 13
