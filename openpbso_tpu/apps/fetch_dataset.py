@@ -54,30 +54,41 @@ def parse_manifest(path: str) -> list[tuple[str, str, str]]:
 
 
 def _fetch(src: str, dst: str, is_dir: bool = False) -> None:
-    """Copy one file/dir from a local path, scp: or http(s): source."""
+    """Copy one file/dir from a local path, scp: or http(s): source.
+
+    Atomic at ``dst``: everything stages into ``dst + '.part'`` and is
+    renamed on success, so an interrupted fetch never leaves a
+    partial file/dir that a later skip_existing run would treat as
+    complete (and that write_dataset_meta would index)."""
+    part = dst + ".part"
+    if os.path.isdir(part):
+        shutil.rmtree(part)
+    elif os.path.exists(part):
+        os.remove(part)
     if src.startswith("scp:"):
-        cmd = ["scp"] + (["-r"] if is_dir else []) + [src[4:], dst]
+        cmd = ["scp"] + (["-r"] if is_dir else []) + [src[4:], part]
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
             raise RuntimeError(f"scp failed (no egress on this host?): "
                                f"{' '.join(cmd)}: {r.stderr.strip()}")
-        return
-    if src.startswith(("http://", "https://")):
+    elif src.startswith(("http://", "https://")):
         if is_dir:
             raise RuntimeError("http sources cannot fetch directories; "
                                "point --source at a mirror or archive")
-        r = subprocess.run(["curl", "-fsSL", "-o", dst, src],
+        r = subprocess.run(["curl", "-fsSL", "-o", part, src],
                            capture_output=True, text=True)
         if r.returncode != 0:
             raise RuntimeError(f"curl failed (no egress on this host?): "
                                f"{src}: {r.stderr.strip()}")
-        return
-    if is_dir:
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
+    elif is_dir:
+        shutil.copytree(src, part)
     else:
-        shutil.copy2(src, dst)
+        shutil.copy2(src, part)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    elif os.path.exists(dst):
+        os.remove(dst)
+    os.rename(part, dst)   # dst was removed above; rename covers both
 
 
 def stage_model(source_root: str, model_path: str, model_id: str, mat: str,

@@ -125,7 +125,8 @@ def run_config(n: int, backend: str, out_dir: str,
     return {
         "config": n,
         "backend": backend,
-        **({"doppler": True} if doppler else {}),
+        # only config 3 (the moving-listener render) applies Doppler
+        **({"doppler": True} if doppler and n == 3 else {}),
         "samples": int(audio.shape[0]),
         "audio_seconds": round(duration, 3),
         "wall_seconds": round(wall, 3),

@@ -24,8 +24,6 @@ precedes the render start are silence (the wavefront has not arrived).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +34,8 @@ from .integrator import PRECISION
 @jax.jit
 def delay_resample(
     sound: jax.Array,      # [O, N] raw per-object signal (emission time)
-    delay: jax.Array,      # [O, N] per-sample delay in SAMPLES (>= 0)
+    i0: jax.Array,         # [O, N] int32 floor(n - delay_n) source index
+    frac: jax.Array,       # [O, N] fractional part of (n - delay_n)
     gains: jax.Array,      # [O, C] channel gains
 ) -> jax.Array:
     """Fractional-delay gather + channel mixdown -> mix [N, C].
@@ -44,18 +43,38 @@ def delay_resample(
     y_o[n] = s_o[n - delay_o[n]] by linear interpolation; n - delay < 0
     reads silence (signal emitted before the render started). The mixdown
     applies the reference's 1/1E10 output scale like solver._mixdown.
+
+    (i0, frac) come from :func:`delay_indices` — the absolute index
+    n - delay MUST be split on the float64 host: an f32 index grid loses
+    fractional resolution past ~2^23/8 samples (~24 s of audio) and
+    collapses to whole-sample steps past ~3 minutes, turning a smooth
+    Doppler shift into zipper artifacts.
     """
     o, n = sound.shape
-    idx = jnp.arange(n, dtype=delay.dtype)[None, :] - delay
-    i0 = jnp.floor(idx)
-    frac = (idx - i0).astype(sound.dtype)
-    i0 = i0.astype(jnp.int32)
+    frac = frac.astype(sound.dtype)
     take = lambda i: jnp.take_along_axis(  # noqa: E731
         sound, jnp.clip(i, 0, n - 1), axis=-1)
     y = (take(i0) * (1.0 - frac) * (i0 >= 0)
          + take(i0 + 1) * frac * (i0 + 1 >= 0))
     mix = jnp.einsum("on,oc->nc", y, gains, precision=PRECISION)
     return (mix / OUTPUT_SCALE).astype(jnp.float32)
+
+
+def delay_indices(dist, c: float = SOUND_SPEED,
+                  sample_rate: int = SAMPLE_RATE):
+    """Host-side (float64) split of the fractional source index.
+
+    ``dist``: [O, N] float64 distances -> (i0 int32, frac float32) with
+    i0 + frac == n - dist * SR / c computed at full double precision
+    (see delay_resample's precision note).
+    """
+    import numpy as np
+    dist = np.asarray(dist, np.float64)
+    n = dist.shape[-1]
+    idx = np.arange(n, dtype=np.float64)[None, :] - dist * (sample_rate / c)
+    i0 = np.floor(idx)
+    frac = (idx - i0).astype(np.float32)
+    return i0.astype(np.int32), frac
 
 
 def sample_distances(
@@ -81,9 +100,3 @@ def sample_distances(
         out[i] = np.interp(grid, starts, r[:, i])  # holds past the last row
     return out
 
-
-@partial(jax.jit, static_argnames=("sample_rate",))
-def distances_to_delays(dist: jax.Array, c: float = SOUND_SPEED,
-                        sample_rate: int = SAMPLE_RATE) -> jax.Array:
-    """Distance [m] -> propagation delay in samples."""
-    return dist * (sample_rate / c)

@@ -49,6 +49,36 @@ MAGIC = b"PBSO"
 JSON_MARKER = 0xFFFFFFFF
 
 
+class RealTimePacer:
+    """Sleep writes onto the sample-rate clock plus a small lead.
+
+    Shared by every broadcast/streaming sink that has no blocking audio
+    device downstream (server._FanoutSink, wsbridge._WSSink): this plays
+    the role the reference's blocking PortAudio callback played
+    (PaModalCallback pulls one block per ~11.6 ms,
+    real_time_modal_sound.cpp:192-212); the engine's capacity-2 sound
+    queue then paces the synth thread like the reference's spin-enqueue
+    (modal_solver.h:275). ``pace_lead=None`` disables pacing.
+    """
+
+    def __init__(self, pace_lead: float | None = 0.3):
+        self._pace_lead = pace_lead
+        self._t0: float | None = None
+        self._samples = 0
+
+    def pace(self, n_samples: int) -> None:
+        if self._pace_lead is None:
+            return
+        import time as _time
+        now = _time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        due = self._t0 + self._samples / SAMPLE_RATE - self._pace_lead
+        if due > now:
+            _time.sleep(due - now)
+        self._samples += int(n_samples)
+
+
 class _SocketSink:
     """Audio sink that writes framed PCM to a connected socket."""
 
@@ -332,6 +362,7 @@ class AudioServer:
                     swap_model(engine, new_sess)
                     self._model = model
                     self._ball_transfer = None  # new model, new FFAT
+                    self._note_swap(str(msg["meta"]))
                     sink.send_json({
                         "loaded": str(msg["meta"]),
                         # bank width = the space-vector length hit_space
@@ -353,6 +384,10 @@ class AudioServer:
             # never escape the per-connection handler
             sink.send_json({"error": str(e)})
         return False
+
+    def _note_swap(self, meta_path: str) -> None:
+        """Hook: a load_model hot-swap succeeded (see BroadcastAudioServer,
+        whose engine-restart recipe must track the swapped model)."""
 
     def _stats_payload(self, engine) -> dict:
         st = engine.profiler.stats()
@@ -426,9 +461,7 @@ class _FanoutSink:
     def __init__(self, pace_lead: float | None = 0.3):
         self._lock = threading.Lock()
         self._clients: list[_ClientStream] = []
-        self._pace_lead = pace_lead
-        self._t0: float | None = None
-        self._samples = 0
+        self._pacer = RealTimePacer(pace_lead)
 
     def register(self, client: _ClientStream) -> None:
         with self._lock:
@@ -445,15 +478,7 @@ class _FanoutSink:
             return len(self._clients)
 
     def write(self, block: np.ndarray) -> bool:
-        if self._pace_lead is not None:
-            import time as _time
-            now = _time.monotonic()
-            if self._t0 is None:
-                self._t0 = now
-            due = self._t0 + self._samples / SAMPLE_RATE - self._pace_lead
-            if due > now:
-                _time.sleep(due - now)
-            self._samples += int(np.shape(block)[0])
+        self._pacer.pace(np.shape(block)[0])
         with self._lock:
             clients = list(self._clients)
         for c in clients:
@@ -520,9 +545,27 @@ class BroadcastAudioServer(AudioServer):
         self._max_restarts = max_restarts
         self.restarts = 0
         self._dead = False   # set when recovery is exhausted
+        self._closed = False  # set by close(); serve_forever must not
+        #   rebuild an engine nobody will ever stop
 
     def _after_engine_start(self, engine) -> None:
         """Hook for subclasses (e.g. the WS telemetry pusher)."""
+
+    def _note_swap(self, meta_path: str) -> None:
+        # after a hot-swap, an engine RESTART must rebuild the swapped-in
+        # model, not the original make_session one — otherwise clients
+        # would hear model A while self._model (hit addressing, viewer
+        # payloads) still describes model B
+        if self._session_loader is None:
+            return
+        loader = self._session_loader
+
+        def make():
+            model, sess = loader(meta_path)
+            self._model = model
+            return sess
+
+        self._make_session = make
 
     def _ensure_engine(self):
         from .engine import StreamingEngine
@@ -542,6 +585,8 @@ class BroadcastAudioServer(AudioServer):
         The fan-out sink (and every registered client queue) survives the
         swap — the new engine simply resumes writing blocks into it. The
         failure and recovery are announced to all clients in-band."""
+        if self._closed:
+            return False
         with self._engine_lock:
             dead, self._engine = self._engine, None
         err = repr(dead.error) if dead is not None else "unknown"
@@ -566,7 +611,7 @@ class BroadcastAudioServer(AudioServer):
         self._ensure_engine()
         self._sock.settimeout(1.0)
         failures = 0
-        while True:
+        while not self._closed:
             engine = self._engine
             if engine is None or not engine.healthy:
                 failures += 1
@@ -645,6 +690,10 @@ class BroadcastAudioServer(AudioServer):
         return payload
 
     def close(self) -> None:
+        # flag FIRST: serve_forever/_restart_engine check it before
+        # building an engine that nobody would ever stop (close racing
+        # the accept loop)
+        self._closed = True
         super().close()
         with self._engine_lock:
             engine, self._engine = self._engine, None

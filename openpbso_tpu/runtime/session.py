@@ -692,7 +692,7 @@ class ModalSession:
         the render start are silent (the wavefront has not arrived yet).
         """
         from ..config import SOUND_SPEED
-        from ..ops.doppler import (delay_resample, distances_to_delays,
+        from ..ops.doppler import (delay_indices, delay_resample,
                                    sample_distances)
         from .solver import step_multi_transfers_sound
         if self.num_listeners > 1:
@@ -736,8 +736,9 @@ class ModalSession:
             done += n
         sound = np.concatenate(sounds, axis=-1)            # [O, N]
         dist = sample_distances(positions, self.config.block_size)
-        delay = distances_to_delays(jnp.asarray(dist, self._dtype), c)
-        mix = delay_resample(jnp.asarray(sound, self._dtype), delay,
+        i0, frac = delay_indices(dist, c)   # float64 host split
+        mix = delay_resample(jnp.asarray(sound, self._dtype),
+                             jnp.asarray(i0), jnp.asarray(frac),
                              self.gains)
         self._last_listener = positions[-1]
         return np.asarray(mix)

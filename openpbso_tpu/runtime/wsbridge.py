@@ -27,7 +27,7 @@ import threading
 import numpy as np
 
 from ..config import SAMPLE_RATE
-from .server import AudioServer, BroadcastAudioServer
+from .server import AudioServer, BroadcastAudioServer, RealTimePacer
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -98,14 +98,10 @@ class _FrameReader:
 class _WSSink:
     """Audio sink writing PCM as binary websocket frames.
 
-    Writes are paced to real time (plus a small lead): the browser plays
-    at the sample rate, so an unpaced stream only grows client latency —
-    and on a small host it lets the synthesis thread starve the command
-    dispatcher of CPU. This is the role the blocking audio device played
-    for the reference (PaModalCallback pulls one block per ~11.6 ms,
-    real_time_modal_sound.cpp:192-212); the engine's capacity-2 sound
-    queue then paces the synth thread exactly like the reference's
-    spin-enqueue (modal_solver.h:275).
+    Writes are paced to real time plus a small lead (server.RealTimePacer
+    has the rationale): the browser plays at the sample rate, so an
+    unpaced stream only grows client latency — and on a small host it
+    lets the synthesis thread starve the command dispatcher of CPU.
     """
 
     def __init__(self, conn: socket.socket, send_timeout: float = 5.0,
@@ -114,9 +110,7 @@ class _WSSink:
         conn.settimeout(send_timeout)
         self._lock = threading.Lock()
         self.closed = False
-        self._pace_lead = pace_lead
-        self._t0: float | None = None
-        self._samples = 0
+        self._pacer = RealTimePacer(pace_lead)
 
     def _send(self, frame: bytes) -> bool:
         try:
@@ -128,15 +122,7 @@ class _WSSink:
             return False
 
     def write(self, block: np.ndarray) -> bool:
-        if self._pace_lead is not None:
-            import time as _time
-            now = _time.monotonic()
-            if self._t0 is None:
-                self._t0 = now
-            due = self._t0 + self._samples / SAMPLE_RATE - self._pace_lead
-            if due > now:
-                _time.sleep(due - now)
-            self._samples += int(np.shape(block)[0])
+        self._pacer.pace(np.shape(block)[0])
         data = np.ascontiguousarray(block, "<f4").tobytes()
         return self._send(encode_frame(OP_BINARY, data))
 
@@ -148,6 +134,35 @@ class _WSSink:
 
     def close(self) -> None:
         self._send(encode_frame(OP_CLOSE, b""))
+
+
+def start_color_pusher(server, engine_getter, send, interval=0.15):
+    """qnorm -> transfer-ball color poll loop, shared by the single-client
+    and broadcast WS servers (the reference colors its icosphere from
+    qnorm each frame, real_time_modal_sound.cpp:917-979).
+
+    ``engine_getter`` re-fetches the current engine each tick so an
+    elastic engine restart keeps the feed alive. Returns (thread, stop).
+    """
+    stop = threading.Event()
+
+    def loop():
+        server._ball_payload(engine_getter())  # warm mesh+transfer cache
+        import time as _time
+        while not stop.is_set():
+            eng = engine_getter()
+            if eng is not None:
+                q = eng.latest_qnorm()
+                if q is not None:
+                    c = server.ball_colors(q)
+                    if c is not None:
+                        send({"ball_colors":
+                              np.asarray(c, np.float32).tolist()})
+            _time.sleep(interval)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    return t, stop
 
 
 class WebSocketAudioServer(AudioServer):
@@ -224,24 +239,8 @@ class WebSocketAudioServer(AudioServer):
                 and self._model is not None:
             # transfer-ball HUD feed: color the icosphere by the latest
             # per-mode energy telemetry (real_time_modal_sound.cpp:960-979)
-            stop_push = threading.Event()
-
-            def _push_colors():
-                self._ball_payload(engine)  # warm mesh + transfer cache
-                import time as _time
-                while not stop_push.is_set() and not sink.closed:
-                    q = engine.latest_qnorm()
-                    if q is not None:
-                        c = self.ball_colors(q)
-                        if c is not None:
-                            sink.send_json(
-                                {"ball_colors":
-                                 np.asarray(c, np.float32).tolist()})
-                    _time.sleep(0.15)
-
-            pusher = (threading.Thread(target=_push_colors, daemon=True),
-                      stop_push)
-            pusher[0].start()
+            pusher = start_color_pusher(self, lambda: engine,
+                                        sink.send_json)
         try:
             while not sink.closed and engine.healthy:
                 try:
@@ -590,28 +589,8 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
         if self._pusher is not None or self._qnorm_every <= 0 \
                 or engine.session.ffat is None or self._model is None:
             return
-        stop = threading.Event()
-
-        def _push_colors():
-            self._ball_payload(engine)
-            import time as _time
-            while not stop.is_set():
-                eng = self._engine
-                if eng is None:
-                    _time.sleep(0.15)
-                    continue
-                q = eng.latest_qnorm()
-                if q is not None:
-                    c = self.ball_colors(q)
-                    if c is not None:
-                        self._fanout.broadcast_json(
-                            {"ball_colors": np.asarray(
-                                c, np.float32).tolist()})
-                _time.sleep(0.15)
-
-        t = threading.Thread(target=_push_colors, daemon=True)
-        t.start()
-        self._pusher = (t, stop)
+        self._pusher = start_color_pusher(self, lambda: self._engine,
+                                          self._fanout.broadcast_json)
 
     def _serve_client(self, conn: socket.socket) -> None:
         from .server import _ClientStream

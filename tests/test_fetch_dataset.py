@@ -101,3 +101,22 @@ def test_missing_source_reports_and_continues(mirror, capsys):
     assert rc == 1  # one model failed
     assert os.path.isdir(os.path.join(out_root, "cup_tetmesh"))
     assert "SKIP nope" in capsys.readouterr().err
+
+
+def test_interrupted_fetch_leaves_no_partial(mirror):
+    """Atomic staging: leftover .part debris from an interrupted run is
+    discarded and the final destination is only ever complete."""
+    tmp_path, manifest, src, mats, ids = mirror
+    out_root = str(tmp_path / "atomic")
+    outdir = os.path.join(out_root, "cup_tetmesh")
+    os.makedirs(os.path.join(outdir, "ffat_map-fdtd.part"))
+    with open(os.path.join(outdir, "ffat_map-fdtd.part", "junk"), "w") as f:
+        f.write("partial")
+    rc = main(["--manifest", manifest, "--source", src,
+               "--materials-dir", mats, "--out-root", out_root])
+    assert rc == 0
+    assert not os.path.exists(os.path.join(outdir, "ffat_map-fdtd.part"))
+    ffat = os.path.join(outdir, "ffat_map-fdtd")
+    assert os.path.isdir(ffat)
+    assert "junk" not in os.listdir(ffat)
+    assert any(f.endswith(".fatcube") for f in os.listdir(ffat))

@@ -308,3 +308,71 @@ def test_broadcast_engine_restart_keeps_clients(broadcast_server):
     assert peak > 0.0
     c.send(cmd="quit")
     c.close()
+
+
+def test_broadcast_restart_keeps_swapped_model(synth_model_root):
+    """After a load_model hot-swap, an engine restart must rebuild the
+    SWAPPED model, not the original make_session one — otherwise hit
+    addressing (self._model) and the audio stream desync."""
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    def loader(meta_path):
+        from openpbso_tpu.io.meta import read_meta
+        from openpbso_tpu.models.modal_model import load_model
+        paths = read_meta(meta_path)
+        model = load_model(paths)
+        bank = bank_from_material(
+            model.material.density,
+            model.modes.omega_squared[: model.num_modes_audible],
+            model.material.alpha, model.material.beta,
+            block_size=BLOCK, dtype=jnp.float32)
+        return model, ModalSession(bank, config=SolverConfig(
+            block_size=BLOCK, backend="blocked"))
+
+    srv = BroadcastAudioServer(make_session, session_loader=loader,
+                               pace_lead=0.05)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        import os
+
+        from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+        c = AudioClient(*srv.address)
+        meta_path = os.path.join(synth_model_root, "swap.meta")
+        write_meta(meta_path, resolve_model_dir(synth_model_root, "synth"))
+        c.send(cmd="load_model", meta=meta_path)
+        loaded = None
+        deadline = time.time() + 60
+        while time.time() < deadline and loaded is None:
+            c.read_block()
+            for m in c.messages:
+                if "loaded" in m:
+                    loaded = m
+        assert loaded is not None
+        swapped_modes = int(srv._engine.session.bank.num_modes)
+        # kill the engine; the restart must rebuild the SWAPPED session
+        engine = srv._engine
+        engine.error = RuntimeError("injected failure")
+        engine._stop.set()
+        c.messages.clear()
+        deadline = time.time() + 60
+        restarted = False
+        while time.time() < deadline and not restarted:
+            c.read_block()
+            restarted = any("restarted" in m for m in c.messages)
+        assert restarted
+        assert int(srv._engine.session.bank.num_modes) == swapped_modes
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
