@@ -187,3 +187,51 @@ def test_stream_exercises_all_step_variants():
     assert audio.shape[0] > 0 and np.abs(audio).max() > 0
     assert np.isfinite(audio).all()
     assert q is not None and np.isfinite(np.asarray(q)).all()
+
+
+def test_lookahead1_span_live_path():
+    """A session with lam64 tables streams at lookahead=1 through the
+    single-block span dispatch (the fastest measured live path,
+    docs/PERF.md) — audio matches the per-block step, events still apply,
+    and the span cache proves the path was taken."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+
+    md = synth_mode_data(16, 8)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    s = 256
+
+    def make(with_lam):
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=1, block_size=s,
+                                  dtype=jnp.float32)
+        return ModalSession(bank, config=SolverConfig(block_size=s,
+                                                      backend="blocked"),
+                            lam64=lam64 if with_lam else None)
+
+    sess = make(True)
+    sink = RawCollectorSink()
+    engine = StreamingEngine(sess, sink, lookahead=1)
+    engine.start()
+    engine.hit(0, np.ones(16), kind="gaussian", width_us=500.0)
+    deadline = time.time() + 30
+    while time.time() < deadline and engine._blocks_done < 20:
+        time.sleep(0.05)
+    engine.stop()
+    assert engine.error is None
+    audio = sink.concatenated()
+    assert np.abs(audio).max() > 0
+    # the span path compiled single-block tables => it actually ran
+    assert 1 in sess._span_cache
+    # sustained events fall back to the per-block path mid-stream
+    sess2 = make(True)
+    engine2 = StreamingEngine(sess2, RawCollectorSink(), lookahead=1)
+    engine2.start()
+    engine2.sustained_start(0, np.ones(16))
+    t0 = time.time()
+    while time.time() - t0 < 10 and engine2._blocks_done < 10:
+        time.sleep(0.05)
+    engine2.sustained_end(0)
+    engine2.stop()
+    assert engine2.error is None
