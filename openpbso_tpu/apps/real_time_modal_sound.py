@@ -135,11 +135,18 @@ def make_session(args):
         model.material.alpha, model.material.beta,
         num_objects=args.instances, block_size=args.block,
         dtype=jnp.float32)
+    # f64 eigenvalues enable the span dispatches (ops/span.py) — the
+    # fastest measured path for offline renders AND the live engine
+    from ..ops.coeffs import lambda_from_modes
+    lam64, _, _ = lambda_from_modes(
+        model.material.density,
+        model.modes.omega_squared[: model.num_modes_audible],
+        model.material.alpha, model.material.beta)
     ffat = None
     if model.ffat_maps and not args.no_transfer:
         ffat = build_ffat(model.ffat_maps, bank.num_modes,
                           dtype=jnp.float32)
-    sess = ModalSession(bank, ffat=ffat,
+    sess = ModalSession(bank, ffat=ffat, lam64=lam64,
                         config=SolverConfig(
                             block_size=args.block, backend=args.backend,
                             smooth_transfer=getattr(args, "smooth_transfer",

@@ -122,7 +122,11 @@ class Scene:
             self.bank, ffat=ffat,
             config=SolverConfig(block_size=block_size, backend=backend),
             num_slots=num_slots, dtype=dtype,
-            num_listeners=(self.num_listeners if self.shared_state else 1))
+            num_listeners=(self.num_listeners if self.shared_state else 1),
+            # the per-instance f64 eigenvalues enable the span dispatches
+            # (fastest offline + live path; shared banks are detected from
+            # identical rows)
+            lam64=lam)
 
         self.positions = np.stack([np.asarray(i.position, np.float64)
                                    for i in instances])
