@@ -132,3 +132,34 @@ def test_transfer_ball_qnorm_weighting(tmp_path, synth_model_root):
     b = np.load(v_weighted)
     assert a.shape == b.shape
     assert not np.allclose(a / a.max(), b / b.max())
+
+
+def test_assemble_movie(tmp_path):
+    """Frame selection (numeric sort, head trim) + GIF assembly — the
+    remove_head_frames.py equivalent, driven end to end."""
+    from PIL import Image
+
+    from openpbso_tpu.apps.assemble_movie import (main, numeric_frame_sort,
+                                                  select_frames)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(12):
+        Image.new("RGB", (16, 16), (20 * i % 255, 0, 0)).save(
+            frames / f"test-{i}.png")
+    # numeric, not lexicographic: test-10 sorts after test-2
+    order = numeric_frame_sort([str(frames / "test-10.png"),
+                                str(frames / "test-2.png")])
+    assert [os.path.basename(p) for p in order] == ["test-2.png",
+                                                    "test-10.png"]
+    sel = select_frames(str(frames), "test-*.png", start_from=3, count=5)
+    assert [os.path.basename(p) for p in sel] == [
+        f"test-{i}.png" for i in range(3, 8)]
+    out = tmp_path / "movie.gif"
+    rc = main(["--frames", str(frames), "--pattern", "test-*.png",
+               "--start-from", "2", "--out", str(out)])
+    assert rc == 0 and out.exists()
+    with Image.open(out) as im:
+        assert im.n_frames == 10   # 12 frames, 2 trimmed
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_frames(str(frames), "test-*.png", start_from=99)
