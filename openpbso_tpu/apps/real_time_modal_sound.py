@@ -86,6 +86,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lookahead", type=int, default=1,
                    help="blocks synthesized per device dispatch (amortizes "
                         "dispatch latency at the cost of event latency)")
+    p.add_argument("--record", default=None, metavar="TIMELINE_JSON",
+                   help="record applied events and write a render_timeline"
+                        " JSON on exit (bake what you played)")
     p.add_argument("--smooth-transfer", action="store_true",
                    help="ramp the acoustic transfer across the block after "
                         "a listener move (removes the zipper step of "
@@ -258,7 +261,8 @@ def main(argv=None) -> int:
     from ..runtime.engine import StreamingEngine
 
     sink = WavFileSink(args.out, SAMPLE_RATE, normalize=True)
-    engine = StreamingEngine(sess, sink, lookahead=args.lookahead)
+    engine = StreamingEngine(sess, sink, lookahead=args.lookahead,
+                             record=args.record is not None)
 
     if args.interactive:
         engine.start()
@@ -277,6 +281,11 @@ def main(argv=None) -> int:
               f"p99 {st.p99_ms:.2f} ms vs deadline {st.deadline_ms:.2f} ms, "
               f"buffer health {engine.health.health:.2f}")
     print(f"wrote {args.out}")
+    if args.record:
+        import json as _json
+        with open(args.record, "w") as f:
+            _json.dump(engine.export_timeline(), f, indent=1)
+        print(f"recorded timeline -> {args.record}")
     return 0
 
 

@@ -128,12 +128,18 @@ class StreamingEngine:
         on_qnorm: Callable[[np.ndarray], None] | None = None,
         lookahead: int = 1,
         post_mix=None,
+        record: bool = False,
     ):
         """``lookahead`` > 1 synthesizes that many blocks per device
         dispatch (step_multi) — latency rises to lookahead * block/rate but
         per-dispatch overhead amortizes, which is the difference between
         underrun and headroom on high-RTT device links (e.g. a tunneled
         TPU). Events still apply between dispatches.
+
+        ``record=True`` keeps a host-side log of every applied event with
+        its sample time; ``export_timeline()`` turns it into the JSON
+        schema render_timeline bakes — "bake what you played" (the
+        reference has no way to reproduce an interactive session).
 
         ``post_mix(sound, mix) -> mix'`` replaces the session's plain gain
         mixdown per block (e.g. ops/hrtf.py::HRTFPostMix for binaural
@@ -159,6 +165,8 @@ class StreamingEngine:
         self._consume_thread: threading.Thread | None = None
         self._last_block: np.ndarray | None = None
         self._blocks_done = 0
+        self._record = record
+        self.recorded: list[tuple[int, object]] = []
         # failure detection: a dead synthesis pipeline must be observable,
         # not a silent stream of stale blocks (the reference's sim thread
         # can die invisibly; SURVEY section 5 'failure detection: none')
@@ -207,6 +215,44 @@ class StreamingEngine:
     def clear_forces(self, obj: int | None = None) -> None:
         self._events.put(ClearEvent(obj))
 
+    def export_timeline(self) -> dict:
+        """Recorded events -> the render_timeline JSON schema.
+
+        Hits and listener moves replay exactly (both are block-quantized
+        live, and bake() quantizes to the same blocks); sustained AR
+        contacts are stochastic per-sample state and are skipped with a
+        note. Requires record=True at construction."""
+        from ..config import SAMPLE_RATE
+        if not self._record:
+            raise ValueError("engine was not constructed with record=True")
+        events, listener, skipped = [], [], 0
+        for clock, ev in self.recorded:
+            t = clock / SAMPLE_RATE
+            if isinstance(ev, HitEvent):
+                events.append({"t": t, "obj": ev.obj,
+                               "space": np.asarray(ev.space,
+                                                   np.float64).tolist(),
+                               "kind": ev.kind, "width_us": ev.width_us,
+                               "amp": ev.amp})
+            elif isinstance(ev, TransferEvent):
+                pos = np.asarray(ev.listener, np.float64)
+                if pos.ndim == 1:
+                    listener.append({"t": t, "pos": pos.tolist()})
+                else:
+                    skipped += 1   # per-object listener rows have no
+                    #   single-keyframe representation in the schema
+            else:
+                skipped += 1       # sustained/AR/clear: stateful live-only
+        duration = (self._blocks_done * self.session.config.block_size
+                    / SAMPLE_RATE)
+        out = {"duration_s": duration, "events": events,
+               "smooth": self.session.config.smooth_transfer}
+        if listener:
+            out["listener"] = listener
+        if skipped:
+            out["skipped_events"] = skipped
+        return out
+
     def latest_qnorm(self) -> np.ndarray | None:
         try:
             return self._qnorm.get_nowait()
@@ -224,6 +270,8 @@ class StreamingEngine:
                 ev = self._events.get_nowait()
             except queue.Empty:
                 break
+            if self._record:
+                self.recorded.append((self.session.sample_clock, ev))
             if isinstance(ev, HitEvent):
                 self.session.hit(ev.obj, ev.space, kind=ev.kind,
                                  width_us=ev.width_us, amp=ev.amp)
@@ -238,6 +286,8 @@ class StreamingEngine:
                 self.session.clear_forces(ev.obj)
         tr = self._transfer.take()
         if tr is not None:
+            if self._record:
+                self.recorded.append((self.session.sample_clock, tr))
             self.session.set_listener(tr.listener)
             if self._post_mix is not None and \
                     hasattr(self._post_mix, "on_listener"):

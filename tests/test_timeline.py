@@ -93,3 +93,45 @@ def test_doppler_requires_listener():
     sess, _ = _session()
     with pytest.raises(ValueError, match="listener"):
         bake(sess, {"duration_s": 0.1, "doppler": True})
+
+
+def test_record_and_bake_reproduces_live_stream():
+    """'Bake what you played': a recorded live stream's exported timeline
+    re-renders to the SAME waveform (hits are block-quantized identically
+    live and baked)."""
+    import time
+
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    live, md = _session()
+    sink = RawCollectorSink()
+    engine = StreamingEngine(live, sink, record=True)
+    engine.start()
+    space = np.linspace(0.2, 1.0, md.num_modes)
+    engine.hit(0, space, kind="gaussian", width_us=400.0)
+    deadline = time.time() + 60   # generous: suite runs on one loaded core
+    while time.time() < deadline and engine._blocks_done < 6:
+        time.sleep(0.02)
+    engine.hit(1, -space)
+    # unpaced synthesis runs far faster than real time: wait until the
+    # second hit has actually been APPLIED (recorded), then a bit more
+    while time.time() < deadline and len(engine.recorded) < 2:
+        time.sleep(0.02)
+    target = engine._blocks_done + 5
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.stop()
+    timeline = engine.export_timeline()
+    assert len(timeline["events"]) == 2
+    live_audio = sink.concatenated()
+
+    fresh, _ = _session()
+    baked = bake(fresh, timeline)
+    n = min(live_audio.shape[0], baked.shape[0])
+    assert n >= 6 * S
+    # live renders per block, bake renders via the multi-block scan: the
+    # same math through two XLA programs — identical up to f32
+    # instruction-scheduling noise
+    np.testing.assert_allclose(baked[:n], live_audio[:n],
+                               rtol=0, atol=1e-9)
