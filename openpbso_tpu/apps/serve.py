@@ -37,6 +37,11 @@ def main(argv=None) -> int:
                    help="ramp the transfer across the block after listener "
                         "moves")
     p.add_argument("--demo-synth", action="store_true")
+    p.add_argument("--scene", default=None, metavar="SCENE_JSON",
+                   help="serve a multi-model scene: JSON with "
+                        "{'instances': [{'meta': path, 'position': [x,y,z],"
+                        " 'gain': g, 'pan': p}, ...], optional "
+                        "'listener_offsets' [[...]] or 'binaural': true}")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--one-shot", action="store_true",
                    help="serve a single connection then exit")
@@ -63,31 +68,79 @@ def main(argv=None) -> int:
     from .real_time_modal_sound import make_session
     from ..runtime.server import AudioServer
 
-    model, first_session = make_session(args)
-    first_session.step()  # compile the block step BEFORE accepting clients
-    sessions = [first_session]
+    if args.scene:
+        import json as _json
 
-    def make():
-        if sessions:
-            return sessions.pop()
-        _, sess = make_session(args)
-        return sess
-
-    def load_from_meta(meta_path):
-        # build a (model, session) pair from a server-side .meta descriptor
-        # for the load_model hot-swap command
-        import copy
+        import numpy as np
 
         from ..io.meta import read_meta
-        meta = read_meta(meta_path)
-        new_args = copy.copy(args)
-        new_args.data_dir = FILE_NOT_EXIST
-        new_args.mesh = meta.obj_file
-        new_args.surf_mode = meta.modes_file
-        new_args.material = meta.material_file
-        new_args.ffat_map = meta.ffat_dir
-        new_args.demo_synth = False
-        return make_session(new_args)
+        from ..models.modal_model import load_model
+        from ..models.scene import Scene, SceneInstance
+        with open(args.scene) as f:
+            desc = _json.load(f)
+
+        def build_scene():
+            cache = {}
+            insts = []
+            for inst in desc["instances"]:
+                meta = inst["meta"]
+                if meta not in cache:
+                    cache[meta] = load_model(read_meta(meta))
+                insts.append(SceneInstance(
+                    cache[meta],
+                    np.asarray(inst.get("position", (0.0, 0.0, 0.0)),
+                               np.float64),
+                    gain=float(inst.get("gain", 1.0)),
+                    pan=float(inst.get("pan", 0.0))))
+            sc = Scene(
+                insts, block_size=args.block, backend=args.backend,
+                binaural=bool(desc.get("binaural", False)),
+                listener_offsets=desc.get("listener_offsets"))
+            sc.set_listener(np.asarray(
+                [float(v) for v in args.listener.split(",")]))
+            return sc
+
+        first = build_scene()
+        print(f"scene: {len(first.logical_instances)} instances, "
+              f"{first.session.bank.num_objects} solver rows, "
+              f"{first.session.gains.shape[-1]} channels")
+        model = [i.model for i in first.instances]
+        first.session.step()
+        sessions = [first.session]
+
+        def make():
+            if sessions:
+                return sessions.pop()
+            return build_scene().session
+
+        load_from_meta = None
+    else:
+        model, first_session = make_session(args)
+        first_session.step()  # compile the step BEFORE accepting clients
+        sessions = [first_session]
+
+        def make():
+            if sessions:
+                return sessions.pop()
+            _, sess = make_session(args)
+            return sess
+
+        def load_from_meta(meta_path):
+            # build a (model, session) pair from a server-side .meta
+            # descriptor for the load_model hot-swap command (single-model
+            # servers only; scenes rebuild from their descriptor)
+            import copy
+
+            from ..io.meta import read_meta
+            meta = read_meta(meta_path)
+            new_args = copy.copy(args)
+            new_args.data_dir = FILE_NOT_EXIST
+            new_args.mesh = meta.obj_file
+            new_args.surf_mode = meta.modes_file
+            new_args.material = meta.material_file
+            new_args.ffat_map = meta.ffat_dir
+            new_args.demo_synth = False
+            return make_session(new_args)
 
     cls = AudioServer
     if args.web and args.multi_client:

@@ -146,6 +146,35 @@ class Scene:
                 gains[i] = (left, right)
         self._base_gains = gains
         self.session.gains = jnp.asarray(gains, dtype)
+        # default binaural ear offsets (set_listener's ear_axis updates)
+        ear = np.asarray((1.0, 0.0, 0.0)) * (self.ear_distance / 2)
+        self._ear_offsets = np.stack([-ear, ear])
+        # engine/server listener events go through the bare session; the
+        # installed frame maps their world positions into the scene's
+        # per-object relative coordinates (Scene's own set_listener calls
+        # set_listener_relative and bypasses it)
+        self.session.listener_frame = self._listener_frame
+
+    def _listener_frame(self, pos: np.ndarray) -> np.ndarray:
+        """World [3] listener -> the session's relative frame; positions
+        that already carry per-object (or per-listener) rows pass
+        through unchanged."""
+        pos = np.asarray(pos, np.float64)
+        if pos.ndim != 1:
+            return pos
+        return self._relative_rows(pos)
+
+    def _relative_rows(self, world_pos: np.ndarray) -> np.ndarray:
+        """One world position -> per-object relative rows ([O, 3], or
+        [L, O, 3] for shared-state multi-listener scenes)."""
+        if self.num_listeners > 1:
+            offsets = self._ear_offsets if self.binaural else self._offsets
+            if self.shared_state:
+                return ((world_pos[None, None, :] + offsets[:, None, :])
+                        - self.positions[None, :, :])
+            rows = np.arange(len(self.instances)) % self.num_listeners
+            return (world_pos[None, :] + offsets[rows]) - self.positions
+        return world_pos[None, :] - self.positions
 
     # ------------------------------------------------------------------ API
 
@@ -175,23 +204,12 @@ class Scene:
         ear_distance/2 along ``ear_axis``)."""
         import jax.numpy as jnp
         world_pos = np.asarray(world_pos, np.float64)
-        if self.num_listeners > 1:
-            if self.binaural:
-                ear = np.asarray(ear_axis, np.float64)
-                ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
-                offsets = np.stack([-ear, ear])
-            else:
-                offsets = self._offsets
-            if self.shared_state:
-                # [L, O, 3]: listener l's position relative to each object
-                rel = ((world_pos[None, None, :] + offsets[:, None, :])
-                       - self.positions[None, :, :])
-            else:
-                rows = np.arange(len(self.instances)) % self.num_listeners
-                rel = (world_pos[None, :] + offsets[rows]) - self.positions
-        else:
-            rel = world_pos[None, :] - self.positions  # [O, 3]
-        self.session.set_listener(rel)
+        if self.binaural:
+            ear = np.asarray(ear_axis, np.float64)
+            ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
+            self._ear_offsets = np.stack([-ear, ear])
+        rel = self._relative_rows(world_pos)
+        self.session.set_listener_relative(rel)
         if distance_attenuation:
             r = np.maximum(np.linalg.norm(rel, axis=-1), 1e-3)
             # replicated/single: r [O] -> per-row column; shared-state

@@ -128,7 +128,10 @@ class AudioServer:
                  qnorm_every: int = 0):
         """``make_session()`` -> a fresh ModalSession per connection;
         ``model`` (optional) enables vertex/face-addressed hits and the
-        scene/mode-shape viewer commands; ``session_loader(meta_path)`` ->
+        scene/mode-shape viewer commands — pass a LIST of per-object-row
+        models for multi-model scenes (models/scene.py: commands carrying
+        an ``obj`` index then address that row's mesh/modes);
+        ``session_loader(meta_path)`` ->
         (model, session) enables the ``load_model`` hot-swap command (off
         by default: it opens server-side files named by the client);
         ``qnorm_every`` > 0 streams per-mode energy telemetry (the
@@ -204,20 +207,30 @@ class AudioServer:
         finally:
             engine.stop()
 
+    def _model_for(self, obj: int):
+        """The mesh/modes model behind session object row ``obj``."""
+        if isinstance(self._model, (list, tuple)):
+            if not 0 <= obj < len(self._model):
+                raise IndexError(
+                    f"object {obj} out of range [0, {len(self._model)})")
+            return self._model[obj]
+        return self._model
+
     def _space_for(self, msg) -> np.ndarray:
         if "space" in msg:
             return np.asarray(msg["space"], np.float64)
-        if self._model is None:
+        model = self._model_for(int(msg.get("obj", 0)))
+        if model is None:
             raise ValueError("vertex/face-addressed commands need a model")
         if "face" in msg:
             return self._face_space(msg)
-        return self._model.modal_force_vertex(int(msg["vertex"]))
+        return model.modal_force_vertex(int(msg["vertex"]))
 
     def _face_space(self, msg) -> np.ndarray:
         """Barycentric face hit: the browser ray-pick flow
         (GetModalForceFace, real_time_modal_sound.cpp:236-266 — one shared
         face normal for all three corners)."""
-        m = self._model
+        m = self._model_for(int(msg.get("obj", 0)))
         f = int(msg["face"])
         if not 0 <= f < m.faces.shape[0]:
             raise IndexError(f"face {f} out of range [0, {m.faces.shape[0]})")
@@ -231,14 +244,15 @@ class AudioServer:
         n = n / norm if norm > 0 else m.normals[vids[0]]
         return m.modal_force_face(vids, bary, n)
 
-    def _scene_payload(self) -> dict:
+    def _scene_payload(self, msg=None) -> dict:
         """Mesh + metadata for the browser viewer (the reference renders
         the .tet.obj in its libigl viewport, real_time_modal_sound.cpp
         :508-509; a TPU deployment streams it to the client instead)."""
-        if self._model is None:
+        m = self._model_for(int(msg.get("obj", 0)) if msg else 0)
+        if m is None:
             raise ValueError("scene command needs a model")
-        m = self._model
         return {"scene": {
+            **({"obj": int(msg.get("obj", 0))} if msg else {}),
             "vertices": np.asarray(m.vertices, np.float32).ravel().tolist(),
             "faces": np.asarray(m.faces, np.int32).ravel().tolist(),
             "normals": np.asarray(m.normals, np.float32).ravel().tolist(),
@@ -250,9 +264,9 @@ class AudioServer:
         mode-shape animation viewer (ModalViewer::UpdateModeShape,
         real_time_modal_sound.cpp:133-148, 855-884: the client renders
         v + scale * U_mode * cos(omega t))."""
-        if self._model is None:
+        m = self._model_for(int(msg.get("obj", 0)))
+        if m is None:
             raise ValueError("mode_shape command needs a model")
-        m = self._model
         k = int(msg.get("mode", 0))
         if not 0 <= k < m.num_modes_audible:
             raise IndexError(
@@ -273,7 +287,10 @@ class AudioServer:
         if v is None:
             v, f = icosphere(subdivisions, 1.0)
             self._ball_mesh = (v, f)
-        if self._ball_transfer is None and engine.session.ffat is not None:
+        if self._ball_transfer is None and engine.session.ffat is not None \
+                and not isinstance(self._model, (list, tuple)):
+            # multi-model scenes have per-object FFATs; the single-ball
+            # HUD is a one-model visualization (colors stay absent)
             import jax.numpy as jnp
 
             from ..ops.ffat import compute_transfer
@@ -326,7 +343,7 @@ class AudioServer:
             elif cmd == "release":
                 engine.sustained_end(int(msg.get("obj", 0)))
             elif cmd == "scene":
-                sink.send_json(self._scene_payload())
+                sink.send_json(self._scene_payload(msg))
             elif cmd == "mode_shape":
                 sink.send_json(self._mode_shape_payload(msg))
             elif cmd == "ball":

@@ -138,6 +138,11 @@ class ModalSession:
         # transfer row before the latest listener move, pending an
         # interpolated block (smooth_transfer)
         self._xfade_from = None
+        # optional world->session coordinate transform applied to every
+        # incoming listener position (Scene installs one so engine/server
+        # listener events are scene-correct: the session's native frame is
+        # per-object relative, the world has object positions)
+        self.listener_frame = None
 
     # ------------------------------------------------------------------ events
 
@@ -279,8 +284,19 @@ class ModalSession:
 
         ``pos``: [3] world position (shared) or [O, 3] per object. Equivalent
         to computeTransfer + the capacity-1 latest-wins trans queue
-        (modal_solver.h:286-300: per mode |GetMapVal|).
+        (modal_solver.h:286-300: per mode |GetMapVal|). A session-level
+        ``listener_frame`` transform (installed by Scene) maps world
+        positions into the session's per-object relative frame first;
+        callers that already have relative positions (Scene internals)
+        use :meth:`set_listener_relative`.
         """
+        if self.listener_frame is not None:
+            pos = self.listener_frame(np.asarray(pos, np.float64))
+        self.set_listener_relative(pos)
+
+    def set_listener_relative(self, pos: np.ndarray) -> None:
+        """set_listener in the session's native (per-object relative)
+        frame, bypassing any installed ``listener_frame``."""
         self._last_listener = np.asarray(pos, np.float64)
         if self.ffat is None or not self.use_transfer:
             return
@@ -322,8 +338,9 @@ class ModalSession:
         elif self._last_listener is not None:
             # re-enable must take effect immediately (the reference's toggle
             # just resumes consuming computeTransfer results; here we
-            # recompute from the remembered listener position)
-            self.set_listener(self._last_listener)
+            # recompute from the remembered position, which is already in
+            # the session's relative frame)
+            self.set_listener_relative(self._last_listener)
 
     # ------------------------------------------------------------------ audio
 

@@ -376,3 +376,79 @@ def test_broadcast_restart_keeps_swapped_model(synth_model_root):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_scene_serving_per_object_models(tmp_path):
+    """Multi-model scene over the wire: vertex hits and viewer commands
+    carrying an obj index address THAT row's mesh/modes (models/scene.py
+    serving; the reference serves exactly one model per process)."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    ra, rb = tmp_path / "a", tmp_path / "b"
+    synth_model_dir(str(ra), "a", num_modes=10, subdivisions=1, ffat_n=8,
+                    seed=21)
+    synth_model_dir(str(rb), "b", num_modes=14, subdivisions=1, ffat_n=8,
+                    seed=22)
+    ma = load_model(resolve_model_dir(str(ra), "a"))
+    mb = load_model(resolve_model_dir(str(rb), "b"))
+
+    def make_session():
+        sc = Scene([SceneInstance(ma, np.zeros(3)),
+                    SceneInstance(mb, np.asarray([1.0, 0.0, 0.0]))],
+                   block_size=BLOCK, backend="blocked",
+                   dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.6, 0.4, 0.2]))
+        sc.session.step()
+        return sc.session
+
+    models = [ma, mb]
+    srv = AudioServer(make_session, model=models)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        # vertex hit on object 1 resolves with model B's modes
+        c.send(cmd="hit", obj=1, vertex=3, kind="gaussian", width_us=800.0)
+        peak = 0.0
+        for _ in range(200):
+            peak = max(peak, float(np.abs(c.read_block()).max()))
+            if peak > 0:
+                break
+        assert peak > 0.0
+        # per-object mode_shape: B has 14 modes, A has 10
+        c.messages.clear()
+        c.send(cmd="mode_shape", obj=1, mode=12)   # valid only for B
+        for _ in range(200):
+            c.read_block()
+            if c.messages:
+                break
+        assert "mode_shape" in c.messages[-1], c.messages
+        c.messages.clear()
+        c.send(cmd="mode_shape", obj=0, mode=12)   # out of range for A
+        for _ in range(200):
+            c.read_block()
+            if c.messages:
+                break
+        assert "error" in c.messages[-1]
+        # per-object scene meshes differ in vertex count only if models
+        # differ; here both are icospheres — check the obj echo instead
+        c.messages.clear()
+        c.send(cmd="scene", obj=1)
+        for _ in range(200):
+            c.read_block()
+            if c.messages:
+                break
+        assert c.messages[-1]["scene"]["obj"] == 1
+        # world listener moves go through the scene's frame (installed by
+        # Scene): no error, stream alive
+        c.send(cmd="listener", pos=[0.2, 0.8, 0.1])
+        assert c.read_block().shape == (BLOCK, 2)
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
