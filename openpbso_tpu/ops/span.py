@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coeffs import ModalBank, _power_table, round_up
-from .integrator import PRECISION, _causal_conv
+from .integrator import PRECISION
 
 
 @jax.tree_util.register_dataclass
@@ -238,6 +238,17 @@ def _contract_xr(w: jax.Array, tbl: jax.Array) -> jax.Array:
     return jnp.einsum("oxm,orm->oxr", w, tbl, precision=PRECISION)
 
 
+def _slot_conv_fft(g: jax.Array, f_k: jax.Array, n: int,
+                   dtype) -> jax.Array:
+    """sum_k causal_conv(g[:, k], f_k[:, k]) via one padded FFT triple
+    (conv is linear, so the slot sum happens in the frequency domain).
+    Shared by the factored and full span forms."""
+    nf = 2 * n
+    conv_f = jnp.sum(jnp.fft.rfft(g, n=nf, axis=-1)
+                     * jnp.fft.rfft(f_k, n=nf, axis=-1), axis=1)
+    return jnp.fft.irfft(conv_f, n=nf, axis=-1)[..., :n].astype(dtype)
+
+
 def _contract_xm(f: jax.Array, tbl: jax.Array) -> jax.Array:
     """sum_r f[o,x,r] tbl[og,r,m] -> [o,x,m]; one giant matmul when shared."""
     if tbl.shape[0] == 1:
@@ -307,11 +318,7 @@ def integrate_span(
     g = (_contract_xr(wg_re, b_im[:, :r])
          + _contract_xr(wg_im, b_re[:, :r])).reshape(o, k, n)
 
-    # causal conv summed over slots in the frequency domain (linear)
-    nf = 2 * n
-    conv_f = jnp.sum(jnp.fft.rfft(g, n=nf, axis=-1)
-                     * jnp.fft.rfft(f_k, n=nf, axis=-1), axis=1)
-    sound = hom + jnp.fft.irfft(conv_f, n=nf, axis=-1)[..., :n].astype(dtype)
+    sound = hom + _slot_conv_fft(g, f_k, n, dtype)
 
     # state injection per slot: F_k,m = sum_d lam^d f_k_rev[d], d = x*R + rr
     f_rev = f_k[:, :, ::-1].reshape(o, k * x, r)
@@ -449,10 +456,7 @@ def _integrate_span_full(z_re, z_im, bank, tables: FullSpanTables,
     tb_im = (tmask[:, None, :] * be_im).reshape(o * k, m)
     g = (mm(tb_re, p_im[:, :n]) + mm(tb_im, p_re[:, :n])).reshape(o, k, n)
 
-    nf = 2 * n
-    conv_f = jnp.sum(jnp.fft.rfft(g, n=nf, axis=-1)
-                     * jnp.fft.rfft(f_k, n=nf, axis=-1), axis=1)
-    sound = hom + jnp.fft.irfft(conv_f, n=nf, axis=-1)[..., :n].astype(dtype)
+    sound = hom + _slot_conv_fft(g, f_k, n, dtype)
 
     # state injection: F_k,m = sum_d P_d f_k_rev[d]
     f_rev = f_k[:, :, ::-1].reshape(o * k, n)

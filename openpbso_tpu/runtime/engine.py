@@ -167,6 +167,10 @@ class StreamingEngine:
         self._blocks_done = 0
         self._record = record
         self.recorded: list[tuple[int, object]] = []
+        # next _blocks_done at which to compute qnorm: a modulo test
+        # starves with lookahead > 1 (blocks advance by lookahead, so e.g.
+        # lookahead 4 / every 8 lands on 1+4k, never divisible by 8)
+        self._next_qnorm = 0
         # failure detection: a dead synthesis pipeline must be observable,
         # not a silent stream of stale blocks (the reference's sim thread
         # can die invisibly; SURVEY section 5 'failure detection: none')
@@ -299,7 +303,9 @@ class StreamingEngine:
     def _synth_once(self) -> list[np.ndarray]:
         """One synthesis dispatch -> list of host audio blocks."""
         want_qnorm = (self._qnorm_every > 0
-                      and self._blocks_done % self._qnorm_every == 0)
+                      and self._blocks_done >= self._next_qnorm)
+        if want_qnorm:
+            self._next_qnorm = self._blocks_done + self._qnorm_every
         use_span = (self._post_mix is None and self.session.span_eligible()
                     and self.session._xfade_from is None)
         if self.lookahead == 1 or want_qnorm:

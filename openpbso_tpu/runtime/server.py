@@ -192,6 +192,11 @@ class AudioServer:
                     chunk = conn.recv(4096)
                 except socket.timeout:
                     continue
+                except OSError:
+                    # client reset/abort: end THIS connection only — if it
+                    # propagated, serve_forever's OSError clause (meant for
+                    # the closed LISTENING socket) would kill the server
+                    break
                 if not chunk:
                     break
                 buf += chunk

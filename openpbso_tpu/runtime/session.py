@@ -396,18 +396,31 @@ class ModalSession:
         self._maybe_rebase()
         if self._xfade_from is not None:
             prev, self._xfade_from = self._xfade_from, None
-            self.state, sound, mix, qnorm = step_block_xfade(
-                self.state, self.bank, self.gains, prev,
-                block_size=self.config.block_size,
-                backend=self.config.backend,
-                compute_qnorm=self.config.compute_qnorm,
-                with_sustained=self._with_sustained(),
-                num_slots=self._slot_bucket())
-            self._clock += self.config.block_size
-            return sound, mix, qnorm
+            return self._step_xfade(prev)
         if self._idle() and self.decay_eligible():
             return self._step_decay()
         return self._step_full()
+
+    def _step_xfade(self, prev, with_sustained: bool | None = None,
+                    num_slots: int | None | str = "auto"):
+        """Dispatch the transfer-ramp block (see step()); warmup passes
+        explicit variant flags so every reachable (sustained, slot-bucket)
+        xfade executable compiles up front — a listener move during a
+        sustained drag or a multi-hit burst must not hit a cold compile
+        mid-stream."""
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        if num_slots == "auto":
+            num_slots = self._slot_bucket()
+        self.state, sound, mix, qnorm = step_block_xfade(
+            self.state, self.bank, self.gains, prev,
+            block_size=self.config.block_size,
+            backend=self.config.backend,
+            compute_qnorm=self.config.compute_qnorm,
+            with_sustained=with_sustained,
+            num_slots=num_slots)
+        self._clock += self.config.block_size
+        return sound, mix, qnorm
 
     def _with_sustained(self) -> bool:
         """Static sustained flag from the host mirror: when every channel
@@ -475,18 +488,38 @@ class ModalSession:
         per-block scan)."""
         return self._lam64 is not None and not self._sus_active.any()
 
+    # force_span materializes [O, K, N]-shaped intermediates (per-slot
+    # profiles, membership, f_k): cap K*N*O so a full 16-slot table on a
+    # long offline span cannot transiently demand many GB of HBM (e.g.
+    # 256 obj x 16 slots x 512-block span = 4.3 GB for f_k alone). Spans
+    # above the cap fall back to the step_multi scan for that dispatch —
+    # only reachable offline (live lookahead spans are far below it).
+    SPAN_FORCE_BUDGET = 1 << 28
+
     def _step_span(self, n_blocks: int, num_slots: int | None | str = "auto",
                    idle: bool | None = None):
         """Advance n_blocks via one span dispatch; returns device mix
         [n_blocks*S, C] (not host-synced). Caller checked span_eligible.
         ``num_slots``/``idle`` override the host gating (warmup)."""
-        from .solver import decay_span_step, step_span
+        from .solver import decay_span_step, step_multi, step_span
         # the engine dispatches spans directly (without step()/render_multi
         # wrappers), so the int32 clock-wrap rebase must live here too
         self._maybe_rebase()
-        tables = self.span_tables_for(n_blocks)
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path
+        k_eff = self._slot_bucket() if num_slots == "auto" else num_slots
+        k = (self.state.slots.num_slots if k_eff is None else int(k_eff))
+        if (not idle and k * n_blocks * self.config.block_size
+                * self.bank.num_objects > self.SPAN_FORCE_BUDGET):
+            self.state, mix = step_multi(
+                self.state, self.bank, self.gains, n_blocks=n_blocks,
+                block_size=self.config.block_size,
+                backend=self.config.backend,
+                with_sustained=self._with_sustained(),
+                num_slots=k_eff)
+            self._clock += n_blocks * self.config.block_size
+            return mix
+        tables = self.span_tables_for(n_blocks)
         if idle:
             self.state, mix = decay_span_step(
                 self.state, self.bank, tables, self.gains,
@@ -560,14 +593,15 @@ class ModalSession:
                             and b is buckets[0]:
                         np.asarray(post_mix(sound, mix))
                     np.asarray(mix)  # the sync that forces the compile
-                if self.config.smooth_transfer and self.ffat is not None:
-                    # a mid-stream listener move dispatches the
-                    # transfer-ramping variant (ramp from the current row
-                    # to itself compiles it without changing the output)
-                    self._xfade_from = self.state.transfer
-                    _, mix, _ = self.step()
-                    np.asarray(mix)
-                    self._xfade_from = None
+                    if self.config.smooth_transfer and self.ffat is not None:
+                        # a mid-stream listener move can dispatch the
+                        # transfer-ramp step under ANY (sustained, bucket)
+                        # variant; ramping from the current row to itself
+                        # compiles each without changing the output
+                        _, mix, _ = self._step_xfade(self.state.transfer,
+                                                     with_sustained=ws,
+                                                     num_slots=b)
+                        np.asarray(mix)
                 if self.decay_eligible():
                     _, mix, _ = self._step_decay()
                     np.asarray(mix)

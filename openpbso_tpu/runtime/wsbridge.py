@@ -247,8 +247,8 @@ class WebSocketAudioServer(AudioServer):
                     opcode, payload = reader.read_frame()
                 except socket.timeout:
                     continue
-                except ConnectionError:
-                    break
+                except (ConnectionError, OSError):
+                    break   # client reset must end this connection only
                 if opcode == OP_CLOSE:
                     break
                 if opcode == OP_PING:
@@ -505,10 +505,11 @@ $('start').onclick=async()=>{
 // ---- listener follows the orbit camera ----
 let listenerTimer=null;
 function sendListener(){
-  const c=camera(1,1);
   if(listenerTimer)return;
+  // trailing-edge debounce: capture the camera INSIDE the timeout so the
+  // final resting position of an orbit is what actually gets sent
   listenerTimer=setTimeout(()=>{listenerTimer=null;
-    send({cmd:'listener',pos:c.eye});},100);
+    send({cmd:'listener',pos:camera(1,1).eye});},100);
 }
 // ---- mouse: orbit / pick / sustained drag ----
 const view=$('view');

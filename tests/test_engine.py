@@ -235,3 +235,34 @@ def test_lookahead1_span_live_path():
     engine2.sustained_end(0)
     engine2.stop()
     assert engine2.error is None
+
+
+def test_qnorm_cadence_with_even_lookahead():
+    """Regression: a modulo-based qnorm schedule starves with lookahead>1
+    (blocks advance by lookahead, landing off the modulo grid forever);
+    the threshold schedule must keep telemetry flowing."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+
+    md = synth_mode_data(16, 8)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=1, block_size=128,
+                              dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"),
+                        lam64=lam64)
+    got = []
+    engine = StreamingEngine(sess, RawCollectorSink(), lookahead=4,
+                             qnorm_every=8, on_qnorm=None)
+    engine.start()
+    engine.hit(0, np.ones(16))
+    deadline = time.time() + 30
+    while time.time() < deadline and len(got) < 3:
+        q = engine.latest_qnorm()
+        if q is not None:
+            got.append(q)
+        time.sleep(0.01)
+    engine.stop()
+    assert len(got) >= 3, f"qnorm telemetry starved: {len(got)} values"

@@ -452,3 +452,42 @@ def test_scene_serving_per_object_models(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_client_reset_does_not_kill_listener():
+    """Regression: a hard TCP reset from one client raised
+    ConnectionResetError out of _handle into serve_forever's OSError
+    clause (meant for the closed LISTENING socket), shutting the whole
+    server down."""
+    import socket as _socket
+
+    md = synth_mode_data(12, 8)
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"))
+        sess.step()
+        return sess
+
+    srv = AudioServer(make_session)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = AudioClient(*srv.address)
+        a.read_block()
+        # force an RST (SO_LINGER 0) instead of a clean FIN
+        a._conn.setsockopt(_socket.SOL_SOCKET, _socket.SO_LINGER,
+                           __import__("struct").pack("ii", 1, 0))
+        a._conn.close()
+        time.sleep(0.5)
+        # the listener must still accept a fresh client
+        b = AudioClient(*srv.address, timeout=60)
+        assert b.read_block().shape == (BLOCK, 2)
+        b.send(cmd="quit")
+        b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
