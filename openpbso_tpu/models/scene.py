@@ -42,6 +42,7 @@ class Scene:
                  ear_distance: float = 0.18,
                  listener_offsets: np.ndarray | None = None,
                  shared_state: bool = True,
+                 mesh=None,
                  dtype=None):
         """``binaural`` renders each logical object to two output channels
         (left/right ear) with independent FFAT lookups per ear — true
@@ -61,7 +62,12 @@ class Scene:
         ``shared_state=False`` keeps the round-1 layout (each logical
         object replicated into L solver rows), which also replicates the
         state, force, and table work L-fold; identical output, kept for
-        the SPMD object-axis sharding path which shards solver rows."""
+        the SPMD object-axis sharding path which shards solver rows.
+
+        ``mesh``: a jax.sharding.Mesh ('obj', 'mode') makes the scene
+        multi-chip — the session becomes a ShardedSession
+        (parallel/session.py) with the same event/render API; the object
+        count must divide the mesh's obj axis."""
         import jax.numpy as jnp
 
         from ..ops.coeffs import build_modal_bank, lambda_from_modes
@@ -118,8 +124,8 @@ class Scene:
                 ffat = build_ffat_hetero(
                     [inst.model.ffat_maps for inst in instances],
                     self.bank.num_modes, dtype=dtype)
-        self.session = ModalSession(
-            self.bank, ffat=ffat,
+        session_kw = dict(
+            ffat=ffat,
             config=SolverConfig(block_size=block_size, backend=backend),
             num_slots=num_slots, dtype=dtype,
             num_listeners=(self.num_listeners if self.shared_state else 1),
@@ -127,6 +133,11 @@ class Scene:
             # (fastest offline + live path; shared banks are detected from
             # identical rows)
             lam64=lam)
+        if mesh is not None:
+            from ..parallel.session import ShardedSession
+            self.session = ShardedSession(self.bank, mesh, **session_kw)
+        else:
+            self.session = ModalSession(self.bank, **session_kw)
 
         self.positions = np.stack([np.asarray(i.position, np.float64)
                                    for i in instances])

@@ -211,3 +211,36 @@ def test_sharded_multi_listener_parity(mesh_shape, dberr):
     got2 = sh.render_multi(40, blocks_per_dispatch=8)
     want2 = ref.render_multi(40, blocks_per_dispatch=8)
     assert dberr(got2, want2) <= -100.0
+
+
+def test_scene_on_mesh(dberr):
+    """Scene(mesh=...) is a multi-chip scene: same construction surface,
+    ShardedSession underneath, parity with the single-device scene."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="scene_mesh_")
+    synth_model_dir(root, "m", num_modes=12, subdivisions=1, ffat_n=8,
+                    seed=41)
+    mdl = load_model(resolve_model_dir(root, "m"))
+    insts = [SceneInstance(mdl, np.asarray([0.3 * i, 0.0, 0.0]))
+             for i in range(4)]
+
+    def build(mesh):
+        sc = Scene(list(insts), block_size=S, backend="blocked",
+                   mesh=mesh, dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.7, 0.5, 0.3]))
+        sc.hit(0, 3, kind="gaussian", width_us=600.0)
+        sc.hit(2, 5)
+        return sc
+
+    sharded = build(make_mesh(4, 2))
+    single = build(None)
+    from openpbso_tpu.parallel.session import ShardedSession
+    assert isinstance(sharded.session, ShardedSession)
+    got = sharded.render_multi(10, blocks_per_dispatch=5)
+    want = single.render_multi(10, blocks_per_dispatch=5)
+    assert dberr(got, want) <= -100.0
