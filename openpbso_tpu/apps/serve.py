@@ -105,6 +105,7 @@ def main(argv=None) -> int:
               f"{first.session.bank.num_objects} solver rows, "
               f"{first.session.gains.shape[-1]} channels")
         model = [i.model for i in first.instances]
+        positions = [list(map(float, i.position)) for i in first.instances]
         first.session.step()
         sessions = [first.session]
 
@@ -115,6 +116,7 @@ def main(argv=None) -> int:
 
         load_from_meta = None
     else:
+        positions = None
         model, first_session = make_session(args)
         first_session.step()  # compile the step BEFORE accepting clients
         sessions = [first_session]
@@ -157,7 +159,7 @@ def main(argv=None) -> int:
         qnorm_every = 8 if args.web else 0
     srv = cls(make, model=model, host=args.host, port=args.port,
               lookahead=args.lookahead, session_loader=load_from_meta,
-              qnorm_every=qnorm_every)
+              qnorm_every=qnorm_every, positions=positions)
     kind = "http/websocket" if args.web else "pbso protocol"
     print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)

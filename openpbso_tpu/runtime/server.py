@@ -125,7 +125,7 @@ class AudioServer:
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
-                 qnorm_every: int = 0):
+                 qnorm_every: int = 0, positions=None):
         """``make_session()`` -> a fresh ModalSession per connection;
         ``model`` (optional) enables vertex/face-addressed hits and the
         scene/mode-shape viewer commands — pass a LIST of per-object-row
@@ -138,6 +138,9 @@ class AudioServer:
         transfer-ball HUD feed) every that many blocks."""
         self._make_session = make_session
         self._model = model
+        # per-object-row world positions (scene serving): lets the browser
+        # draw each object where it stands
+        self._positions = positions
         self._session_loader = session_loader
         self._lookahead = lookahead
         self._qnorm_every = qnorm_every
@@ -256,8 +259,13 @@ class AudioServer:
         m = self._model_for(int(msg.get("obj", 0)) if msg else 0)
         if m is None:
             raise ValueError("scene command needs a model")
+        obj = int(msg.get("obj", 0)) if msg else 0
+        pos = (list(np.asarray(self._positions[obj], np.float64))
+               if self._positions is not None and obj < len(self._positions)
+               else [0.0, 0.0, 0.0])
         return {"scene": {
-            **({"obj": int(msg.get("obj", 0))} if msg else {}),
+            "obj": obj,
+            "position": pos,
             "vertices": np.asarray(m.vertices, np.float32).ravel().tolist(),
             "faces": np.asarray(m.faces, np.int32).ravel().tolist(),
             "normals": np.asarray(m.normals, np.float32).ravel().tolist(),
@@ -280,6 +288,7 @@ class AudioServer:
         freq = float(np.sqrt(m.modes.omega_squared[k]
                              / m.material.density) / (2 * np.pi))
         return {"mode_shape": {"mode": k, "freq_hz": freq,
+                               "obj": int(msg.get("obj", 0)),
                                "disp": disp.ravel().tolist()}}
 
     def _ball_payload(self, engine, subdivisions: int = 2) -> dict:
@@ -552,14 +561,15 @@ class BroadcastAudioServer(AudioServer):
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, client_queue_depth: int = 8,
-                 pace_lead: float | None = 0.3, max_restarts: int = 3):
+                 pace_lead: float | None = 0.3, max_restarts: int = 3,
+                 positions=None):
         """``max_restarts``: consecutive engine-rebuild attempts after a
         synthesis failure before the server gives up (a successful rebuild
         resets the count) — elastic recovery the reference lacks entirely
         (its sim thread dies invisibly, SURVEY section 5)."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
-                         qnorm_every=qnorm_every)
+                         qnorm_every=qnorm_every, positions=positions)
         self._client_depth = client_queue_depth
         self._fanout = _FanoutSink(pace_lead=pace_lead)
         self._engine = None

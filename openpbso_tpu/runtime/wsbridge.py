@@ -229,7 +229,8 @@ class WebSocketAudioServer(AudioServer):
                         "sample_rate": SAMPLE_RATE,
                         "channels": int(session.gains.shape[-1]),
                         "block_size": session.config.block_size,
-                        "modes": int(session.bank.num_modes)})
+                        "modes": int(session.bank.num_modes),
+                        "objects": int(session.bank.num_objects)})
         engine = StreamingEngine(session, sink, lookahead=self._lookahead,
                                  qnorm_every=self._qnorm_every)
         engine.start()
@@ -324,7 +325,7 @@ DEMO_PAGE = """<!doctype html>
 <script>
 'use strict';
 let ws=null,actx=null,info=null,t=0;
-let scene=null,ball=null,ballColors=null,modeShape=null;
+let scenes=[],ball=null,ballColors=null,modeShape=null;
 let yaw=0.9,pitch=0.4,dist=3.2,center=[0,0,0],radius=1;
 let forceKind='gaussian',lastHit=null,dragging=false,orbiting=false;
 const S={blocks:0,peak:0,connected:false,lastPick:null,health:1};
@@ -370,22 +371,25 @@ function pixelRay(c,x,y){
 // ---- Moller-Trumbore ray pick: face + barycentric (the browser side of
 // igl::unproject_onto_mesh, real_time_modal_sound.cpp:162-185) ----
 function pick(x,y){
-  if(!scene)return null;
+  if(!scenes.length)return null;
   const c=camera($('view').width,$('view').height);
   const r=pixelRay(c,x,y);
   let best=null;
-  for(let f=0;f<scene.nf;f++){
-    const i0=scene.f[3*f],i1=scene.f[3*f+1],i2=scene.f[3*f+2];
-    const v0=scene.vert(i0),e1=sub(scene.vert(i1),v0),
-          e2=sub(scene.vert(i2),v0);
-    const pv=cross(r.d,e2),det=dot(e1,pv);
-    if(Math.abs(det)<1e-12)continue;
-    const inv=1/det,tv=sub(r.o,v0);
-    const u=dot(tv,pv)*inv;if(u<0||u>1)continue;
-    const qv=cross(tv,e1);
-    const v=dot(r.d,qv)*inv;if(v<0||u+v>1)continue;
-    const tt=dot(e2,qv)*inv;
-    if(tt>1e-6&&(!best||tt<best.t))best={t:tt,face:f,bary:[1-u-v,u,v]};
+  for(const sc of scenes){
+    if(!sc)continue;
+    for(let f=0;f<sc.nf;f++){
+      const v0=sc.wvert(sc.f[3*f]),e1=sub(sc.wvert(sc.f[3*f+1]),v0),
+            e2=sub(sc.wvert(sc.f[3*f+2]),v0);
+      const pv=cross(r.d,e2),det=dot(e1,pv);
+      if(Math.abs(det)<1e-12)continue;
+      const inv=1/det,tv=sub(r.o,v0);
+      const u=dot(tv,pv)*inv;if(u<0||u>1)continue;
+      const qv=cross(tv,e1);
+      const v=dot(r.d,qv)*inv;if(v<0||u+v>1)continue;
+      const tt=dot(e2,qv)*inv;
+      if(tt>1e-6&&(!best||tt<best.t))
+        best={t:tt,obj:sc.obj,face:f,bary:[1-u-v,u,v]};
+    }
   }
   return best;
 }
@@ -393,21 +397,26 @@ window.pick=pick;
 // ---- render loop ----
 function shade(base,d){const k=0.35+0.65*Math.max(0,d);
   return `rgb(${base[0]*k|0},${base[1]*k|0},${base[2]*k|0})`}
-function drawMesh(cv,vertFn,faces,nf,base,colors){
+function drawMeshes(cv,items){
+  // items: [{vertFn, faces, nf, base, colors?}] — all objects of the
+  // scene depth-sort into ONE triangle list so they occlude each other
   const g=cv.getContext('2d');
   g.clearRect(0,0,cv.width,cv.height);
-  if(!faces)return;
   const c=camera(cv.width,cv.height);
   const light=norm([0.4,0.8,0.5]);
   const tris=[];
-  for(let f=0;f<nf;f++){
-    const p=[vertFn(faces[3*f]),vertFn(faces[3*f+1]),vertFn(faces[3*f+2])];
-    const s=[project(c,p[0]),project(c,p[1]),project(c,p[2])];
-    if(!s[0]||!s[1]||!s[2])continue;
-    const n=norm(cross(sub(p[1],p[0]),sub(p[2],p[0])));
-    if(dot(n,sub(c.eye,p[0]))<0)continue;   // backface
-    tris.push({z:(s[0][2]+s[1][2]+s[2][2])/3,s,
-               col:colors?colors(f):shade(base,dot(n,light))});
+  for(const it of items){
+    if(!it||!it.faces)continue;
+    for(let f=0;f<it.nf;f++){
+      const p=[it.vertFn(it.faces[3*f]),it.vertFn(it.faces[3*f+1]),
+               it.vertFn(it.faces[3*f+2])];
+      const s=[project(c,p[0]),project(c,p[1]),project(c,p[2])];
+      if(!s[0]||!s[1]||!s[2])continue;
+      const n=norm(cross(sub(p[1],p[0]),sub(p[2],p[0])));
+      if(dot(n,sub(c.eye,p[0]))<0)continue;   // backface
+      tris.push({z:(s[0][2]+s[1][2]+s[2][2])/3,s,
+                 col:it.colors?it.colors(f):shade(it.base,dot(n,light))});
+    }
   }
   tris.sort((a,b)=>b.z-a.z);
   for(const tr of tris){
@@ -416,19 +425,26 @@ function drawMesh(cv,vertFn,faces,nf,base,colors){
     g.closePath();g.fillStyle=tr.col;g.fill();
     g.strokeStyle='rgba(0,0,0,0.25)';g.stroke();}
 }
+const PALETTE=[[92,140,230],[230,140,92],[120,200,140],[200,120,200],
+               [220,200,90],[90,200,210]];
 function frame(ts){
-  if(scene){
-    let vf=i=>scene.vert(i);
+  if(scenes.length){
     const k=parseInt($('mode').value);
-    if(modeShape&&modeShape.mode===k&&k>=0){
-      const sc=$('mscale').value/100*radius*0.5;
-      const ph=Math.cos(2*Math.PI*1.5*ts/1000);  // slowed visual rate
-      vf=i=>{const v=scene.vert(i);
-        return [v[0]+sc*ph*modeShape.disp[3*i],
-                v[1]+sc*ph*modeShape.disp[3*i+1],
-                v[2]+sc*ph*modeShape.disp[3*i+2]]}
-    }
-    drawMesh($('view'),vf,scene.f,scene.nf,[92,140,230]);
+    const items=scenes.filter(Boolean).map(sc=>{
+      let vf=i=>sc.wvert(i);
+      if(modeShape&&modeShape.mode===k&&k>=0
+         &&(modeShape.obj||0)===sc.obj){
+        const s=$('mscale').value/100*radius*0.5;
+        const ph=Math.cos(2*Math.PI*1.5*ts/1000);  // slowed visual rate
+        vf=i=>{const v=sc.wvert(i);
+          return [v[0]+s*ph*modeShape.disp[3*i],
+                  v[1]+s*ph*modeShape.disp[3*i+1],
+                  v[2]+s*ph*modeShape.disp[3*i+2]]}
+      }
+      return {vertFn:vf,faces:sc.f,nf:sc.nf,
+              base:PALETTE[sc.obj%PALETTE.length]};
+    });
+    drawMeshes($('view'),items);
   }
   if(ball){
     const bc=$('ball');
@@ -443,7 +459,8 @@ function frame(ts){
     }
     // the HUD ball orbits with the same camera (viewport 2 of the
     // reference's 3-viewport layout)
-    drawMesh(bc,i=>ball.vert(i),ball.f,ball.nf,[150,150,160],colors);
+    drawMeshes(bc,[{vertFn:i=>ball.vert(i),faces:ball.f,nf:ball.nf,
+                    base:[150,150,160],colors}]);
   }
   requestAnimationFrame(frame);
 }
@@ -473,18 +490,26 @@ $('start').onclick=async()=>{
     if(typeof ev.data==='string'){
       const m=JSON.parse(ev.data);
       if(m.hello){info=m;S.connected=true;log('connected: '+ev.data);
-        send({cmd:'scene'});send({cmd:'ball'});
+        const no=Math.min(m.objects||1,24);   // draw at most 24 objects
+        for(let k=0;k<no;k++)send({cmd:'scene',obj:k});
+        send({cmd:'ball'});
         setInterval(()=>send({cmd:'stats'}),2000);}
       else if(m.scene){
-        scene=wrapMesh(m.scene);scene.modes=m.scene.modes_audible;
+        const sc=wrapMesh(m.scene);
+        sc.obj=m.scene.obj||0;sc.modes=m.scene.modes_audible;
+        sc.pos=m.scene.position||[0,0,0];
+        sc.wvert=i=>add(sc.vert(i),sc.pos);   // world-space vertex
+        scenes[sc.obj]=sc;
         let lo=[1e9,1e9,1e9],hi=[-1e9,-1e9,-1e9];
-        for(let i=0;i<scene.v.length/3;i++){const p=scene.vert(i);
-          for(let a=0;a<3;a++){lo[a]=Math.min(lo[a],p[a]);
-            hi[a]=Math.max(hi[a],p[a]);}}
+        for(const s2 of scenes){if(!s2)continue;
+          for(let i=0;i<s2.v.length/3;i++){const p=s2.wvert(i);
+            for(let a=0;a<3;a++){lo[a]=Math.min(lo[a],p[a]);
+              hi[a]=Math.max(hi[a],p[a]);}}}
         center=mul(add(lo,hi),0.5);
         radius=Math.hypot(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2])/2||1;
-        S.scene=true;log(`scene: ${scene.v.length/3} verts, `+
-          `${scene.nf} faces, ${scene.modes} modes`);
+        S.scene=true;S.nScenes=scenes.filter(Boolean).length;
+        log(`obj ${sc.obj}: ${sc.v.length/3} verts, `+
+          `${sc.nf} faces, ${sc.modes} modes`);
         sendListener();}
       else if(m.ball){ball=wrapMesh(m.ball);S.ball=true;}
       else if(m.ball_colors){ballColors=m.ball_colors;S.ballColors=true;}
@@ -522,8 +547,8 @@ view.onpointerdown=e=>{
     const hit=pick(x,y);S.lastPick=hit;
     if(hit){
       if(forceKind==='ar'){dragging=true;
-        send({cmd:'sustain',obj:0,face:hit.face,bary:hit.bary});}
-      else{lastHit={cmd:'hit',obj:0,face:hit.face,bary:hit.bary,
+        send({cmd:'sustain',obj:hit.obj,face:hit.face,bary:hit.bary});}
+      else{lastHit={cmd:'hit',obj:hit.obj,face:hit.face,bary:hit.bary,
         kind:forceKind,width_us:+$('width').value};send(lastHit);}
     }
   } else orbiting=true;
@@ -545,14 +570,15 @@ view.onpointermove=e=>{
         // normalized mouse speed scales the sustained force (the
         // reference's velocity drag, real_time_modal_sound.cpp:1126-1160)
         const vel=Math.min(1,Math.hypot(x-lastXY[0],y-lastXY[1])/30);
-        send({cmd:'drag',obj:0,face:hit.face,bary:hit.bary,vel});
+        send({cmd:'drag',obj:hit.obj,face:hit.face,bary:hit.bary,vel});
       }
     }
   }
   if(orbiting||dragging)lastXY=[x,y];
 };
 view.onpointerup=e=>{
-  if(dragging)send({cmd:'release',obj:0});
+  if(dragging)send({cmd:'release',
+                    obj:S.lastPick?S.lastPick.obj:0});
   dragging=false;orbiting=false;lastXY=null;
 };
 window.onkeydown=e=>{
@@ -564,7 +590,10 @@ window.onkeydown=e=>{
 };
 $('width').oninput=e=>$('wv').textContent=e.target.value;
 $('mode').onchange=e=>{const k=+e.target.value;
-  if(k>=0)send({cmd:'mode_shape',mode:k});else modeShape=null;};
+  // the mode-shape viewer animates the most recently picked object
+  if(k>=0)send({cmd:'mode_shape',mode:k,
+                obj:S.lastPick?S.lastPick.obj:0});
+  else modeShape=null;};
 </script></body></html>
 """
 
@@ -611,7 +640,8 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
                         "sample_rate": SAMPLE_RATE,
                         "channels": int(session.gains.shape[-1]),
                         "block_size": session.config.block_size,
-                        "modes": int(session.bank.num_modes)})
+                        "modes": int(session.bank.num_modes),
+                        "objects": int(session.bank.num_objects)})
         client = _ClientStream(sink, depth=self._client_depth)
         self._fanout.register(client)
         reader = _FrameReader(conn)

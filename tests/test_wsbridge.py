@@ -378,3 +378,70 @@ def test_ws_broadcast_engine_restart(ws_broadcast_server):
                 break
     assert peak > 0.0
     c.close()
+
+
+def test_ws_scene_multi_object_payloads(tmp_path):
+    """The multi-object browser flow at the wire level: hello carries the
+    object count, per-obj scene payloads carry world positions, and
+    obj-addressed face hits make sound."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.runtime.wsbridge import WebSocketAudioServer
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    synth_model_dir(str(tmp_path), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=51)
+    mdl = load_model(resolve_model_dir(str(tmp_path), "m"))
+    positions = [[0.0, 0.0, 0.0], [0.6, 0.0, 0.0]]
+
+    def make_session():
+        sc = Scene([SceneInstance(mdl, np.asarray(p)) for p in positions],
+                   block_size=BLOCK, backend="blocked", dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.4, 0.3, 0.5]))
+        sc.session.step()
+        return sc.session
+
+    srv = WebSocketAudioServer(make_session, model=[mdl, mdl],
+                               positions=positions)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        c = _WSClient(*srv.address)
+
+        def next_json(tries=400):
+            for _ in range(tries):
+                op, payload = c.read_frame()
+                if op == OP_TEXT:
+                    return json.loads(payload)
+            raise AssertionError("no JSON frame")
+
+        hello = next_json()
+        assert hello["objects"] == 2
+        got = {}
+        for k in range(hello["objects"]):
+            c.send_json(cmd="scene", obj=k)
+        while len(got) < 2:
+            m = next_json()
+            if "scene" in m:
+                got[m["scene"]["obj"]] = m["scene"]
+        assert got[0]["position"] == [0.0, 0.0, 0.0]
+        assert got[1]["position"] == [0.6, 0.0, 0.0]
+        assert len(got[1]["vertices"]) % 3 == 0
+        # obj-addressed face hit (what pick() sends for object 1)
+        c.send_json(cmd="hit", obj=1, face=2,
+                    bary=[0.4, 0.3, 0.3], kind="gaussian", width_us=900.0)
+        peak = 0.0
+        for _ in range(400):
+            op, payload = c.read_frame()
+            if op == OP_BINARY:
+                peak = max(peak, float(np.abs(
+                    np.frombuffer(payload, "<f4")).max()))
+                if peak > 0:
+                    break
+        assert peak > 0.0
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
