@@ -22,6 +22,7 @@ import os
 import re
 import shutil
 import subprocess
+import sys
 import tempfile
 
 
@@ -78,8 +79,16 @@ def assemble(frames: list[str], out: str, fps: int = 30) -> str:
         raise RuntimeError("neither ffmpeg nor PIL available to encode "
                            "the movie") from e
     if not out.endswith(".gif"):
-        out = os.path.splitext(out)[0] + ".gif"
-    images = [Image.open(p).convert("P") for p in frames]
+        gif = os.path.splitext(out)[0] + ".gif"
+        print(f"warning: ffmpeg not found; writing {gif} instead of {out}",
+              file=sys.stderr)
+        out = gif
+    # convert() copies the pixels so each source file closes immediately
+    # (a list of open Image handles exhausts fds on ~1000-frame captures)
+    images = []
+    for path in frames:
+        with Image.open(path) as im:
+            images.append(im.convert("P"))
     images[0].save(out, save_all=True, append_images=images[1:],
                    duration=int(1000 / fps), loop=0)
     return out

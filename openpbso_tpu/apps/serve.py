@@ -95,7 +95,9 @@ def main(argv=None) -> int:
             sc = Scene(
                 insts, block_size=args.block, backend=args.backend,
                 binaural=bool(desc.get("binaural", False)),
-                listener_offsets=desc.get("listener_offsets"))
+                listener_offsets=desc.get("listener_offsets"),
+                use_ffat=not args.no_transfer,
+                smooth_transfer=args.smooth_transfer)
             sc.set_listener(np.asarray(
                 [float(v) for v in args.listener.split(",")]))
             return sc

@@ -43,6 +43,7 @@ class Scene:
                  listener_offsets: np.ndarray | None = None,
                  shared_state: bool = True,
                  mesh=None,
+                 smooth_transfer: bool = False,
                  dtype=None):
         """``binaural`` renders each logical object to two output channels
         (left/right ear) with independent FFAT lookups per ear — true
@@ -126,7 +127,8 @@ class Scene:
                     self.bank.num_modes, dtype=dtype)
         session_kw = dict(
             ffat=ffat,
-            config=SolverConfig(block_size=block_size, backend=backend),
+            config=SolverConfig(block_size=block_size, backend=backend,
+                                smooth_transfer=smooth_transfer),
             num_slots=num_slots, dtype=dtype,
             num_listeners=(self.num_listeners if self.shared_state else 1),
             # the per-instance f64 eigenvalues enable the span dispatches

@@ -113,16 +113,25 @@ class ShardedSession(ModalSession):
         self._maybe_rebase()
         if self._xfade_from is not None:
             prev, self._xfade_from = self._xfade_from, None
-            fn = self._fn("xfade", compute_qnorm=self.config.compute_qnorm,
-                          with_sustained=self._with_sustained(),
-                          num_slots=self._slot_bucket())
-            self.state, sound, mix, qnorm = fn(self.state, self.bank,
-                                               self.gains, prev)
-            self._clock += self.config.block_size
-            return sound, mix, qnorm
+            return self._step_xfade(prev)
         if self._idle() and self.decay_eligible():
             return self._step_decay()
         return self._step_full()
+
+    def _step_xfade(self, prev, with_sustained=None, num_slots="auto"):
+        # overriding the session's dispatcher keeps warmup honest: it
+        # pre-compiles THIS shard_map program for every variant, not the
+        # single-device step_block_xfade jit
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        if num_slots == "auto":
+            num_slots = self._slot_bucket()
+        fn = self._fn("xfade", compute_qnorm=self.config.compute_qnorm,
+                      with_sustained=with_sustained, num_slots=num_slots)
+        self.state, sound, mix, qnorm = fn(self.state, self.bank,
+                                           self.gains, prev)
+        self._clock += self.config.block_size
+        return sound, mix, qnorm
 
     def _step_span(self, n_blocks: int, num_slots="auto", idle=None):
         self._maybe_rebase()   # engine dispatches spans directly
@@ -165,10 +174,13 @@ class ShardedSession(ModalSession):
 
     # ----------------------------------------------------------- listener
 
-    def set_listener(self, pos: np.ndarray) -> None:
+    def set_listener_relative(self, pos: np.ndarray) -> None:
         # the transfer row is computed replicated then placed onto the
-        # mesh so the step's in_spec constraint is already satisfied
-        super().set_listener(pos)
+        # mesh so the step's in_spec constraint is already satisfied.
+        # Overriding the RELATIVE setter covers every entry point:
+        # set_listener (via the frame transform), Scene internals, and
+        # the use_transfer re-enable path all funnel through here.
+        super().set_listener_relative(pos)
         from jax.sharding import NamedSharding, PartitionSpec as P
         import jax
         spec = (P("obj", "mode") if self.num_listeners <= 1

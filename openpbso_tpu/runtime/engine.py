@@ -167,6 +167,13 @@ class StreamingEngine:
         self._blocks_done = 0
         self._record = record
         self.recorded: list[tuple[int, object]] = []
+        # the pre-stream listener position (a [3] world point only; Scene
+        # sessions hold relative rows, which have no keyframe form)
+        init = getattr(session, "_last_listener", None)
+        self._initial_listener = (
+            np.asarray(init, np.float64)
+            if record and init is not None
+            and np.asarray(init).ndim == 1 else None)
         # next _blocks_done at which to compute qnorm: a modulo test
         # starves with lookahead > 1 (blocks advance by lookahead, so e.g.
         # lookahead 4 / every 8 lands on 1+4k, never divisible by 8)
@@ -222,14 +229,22 @@ class StreamingEngine:
     def export_timeline(self) -> dict:
         """Recorded events -> the render_timeline JSON schema.
 
-        Hits and listener moves replay exactly (both are block-quantized
-        live, and bake() quantizes to the same blocks); sustained AR
-        contacts are stochastic per-sample state and are skipped with a
-        note. Requires record=True at construction."""
+        Hits replay exactly (block-quantized identically live and baked).
+        Listener moves are STEP changes live, while the bake schema
+        linearly interpolates keyframes — so each move exports as a pair
+        (hold the previous position until one block before the move, then
+        the new position), which np.interp reproduces as the same
+        block-quantized step; the pre-stream position anchors t=0.
+        Sustained AR contacts and AR retunes are stochastic per-sample
+        state and are counted in ``skipped_events``. Requires record=True.
+        """
         from ..config import SAMPLE_RATE
         if not self._record:
             raise ValueError("engine was not constructed with record=True")
+        block_s = self.session.config.block_size / SAMPLE_RATE
         events, listener, skipped = [], [], 0
+        prev_pos = (self._initial_listener.tolist()
+                    if self._initial_listener is not None else None)
         for clock, ev in self.recorded:
             t = clock / SAMPLE_RATE
             if isinstance(ev, HitEvent):
@@ -240,13 +255,25 @@ class StreamingEngine:
                                "amp": ev.amp})
             elif isinstance(ev, TransferEvent):
                 pos = np.asarray(ev.listener, np.float64)
-                if pos.ndim == 1:
-                    listener.append({"t": t, "pos": pos.tolist()})
-                else:
+                if pos.ndim != 1:
                     skipped += 1   # per-object listener rows have no
                     #   single-keyframe representation in the schema
+                    continue
+                if prev_pos is not None and t > 0:
+                    # hold until one block before the move -> np.interp
+                    # reproduces the live step at block granularity
+                    listener.append({"t": max(t - block_s, 0.0),
+                                     "pos": prev_pos})
+                listener.append({"t": t, "pos": pos.tolist()})
+                prev_pos = pos.tolist()
             else:
                 skipped += 1       # sustained/AR/clear: stateful live-only
+        if prev_pos is not None and not listener:
+            listener.append({"t": 0.0, "pos": prev_pos})
+        elif listener and listener[0]["t"] > 0 \
+                and self._initial_listener is not None:
+            listener.insert(0, {"t": 0.0,
+                                "pos": self._initial_listener.tolist()})
         duration = (self._blocks_done * self.session.config.block_size
                     / SAMPLE_RATE)
         out = {"duration_s": duration, "events": events,
@@ -298,6 +325,8 @@ class StreamingEngine:
                 self._post_mix.on_listener(tr.listener)
         ar = self._arprm.take()
         if ar is not None:
+            if self._record:
+                self.recorded.append((self.session.sample_clock, ar))
             self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
 
     def _synth_once(self) -> list[np.ndarray]:

@@ -230,7 +230,9 @@ class WebSocketAudioServer(AudioServer):
                         "channels": int(session.gains.shape[-1]),
                         "block_size": session.config.block_size,
                         "modes": int(session.bank.num_modes),
-                        "objects": int(session.bank.num_objects)})
+                        "objects": int(session.bank.num_objects),
+                        "has_positions":
+                            self._positions is not None})
         engine = StreamingEngine(session, sink, lookahead=self._lookahead,
                                  qnorm_every=self._qnorm_every)
         engine.start()
@@ -490,7 +492,12 @@ $('start').onclick=async()=>{
     if(typeof ev.data==='string'){
       const m=JSON.parse(ev.data);
       if(m.hello){info=m;S.connected=true;log('connected: '+ev.data);
-        const no=Math.min(m.objects||1,24);   // draw at most 24 objects
+        // fetch one mesh per object only when the server knows distinct
+        // world positions (--scene); otherwise N instances of one model
+        // would draw as N coincident copies at the origin
+        const no=m.has_positions?Math.min(m.objects||1,24):1;
+        if(m.has_positions&&(m.objects||1)>24)
+          log(`scene has ${m.objects} objects; drawing first 24`);
         for(let k=0;k<no;k++)send({cmd:'scene',obj:k});
         send({cmd:'ball'});
         setInterval(()=>send({cmd:'stats'}),2000);}
@@ -641,7 +648,9 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
                         "channels": int(session.gains.shape[-1]),
                         "block_size": session.config.block_size,
                         "modes": int(session.bank.num_modes),
-                        "objects": int(session.bank.num_objects)})
+                        "objects": int(session.bank.num_objects),
+                        "has_positions":
+                            self._positions is not None})
         client = _ClientStream(sink, depth=self._client_depth)
         self._fanout.register(client)
         reader = _FrameReader(conn)

@@ -142,3 +142,62 @@ def test_record_and_bake_reproduces_live_stream():
     # instruction-scheduling noise
     np.testing.assert_allclose(baked[:n], live_audio[:n],
                                rtol=0, atol=1e-9)
+
+
+def test_record_and_bake_listener_moves(synth_model_root):
+    """Recorded listener moves re-bake as the same block-quantized steps
+    (export emits hold+move keyframe pairs so np.interp reproduces the
+    live step, and the pre-stream position anchors t=0)."""
+    import time
+
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    n = model.num_modes_audible
+
+    def make():
+        bank = bank_from_material(
+            model.material.density, model.modes.omega_squared[:n],
+            model.material.alpha, model.material.beta,
+            block_size=S, dtype=jnp.float32)
+        sess = ModalSession(bank, ffat=build_ffat(model.ffat_maps,
+                                                  bank.num_modes),
+                            config=SolverConfig(block_size=S,
+                                                backend="blocked"))
+        sess.set_listener(np.asarray([0.8, 0.4, 0.2]))
+        return sess
+
+    live = make()
+    sink = RawCollectorSink()
+    engine = StreamingEngine(live, sink, record=True)
+    engine.start()
+    engine.hit(0, np.ones(n), kind="gaussian", width_us=600.0)
+    deadline = time.time() + 60
+    while time.time() < deadline and engine._blocks_done < 6:
+        time.sleep(0.02)
+    engine.set_listener(np.asarray([0.2, 0.9, 0.5]))   # mid-stream move
+    # wait until the move has been APPLIED (recorded as a TransferEvent)
+    while time.time() < deadline and len(
+            [1 for _, e in engine.recorded if hasattr(e, "listener")]) < 1:
+        time.sleep(0.02)
+    target = engine._blocks_done + 5
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.stop()
+    tl = engine.export_timeline()
+    assert "listener" in tl and tl["listener"][0]["t"] == 0.0
+    assert len(tl["listener"]) >= 3   # anchor + hold + move
+    live_audio = sink.concatenated()
+
+    baked = bake(make(), tl)
+    n_cmp = min(live_audio.shape[0], baked.shape[0])
+    if bool((engine.health.snapshot() == 0).any()):
+        assert np.abs(baked).max() > 0
+        return
+    np.testing.assert_allclose(baked[:n_cmp], live_audio[:n_cmp],
+                               rtol=0, atol=1e-9)
