@@ -337,6 +337,21 @@ class StreamingEngine:
             self._next_qnorm = self._blocks_done + self._qnorm_every
         use_span = (self._post_mix is None and self.session.span_eligible()
                     and self.session._xfade_from is None)
+        if use_span and want_qnorm:
+            # keep the span AND the telemetry: probe the pre-span state's
+            # ring-down energy in a parallel dispatch instead of breaking
+            # the span for a synced per-block qnorm step (docs/PERF.md
+            # 4-min soak: that sync was the dominant health penalty)
+            qnorm = self.session.qnorm_probe()
+            mix = self.session._step_span(self.lookahead)
+            mix_np = np.asarray(mix)
+            try:
+                self._qnorm.put_nowait(np.asarray(qnorm))
+            except queue.Full:
+                pass  # telemetry is best-effort (modal_solver.h:273)
+            block = self.session.config.block_size
+            return [mix_np[i * block:(i + 1) * block]
+                    for i in range(self.lookahead)]
         if self.lookahead == 1 or want_qnorm:
             if not want_qnorm and use_span:
                 # single-block span dispatch: beats BOTH per-block forms
@@ -451,6 +466,9 @@ class StreamingEngine:
                 if self._post_mix is None
                 and self.session.span_eligible() else ()),
         )
+        if self._qnorm_every > 0 and self._post_mix is None \
+                and self.session.span_eligible():
+            np.asarray(self.session.qnorm_probe())  # compile the probe
 
         self._synth_thread = threading.Thread(
             target=self._synth_loop, name="pbso-synth", daemon=True)

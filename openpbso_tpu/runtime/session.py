@@ -533,6 +533,24 @@ class ModalSession:
         self._clock += n_blocks * self.config.block_size
         return mix
 
+    def qnorm_probe(self):
+        """Per-mode energy telemetry [O, M] of the CURRENT state over one
+        ring-down block, WITHOUT advancing the stream.
+
+        Lets the engine keep qnorm flowing while the audio itself rides
+        span dispatches (breaking the span for an exact per-block qnorm
+        costs a synced single-block round trip — ~30-45 ms on a tunneled
+        device, the dominant health penalty in the 4-min soak). The probe
+        omits the in-flight force contribution of the probed block; the
+        reference's qnorm channel is best-effort drop telemetry
+        (modal_solver.h:272-273), so the HUD reads the ring-down energy
+        one dispatch late — visually indistinguishable."""
+        from ..ops.integrator import decay_block_blocked
+        _, _, _, qnorm = decay_block_blocked(
+            self.state.z_re, self.state.z_im, self.bank,
+            self.state.transfer, True)
+        return qnorm
+
     # -------------------------------------------------------------- warmup
 
     def warmup(self, *, qnorm: bool = False, post_mix=None,

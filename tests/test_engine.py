@@ -266,3 +266,37 @@ def test_qnorm_cadence_with_even_lookahead():
         time.sleep(0.01)
     engine.stop()
     assert len(got) >= 3, f"qnorm telemetry starved: {len(got)} values"
+
+
+def test_qnorm_flows_alongside_span_lookahead():
+    """The span+qnorm branch: telemetry rides a parallel state probe
+    instead of breaking the span for a synced per-block dispatch
+    (docs/PERF.md 4-min soak found that sync was the dominant health
+    penalty). Audio and qnorm must both flow."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+
+    md = synth_mode_data(16, 8)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=2, block_size=128,
+                              dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"),
+                        lam64=lam64)
+    sink = RawCollectorSink()
+    engine = StreamingEngine(sess, sink, lookahead=4, qnorm_every=8)
+    engine.start()
+    engine.hit(0, np.ones(16))
+    got = 0
+    deadline = time.time() + 30
+    while time.time() < deadline and got < 3:
+        if engine.latest_qnorm() is not None:
+            got += 1
+        time.sleep(0.01)
+    engine.stop()
+    assert engine.error is None
+    assert got >= 3, "qnorm telemetry starved on the span path"
+    assert np.abs(sink.concatenated()).max() > 0
+    assert 4 in sess._span_cache   # the span actually ran
