@@ -204,3 +204,42 @@ def test_decay_span_step_matches_step_multi(dberr):
                              block_size=S, backend="blocked")
     assert dberr(np.asarray(mix_d), np.asarray(mix_m)) <= -100.0
     assert dberr(np.asarray(st_d.z_im), np.asarray(st_m.z_im)) <= -100.0
+
+
+@pytest.mark.slow
+def test_span_f32_ten_seconds_vs_oracle(dberr):
+    """Long-horizon accuracy of the production chunked span at the new
+    chunk=512 default: a 10 s f32 render of an impulse tracks the float64
+    oracle at <= -60 dB (phase error accrues per chunk, ~860 chunks)."""
+    from openpbso_tpu.utils.oracle import OracleIntegrator, iir_coefficients
+    s = 512
+    n_blocks = 860                      # ~10 s
+    md = synth_mode_data(8, 6, seed=19)
+    lam64, b, valid = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+    bank = build_modal_bank(lam64, b, valid, block_size=s,
+                            dtype=jnp.float32)
+    n = n_blocks * s
+    tables = build_span_tables(lam64, n, num_modes=bank.num_modes)
+    rng = np.random.default_rng(4)
+    space_np = rng.standard_normal(md.num_modes)
+    m_pad = bank.num_modes
+    space_k = jnp.zeros((1, 1, m_pad), jnp.float32).at[
+        0, 0, : md.num_modes].set(jnp.asarray(space_np, jnp.float32))
+    transfer = jnp.full((1, m_pad), UNIT_TRANSFER, jnp.float32)
+    f_k = jnp.zeros((1, 1, n), jnp.float32).at[0, 0, 0].set(1.0)
+    _, _, sound = integrate_span(
+        jnp.zeros((1, m_pad), jnp.float32),
+        jnp.zeros((1, m_pad), jnp.float32), bank, tables,
+        space_k, f_k, transfer)
+
+    c1, c2, c3 = iir_coefficients(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta, H)
+    oracle = OracleIntegrator(c1, c2, c3)
+    tvec = np.full(md.num_modes, UNIT_TRANSFER)
+    ref = np.empty(n)
+    for i in range(n):
+        q = oracle.step(space_np * (1.0 if i == 0 else 0.0))
+        ref[i] = q @ tvec
+    err = dberr(np.asarray(sound[0]), ref)
+    assert err <= -60.0, f"{err:.1f} dB over 10 s"
