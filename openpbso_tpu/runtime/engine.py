@@ -449,6 +449,10 @@ class StreamingEngine:
             self.health.record(ok and wrote)
 
     def start(self) -> None:
+        if self._synth_thread is not None and self._synth_thread.is_alive():
+            raise RuntimeError("engine already running (stop() first) — a "
+                               "second synth thread would race the first "
+                               "for the session state")
         self._stop.clear()
         # Warm EVERY jit variant the steady-state loop will use BEFORE
         # spawning threads: a first compile can take seconds-to-minutes

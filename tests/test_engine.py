@@ -300,3 +300,19 @@ def test_qnorm_flows_alongside_span_lookahead():
     assert got >= 3, "qnorm telemetry starved on the span path"
     assert np.abs(sink.concatenated()).max() > 0
     assert 4 in sess._span_cache   # the span actually ran
+
+
+def test_double_start_refused():
+    """Two synth threads racing one session would corrupt state; start()
+    on a running engine must refuse."""
+    import pytest as _pytest
+    engine, _ = _engine(RawCollectorSink())
+    engine.start()
+    try:
+        with _pytest.raises(RuntimeError, match="already running"):
+            engine.start()
+    finally:
+        engine.stop()
+    # a stopped engine can start again
+    engine.start()
+    engine.stop()

@@ -491,3 +491,30 @@ def test_client_reset_does_not_kill_listener():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_server_survives_binary_garbage(server):
+    """Random binary junk on the command socket produces error replies
+    (or is ignored), never a dead stream."""
+    srv, md = server
+    c = AudioClient(*srv.address)
+    rng = np.random.default_rng(0)
+    c._conn.sendall(bytes(rng.integers(0, 256, 512, dtype=np.uint8)
+                          .tolist()) + b"\n")
+    c._conn.sendall(b"\x00\xff\xfe garbage \n{not json}\n\n")
+    for _ in range(50):
+        block = c.read_block()
+        assert block.shape == (BLOCK, 2)
+        if c.messages:
+            break
+    # still serving real commands afterwards (the stats reply may queue
+    # behind remaining garbage-error replies)
+    c.messages.clear()
+    c.send(cmd="stats")
+    for _ in range(200):
+        c.read_block()
+        if any("health" in m for m in c.messages):
+            break
+    assert any("health" in m for m in c.messages)
+    c.send(cmd="quit")
+    c.close()
