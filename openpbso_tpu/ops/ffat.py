@@ -62,15 +62,17 @@ def build_ffat(
     maps: dict[int, FatcubeMap],
     num_modes: int,
     *,
-    num_objects: int = 1,
-    use_compressed: bool = False,
     dtype=jnp.float32,
 ) -> FFATMaps:
     """Pack decoded fatcube maps (mode id -> map) into device arrays.
 
-    One geometry/texture set shared by ``num_objects`` instances.
+    One geometry/texture set, shared by however many instances query it
+    (the object count comes from the query positions, compute_transfer).
+    To serve the reference's compressed-vs-raw toggle
+    (GetMapVal(pos, useCompressed), ffat_solver.h:1180-1214), build from
+    maps whose psi went through ffat_fit.compress_map — the FatcubeMap
+    already holds whichever values were stored.
     """
-    del use_compressed  # psi in FatcubeMap already holds the stored values
     m = num_modes
     p_max = 0
     for mm in maps.values():
@@ -116,7 +118,6 @@ def build_ffat(
         strides=jnp.asarray(strides, jnp.int32),
         mode_mask=jnp.asarray(mask, dtype),
     )
-    del num_objects  # instances share the Og=1 geometry; O comes from queries
     return FFATMaps(geom=geom, cell_size=jnp.asarray(cell, dtype))
 
 

@@ -234,19 +234,28 @@ def compress_map(m: FatcubeMap, jpeg_quality: int | None = None
         start = int(m.shell.strides[face])
         seg = m.psi[start: start + nu * nv]
         peak = float(np.max(np.abs(seg))) or 1.0
-        q = np.round(np.clip(seg / peak, -1.0, 1.0) * 255.0)
         if jpeg_quality is not None:
             import io as _io
 
             from PIL import Image
+            # encode the SIGNED range symmetrically ([-peak, peak] ->
+            # [0, 255]) so negative psi survives the uint8 image — a
+            # plain clip-to-[0,255] crushed every negative sample to
+            # zero, changing the data semantics rather than just adding
+            # JPEG noise. (The reference's runtime psi is |p| and
+            # nonnegative, ffat_solver.h:872-906; synthetic maps here
+            # may carry signs.)
+            q = np.round(np.clip(seg / peak, -1.0, 1.0) * 127.5 + 127.5)
             img = Image.fromarray(
-                np.clip(q, 0.0, 255.0).astype(np.uint8).reshape(nu, nv),
-                mode="L")
+                q.astype(np.uint8).reshape(nu, nv), mode="L")
             buf = _io.BytesIO()
             img.save(buf, format="JPEG", quality=int(jpeg_quality))
             buf.seek(0)
             q = np.asarray(Image.open(buf), np.float64).reshape(-1)
-        psi_c[start: start + nu * nv] = q * peak / 255.0
+            psi_c[start: start + nu * nv] = (q - 127.5) / 127.5 * peak
+        else:
+            q = np.round(np.clip(seg / peak, -1.0, 1.0) * 255.0)
+            psi_c[start: start + nu * nv] = q * peak / 255.0
     return FatcubeMap(mode_id=m.mode_id, k=m.k, center=m.center.copy(),
                       shell=m.shell, psi=psi_c, is_compressed=True)
 

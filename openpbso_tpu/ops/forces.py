@@ -87,6 +87,50 @@ def slot_duration(ftype: int, width: float, block_size: int) -> int:
     return 0
 
 
+
+def _slot_kinds(slots: ForceSlots):
+    """(is_point, is_gauss, is_hertz, clamped width) per slot."""
+    return (slots.ftype == FORCE_POINT,
+            slots.ftype == FORCE_GAUSSIAN,
+            slots.ftype == FORCE_HERTZ,
+            jnp.maximum(slots.width, 1.0))
+
+
+def _slot_duration_table(is_point, is_gauss, is_hertz, w):
+    """Productive duration in samples per slot (0 for empty slots)."""
+    return jnp.where(is_point, 1,
+                     jnp.where(is_gauss,
+                               (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32),
+                               jnp.where(is_hertz, w.astype(jnp.int32), 0)))
+
+
+def _slot_profile(t_local, is_point, is_gauss, is_hertz, w, dtype):
+    """Force value of each slot at local sample times ``t_local``
+    [..., T] — the reference's Force::Add evaluated branchlessly
+    (PointForce forces.h:81-90, GaussianForce :92-105 with the truncated
+    center of :45, Hertzian contact pulse beyond-reference). ONE
+    implementation shared by force_block and force_span: their parity
+    contract (per-block outputs reproduced bit-for-block inside a span)
+    depends on these formulas being identical.
+    """
+    tf = t_local.astype(dtype)
+    point_prof = (t_local == 0).astype(dtype)
+    # center is truncated to int in the reference (forces.h:45)
+    center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
+    dt = (tf - center[..., None]) / w[..., None]
+    gauss_prof = jnp.exp(-0.5 * dt * dt)
+    # Hertzian contact pulse: sin(pi t/tau)^{3/2} over one contact time
+    # tau (Hertz impact theory). Masked per sample — unlike the gaussian,
+    # the pulse is identically zero outside [0, tau).
+    ph = jnp.clip(tf / w[..., None], 0.0, 1.0)
+    hertz_prof = jnp.sin(jnp.pi * ph) ** 1.5 * \
+        ((t_local >= 0) & (tf < w[..., None])).astype(dtype)
+    return jnp.where(is_point[..., None], point_prof,
+                     jnp.where(is_gauss[..., None], gauss_prof,
+                               jnp.where(is_hertz[..., None], hertz_prof,
+                                         0.0)))
+
+
 @partial(jax.jit, static_argnames=("block_size",))
 def force_block(
     slots: ForceSlots,
@@ -106,39 +150,16 @@ def force_block(
     s = block_size
     # per-slot local time at block start (samples since activation)
     local0 = block_start - slots.t0                       # [O, K]
-    is_point = slots.ftype == FORCE_POINT
-    is_gauss = slots.ftype == FORCE_GAUSSIAN
-    is_hertz = slots.ftype == FORCE_HERTZ
-
-    w = jnp.maximum(slots.width, 1.0)
-    dur_point = 1
-    dur_gauss = (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32)
-    dur_hertz = w.astype(jnp.int32)  # width = contact duration in samples
+    is_point, is_gauss, is_hertz, w = _slot_kinds(slots)
+    dur = _slot_duration_table(is_point, is_gauss, is_hertz, w)
     # producing iff the block *starts* before the cutoff (reference checks
     # count >= cutoff at Add entry only, forces.h:95)
-    producing = ((is_point & (local0 < dur_point)) |
-                 (is_gauss & (local0 < dur_gauss)) |
-                 (is_hertz & (local0 < dur_hertz))) & (local0 >= 0)
+    producing = (local0 >= 0) & (local0 < dur)
 
     # ---- time profiles, summed over slots -> [O, S]
     t_local = local0[..., None] + jnp.arange(s, dtype=jnp.int32)  # [O, K, S]
-    tf = t_local.astype(slots.amp.dtype)
-    point_prof = (t_local == 0).astype(slots.amp.dtype)
-    # center is truncated to int in the reference (forces.h:45)
-    center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
-    dt = (tf - center[..., None]) / w[..., None]
-    gauss_prof = jnp.exp(-0.5 * dt * dt)
-    # Hertzian contact pulse: sin(pi t/tau)^{3/2} over one contact time tau
-    # (Hertz impact theory; the half-sine^{3/2} shape used for rigid-body
-    # contact force trains). Masked per sample — unlike the gaussian, the
-    # pulse is identically zero outside [0, tau).
-    ph = jnp.clip(tf / w[..., None], 0.0, 1.0)
-    hertz_prof = jnp.sin(jnp.pi * ph) ** 1.5 * \
-        ((t_local >= 0) & (tf < w[..., None])).astype(slots.amp.dtype)
-    prof = jnp.where(is_point[..., None], point_prof,
-                     jnp.where(is_gauss[..., None], gauss_prof,
-                               jnp.where(is_hertz[..., None], hertz_prof,
-                                         0.0)))
+    prof = _slot_profile(t_local, is_point, is_gauss, is_hertz, w,
+                         slots.amp.dtype)
     prof = prof * (producing * slots.amp)[..., None].astype(prof.dtype)
     time_profile = jnp.sum(prof, axis=1)
 
@@ -178,15 +199,8 @@ def force_span(
     """
     n = n_samples
     local0 = block_start - slots.t0                       # [O, K]
-    is_point = slots.ftype == FORCE_POINT
-    is_gauss = slots.ftype == FORCE_GAUSSIAN
-    is_hertz = slots.ftype == FORCE_HERTZ
-
-    w = jnp.maximum(slots.width, 1.0)
-    dur = jnp.where(is_point, 1,
-                    jnp.where(is_gauss,
-                              (GAUSSIAN_CUTOFF * 2 * w).astype(jnp.int32),
-                              jnp.where(is_hertz, w.astype(jnp.int32), 0)))
+    is_point, is_gauss, is_hertz, w = _slot_kinds(slots)
+    dur = _slot_duration_table(is_point, is_gauss, is_hertz, w)
 
     t_local = local0[..., None] + jnp.arange(n, dtype=jnp.int32)  # [O, K, N]
     # block-granular membership: the producing predicate evaluated at the
@@ -195,18 +209,8 @@ def force_span(
     t_block = (t_local // block_size) * block_size
     member = (t_block >= 0) & (t_block < dur[..., None])
 
-    tf = t_local.astype(slots.amp.dtype)
-    point_prof = (t_local == 0).astype(slots.amp.dtype)
-    center = jnp.floor((GAUSSIAN_CUTOFF - 0.5) * w)
-    dt = (tf - center[..., None]) / w[..., None]
-    gauss_prof = jnp.exp(-0.5 * dt * dt)
-    ph = jnp.clip(tf / w[..., None], 0.0, 1.0)
-    hertz_prof = jnp.sin(jnp.pi * ph) ** 1.5 * \
-        ((t_local >= 0) & (tf < w[..., None])).astype(slots.amp.dtype)
-    prof = jnp.where(is_point[..., None], point_prof,
-                     jnp.where(is_gauss[..., None], gauss_prof,
-                               jnp.where(is_hertz[..., None], hertz_prof,
-                                         0.0)))
+    prof = _slot_profile(t_local, is_point, is_gauss, is_hertz, w,
+                         slots.amp.dtype)
     prof = prof * member * slots.amp[..., None]
     time_total = jnp.sum(prof, axis=1)                    # [O, N]
     f_k = time_total[:, None, :] * member.astype(prof.dtype)

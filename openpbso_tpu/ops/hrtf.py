@@ -35,10 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import OUTPUT_SCALE, SAMPLE_RATE
+from ..config import OUTPUT_SCALE, SAMPLE_RATE, SOUND_SPEED
 from .integrator import PRECISION
 
-SPEED_OF_SOUND = 343.0
 DEFAULT_HEAD_RADIUS = 0.0875   # meters (average adult)
 DEFAULT_TAPS = 128
 
@@ -87,12 +86,11 @@ def spherical_hrtf_fir(
     ear = np.asarray(ear_axis, np.float64)
     ear = ear / np.linalg.norm(ear)
     cos_t = np.stack([-d @ ear, d @ ear], axis=-1)      # [O, 2], +1 = at ear
-    theta = np.arccos(np.clip(cos_t, -1.0, 1.0))
 
-    a_over_c = head_radius / SPEED_OF_SOUND
+    a_over_c = head_radius / SOUND_SPEED
     tau = a_over_c * (1.0 - cos_t) * sample_rate + base_delay_taps  # samples
     alpha = 1.0 + cos_t                                  # [0, 2]
-    w0 = SPEED_OF_SOUND / head_radius
+    w0 = SOUND_SPEED / head_radius
 
     delay = _fractional_delay(tau, n_taps)               # [O, 2, T]
     b0, b1, a1 = _shadow_coeffs(alpha, w0, sample_rate)

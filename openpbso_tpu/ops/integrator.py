@@ -93,35 +93,14 @@ def _causal_conv_fft(g: jax.Array, f: jax.Array) -> jax.Array:
     return out.astype(g.dtype)
 
 
-def _causal_conv_direct(g: jax.Array, f: jax.Array) -> jax.Array:
-    """Direct form as ONE grouped 1-D convolution (each object its own
-    kernel via feature_group_count): lowers to full-f32 MXU matmuls.
-
-    Used on TPU: the TPU FFT measures ~-54 dB against the CPU FFT under
-    dense wideband inputs (docs/PERF.md), while this form stays at f32
-    matmul precision. O(S^2) MACs per object is ~134 MFLOP per 256x512
-    block — noise for the MXU.
-    """
-    o, s = g.shape
-    # lax.conv computes cross-correlation, so feed the kernel reversed;
-    # left-pad by S-1 for causality
-    out = jax.lax.conv_general_dilated(
-        f[None, :, :],                     # [1, O(features), S]
-        g[:, None, ::-1],                  # [O(out), 1(in/group), S]
-        window_strides=(1,),
-        padding=[(s - 1, 0)],
-        feature_group_count=o,
-    )
-    return out[0].astype(g.dtype)
-
-
 def _causal_conv(g: jax.Array, f: jax.Array) -> jax.Array:
     """Per-object causal convolution: out[s] = sum_{j<=s} g[s-j] f[j].
 
-    g, f: [O, S] -> [O, S]. FFT form on every platform: the grouped
-    direct conv was measured 6x SLOWER on TPU (grouped convs lower to
-    per-group loops) without improving the dense-input deviation, which
-    turned out to be einsum precision, not the FFT (docs/PERF.md)."""
+    g, f: [O, S] -> [O, S]. FFT form on every platform. Measured and
+    rejected alternatives (docs/PERF.md): a grouped lax.conv direct form
+    was 6x SLOWER on TPU (grouped convs lower to per-group loops), and
+    the dense-input deviation it was meant to fix turned out to be
+    einsum precision, not the FFT."""
     return _causal_conv_fft(g, f)
 
 
@@ -193,19 +172,25 @@ def step_block_blocked(
     z_re_out = ps_re * z_re - ps_im * z_im + be_re * c_re - be_im * c_im
     z_im_out = ps_im * z_re + ps_re * z_im + be_re * c_im + be_im * c_re
 
-    qnorm = None
-    if compute_qnorm:
-        # per-mode q[o,m,s]: homogeneous part + per-mode causal convolution of
-        # the time profile with the mode's impulse kernel Im(lam^d b space).
-        n = 2 * s
-        ker = be_re[..., None] * pi[..., :s] + be_im[..., None] * pr[..., :s]
-        kf = jnp.fft.rfft(ker, n=n, axis=-1)
-        ff = jnp.fft.rfft(time_profile, n=n, axis=-1)[:, None, :]
-        conv = jnp.fft.irfft(kf * ff, n=n, axis=-1)[..., :s].astype(z_re.dtype)
-        q = (pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
-             + conv)
-        qnorm = jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
+    qnorm = (_qnorm_blocked(bank, pr, pi, be_re, be_im, time_profile,
+                            z_re, z_im, s)
+             if compute_qnorm else None)
     return z_re_out, z_im_out, sound, qnorm
+
+
+def _qnorm_blocked(bank, pr, pi, be_re, be_im, time_profile, z_re, z_im, s):
+    """Per-mode energy over the block: homogeneous part + per-mode causal
+    convolution of the time profile with the mode's impulse kernel
+    Im(lam^d b space). Shared by the plain and xfade blocked steps
+    (qnorm is transfer-independent)."""
+    n = 2 * s
+    ker = be_re[..., None] * pi[..., :s] + be_im[..., None] * pr[..., :s]
+    kf = jnp.fft.rfft(ker, n=n, axis=-1)
+    ff = jnp.fft.rfft(time_profile, n=n, axis=-1)[:, None, :]
+    conv = jnp.fft.irfft(kf * ff, n=n, axis=-1)[..., :s].astype(z_re.dtype)
+    q = (pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
+         + conv)
+    return jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
 
 
 @partial(jax.jit, static_argnames=("compute_qnorm",))
@@ -296,17 +281,9 @@ def step_block_blocked_xfade(
     z_re_out = ps_re * z_re - ps_im * z_im + be_re * c_re - be_im * c_im
     z_im_out = ps_im * z_re + ps_re * z_im + be_re * c_im + be_im * c_re
 
-    qnorm = None
-    if compute_qnorm:
-        # qnorm is transfer-independent (same as step_block_blocked)
-        n = 2 * s
-        ker = be_re[..., None] * pi[..., :s] + be_im[..., None] * pr[..., :s]
-        kf = jnp.fft.rfft(ker, n=n, axis=-1)
-        ff = jnp.fft.rfft(time_profile, n=n, axis=-1)[:, None, :]
-        conv = jnp.fft.irfft(kf * ff, n=n, axis=-1)[..., :s].astype(z_re.dtype)
-        q = (pr[..., 1:] * z_im[..., None] + pi[..., 1:] * z_re[..., None]
-             + conv)
-        qnorm = jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
+    qnorm = (_qnorm_blocked(bank, pr, pi, be_re, be_im, time_profile,
+                            z_re, z_im, s)
+             if compute_qnorm else None)
     return z_re_out, z_im_out, sound, qnorm
 
 
@@ -360,6 +337,11 @@ def resolve_backend_name(name: str, bank: ModalBank | None = None) -> str:
     """
     if name != "auto":
         return name
+    if bank is not None and bank.pow_re is None:
+        # table-less bank (built without block_size): scan is the only
+        # per-block form that can run it — blocked/pallas assert on the
+        # missing lam-power tables
+        return "scan"
     import jax
     if jax.default_backend() == "tpu" and (
             bank is None or not bank.shared_tables):

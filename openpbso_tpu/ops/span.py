@@ -194,24 +194,22 @@ def build_span_tables(
     if mp < m:
         raise ValueError(f"num_modes {mp} < actual modes {m}")
     lam = np.pad(lam, ((0, 0), (0, mp - m)))
-    r = radix if radix is not None else choose_radix(span)
-    if span % r:
-        raise ValueError(f"radix {r} does not divide span {span}")
-    x = span // r
     if shared is None:
         shared = o == 1 or all(np.array_equal(lam[0], lam[i])
                                for i in range(1, o))
     src = lam[:1] if shared else lam
     if form == "auto":
         form = "chunked"
+    # radix doubles as the chunk size in the chunked form; the full form
+    # needs neither (it holds every power)
+    r = radix if radix is not None else choose_radix(span)
+    if form != "full" and span % r:
+        raise ValueError(f"radix {r} does not divide span {span}")
     if form == "chunked":
-        c = radix if radix is not None else choose_radix(span)
-        if span % c:
-            raise ValueError(f"chunk {c} does not divide span {span}")
-        b = np.moveaxis(_power_table(src, c), -1, 1)
+        b = np.moveaxis(_power_table(src, r), -1, 1)
         return ChunkSpanTables(b_re=jnp.asarray(b.real, dtype),
                                b_im=jnp.asarray(b.imag, dtype),
-                               n_chunks=span // c)
+                               n_chunks=span // r)
     if form == "full":
         if not shared:
             raise ValueError("full span tables need a shared bank "
@@ -220,6 +218,7 @@ def build_span_tables(
         return FullSpanTables(p_re=jnp.asarray(p.real, dtype),
                               p_im=jnp.asarray(p.imag, dtype))
     # _power_table puts the exponent axis last; tables are [Og, rows, M]
+    x = span // r
     a = np.moveaxis(_power_table(src, np.arange(x + 1, dtype=np.int64) * r),
                     -1, 1)
     b = np.moveaxis(_power_table(src, r), -1, 1)

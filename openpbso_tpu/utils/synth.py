@@ -19,7 +19,9 @@ from ..io.material import ModalMaterial, write_material
 from ..io.mode_data import ModeData, write_modes
 from ..io.objmesh import icosphere, write_obj
 
-SPEED_OF_SOUND = 343.0
+from ..config import SOUND_SPEED  # one shared constant
+#   (HRTF ITD, Doppler delays, and FFAT wavenumbers
+#   must agree on c or binaural cues go inconsistent)
 
 # a ceramic-like modal material (density, E, nu, Rayleigh alpha/beta) in the
 # range of the materials used by the modal-sound literature
@@ -72,7 +74,7 @@ def synth_fatcube(mode_id: int, freq_hz: float, *,
     rng = np.random.default_rng(seed + mode_id)
     shell = synth_cubemap_shell(np.asarray(center, np.float64),
                                 half_extent, n)
-    k = 2.0 * np.pi * freq_hz / SPEED_OF_SOUND
+    k = 2.0 * np.pi * freq_hz / SOUND_SPEED
     # smooth positive lobe pattern over directions
     axes = rng.standard_normal((3, 3))
     psi = np.zeros(6 * n * n)

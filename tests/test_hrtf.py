@@ -3,7 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from openpbso_tpu.config import OUTPUT_SCALE, SAMPLE_RATE
-from openpbso_tpu.ops.hrtf import (DEFAULT_HEAD_RADIUS, SPEED_OF_SOUND,
+from openpbso_tpu.config import SOUND_SPEED
+from openpbso_tpu.ops.hrtf import (DEFAULT_HEAD_RADIUS,
                                    HRTFRenderer, fir_to_freq,
                                    hrtf_mix_block, spherical_hrtf_fir)
 
@@ -16,7 +17,7 @@ def test_itd_and_shadow_physics():
     left, right = fir[0, 0], fir[0, 1]
     lag_l = int(np.argmax(np.abs(left)))
     lag_r = int(np.argmax(np.abs(right)))
-    expected_itd = 2 * DEFAULT_HEAD_RADIUS / SPEED_OF_SOUND * SAMPLE_RATE
+    expected_itd = 2 * DEFAULT_HEAD_RADIUS / SOUND_SPEED * SAMPLE_RATE
     assert abs((lag_l - lag_r) - expected_itd) <= 2.0   # ~22.5 samples
     # head shadow: contralateral ear loses high frequencies
     freqs = np.fft.rfftfreq(128, 1.0 / SAMPLE_RATE)

@@ -105,8 +105,7 @@ def test_sharded_session_xfade_and_sustained(synth_model_root, dberr):
         model.material.density, model.modes.omega_squared[:n_aud],
         model.material.alpha, model.material.beta, num_objects=8,
         block_size=S, dtype=jnp.float32)
-    ffat = build_ffat(model.ffat_maps, num_modes=bank.num_modes,
-                      num_objects=8)
+    ffat = build_ffat(model.ffat_maps, num_modes=bank.num_modes)
     cfg = SolverConfig(block_size=S, backend="blocked",
                        smooth_transfer=True)
     mesh = make_mesh(4, 2)
