@@ -107,9 +107,15 @@ def load_session(path: str, session) -> None:
 def swap_model(engine, new_session) -> None:
     """Hot-swap the engine's model mid-stream (LoadNewModel equivalent).
 
-    Pauses synthesis, replaces the session (new bank/FFAT/state), restarts.
-    In-flight audio blocks from the old model drain to the sink first.
+    Pauses synthesis, replaces the session (new bank/FFAT/state),
+    restarts. In-flight old-model blocks are DROPPED (not drained): the
+    consume loop exits on the stop flag, and replaying stale blocks from
+    a different model — possibly a different block size — through the
+    new stream would be worse than a short gap. The stale-replay buffer
+    is cleared for the same reason.
     """
+    import queue as _queue
+
     from ..config import SAMPLE_RATE
     was_running = engine._synth_thread is not None and \
         engine._synth_thread.is_alive()
@@ -123,6 +129,12 @@ def swap_model(engine, new_session) -> None:
             # once start() clears the stop flag
             while t.is_alive():
                 t.join(timeout=5.0)
+    while True:
+        try:
+            engine._sound.get_nowait()
+        except _queue.Empty:
+            break
+    engine._last_block = None
     engine.session = new_session
     engine.profiler = type(engine.profiler)(
         new_session.config.block_size, SAMPLE_RATE)

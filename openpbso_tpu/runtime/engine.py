@@ -207,24 +207,41 @@ class StreamingEngine:
         except queue.Full:
             return False
 
+    def _check_obj(self, obj: int) -> int:
+        """Producer-side range check: a bad event applied inside the
+        synthesis thread would kill the whole stream (same contract as
+        hit(); the numpy host-mirror writes raise IndexError there)."""
+        if not 0 <= int(obj) < self.session.bank.num_objects:
+            raise IndexError(
+                f"object {obj} out of range "
+                f"[0, {self.session.bank.num_objects})")
+        return int(obj)
+
     def set_listener(self, pos: np.ndarray) -> None:
         self._transfer.put(TransferEvent(np.asarray(pos)))
 
     def sustained_start(self, obj: int, space: np.ndarray) -> None:
-        self._events.put(SustainedEvent(obj, "start", np.asarray(space)))
+        self._events.put(SustainedEvent(self._check_obj(obj), "start",
+                                        np.asarray(space)))
 
     def sustained_update(self, obj: int, space: np.ndarray) -> None:
-        self._events.put(SustainedEvent(obj, "update", np.asarray(space)))
+        self._events.put(SustainedEvent(self._check_obj(obj), "update",
+                                        np.asarray(space)))
 
     def sustained_end(self, obj: int) -> None:
-        self._events.put(SustainedEvent(obj, "end"))
+        self._events.put(SustainedEvent(self._check_obj(obj), "end"))
 
     def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
                       mu=0.142) -> None:
-        self._arprm.put(ArParamEvent(obj, tuple(a), sigma, mu))
+        a = tuple(float(v) for v in a)
+        if len(a) != 2:
+            raise ValueError(f"AR(2) needs exactly 2 coefficients, got {a}")
+        self._arprm.put(ArParamEvent(self._check_obj(obj), a,
+                                     float(sigma), float(mu)))
 
     def clear_forces(self, obj: int | None = None) -> None:
-        self._events.put(ClearEvent(obj))
+        self._events.put(ClearEvent(
+            None if obj is None else self._check_obj(obj)))
 
     def export_timeline(self) -> dict:
         """Recorded events -> the render_timeline JSON schema.
@@ -337,7 +354,8 @@ class StreamingEngine:
             self._next_qnorm = self._blocks_done + self._qnorm_every
         use_span = (self._post_mix is None and self.session.span_eligible()
                     and self.session._xfade_from is None)
-        if use_span and want_qnorm:
+        if use_span and want_qnorm \
+                and self.session.qnorm_probe_eligible():
             # keep the span AND the telemetry: probe the pre-span state's
             # ring-down energy in a parallel dispatch instead of breaking
             # the span for a synced per-block qnorm step (docs/PERF.md
@@ -453,6 +471,7 @@ class StreamingEngine:
             raise RuntimeError("engine already running (stop() first) — a "
                                "second synth thread would race the first "
                                "for the session state")
+        self.error = None   # a restart after a failure starts clean
         self._stop.clear()
         # Warm EVERY jit variant the steady-state loop will use BEFORE
         # spawning threads: a first compile can take seconds-to-minutes
@@ -471,7 +490,8 @@ class StreamingEngine:
                 and self.session.span_eligible() else ()),
         )
         if self._qnorm_every > 0 and self._post_mix is None \
-                and self.session.span_eligible():
+                and self.session.span_eligible() \
+                and self.session.qnorm_probe_eligible():
             np.asarray(self.session.qnorm_probe())  # compile the probe
 
         self._synth_thread = threading.Thread(

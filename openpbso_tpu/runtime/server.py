@@ -40,6 +40,7 @@ import queue
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 
@@ -390,7 +391,11 @@ class AudioServer:
                                         "active stream header"})
                         return False
                     new_sess.step()  # compile before parking the stream
-                    swap_model(engine, new_sess)
+                    self._begin_swap()
+                    try:
+                        swap_model(engine, new_sess)
+                    finally:
+                        self._end_swap()
                     self._model = model
                     self._ball_transfer = None  # new model, new FFAT
                     self._note_swap(str(msg["meta"]))
@@ -419,6 +424,13 @@ class AudioServer:
     def _note_swap(self, meta_path: str) -> None:
         """Hook: a load_model hot-swap succeeded (see BroadcastAudioServer,
         whose engine-restart recipe must track the swapped model)."""
+
+    def _begin_swap(self) -> None:
+        """Hook: a hot-swap is about to park the engine (broadcast
+        servers must not mistake the parked engine for a dead one)."""
+
+    def _end_swap(self) -> None:
+        """Hook: the hot-swap finished."""
 
     def _stats_payload(self, engine) -> dict:
         st = engine.profiler.stats()
@@ -577,11 +589,20 @@ class BroadcastAudioServer(AudioServer):
         self._max_restarts = max_restarts
         self.restarts = 0
         self._dead = False   # set when recovery is exhausted
+        self._swapping = False  # load_model parks the engine for seconds
+        #   (warmup); the health poll must not race it with a restart —
+        #   two engines would interleave blocks into the same fan-out
         self._closed = False  # set by close(); serve_forever must not
         #   rebuild an engine nobody will ever stop
 
     def _after_engine_start(self, engine) -> None:
         """Hook for subclasses (e.g. the WS telemetry pusher)."""
+
+    def _begin_swap(self) -> None:
+        self._swapping = True
+
+    def _end_swap(self) -> None:
+        self._swapping = False
 
     def _note_swap(self, meta_path: str) -> None:
         # after a hot-swap, an engine RESTART must rebuild the swapped-in
@@ -645,6 +666,10 @@ class BroadcastAudioServer(AudioServer):
         failures = 0
         while not self._closed:
             engine = self._engine
+            if self._swapping:
+                # the engine is parked by a load_model hot-swap, not dead
+                time.sleep(0.1)
+                continue
             if engine is None or not engine.healthy:
                 failures += 1
                 if failures > self._max_restarts or \

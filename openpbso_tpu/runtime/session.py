@@ -508,6 +508,7 @@ class ModalSession:
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path
         k_eff = self._slot_bucket() if num_slots == "auto" else num_slots
+        num_slots = k_eff   # computed once; the dispatches below reuse it
         k = (self.state.slots.num_slots if k_eff is None else int(k_eff))
         if (not idle and k * n_blocks * self.config.block_size
                 * self.bank.num_objects > self.SPAN_FORCE_BUDGET):
@@ -528,10 +529,14 @@ class ModalSession:
             self.state, mix = step_span(
                 self.state, self.bank, tables, self.gains,
                 n_blocks=n_blocks, block_size=self.config.block_size,
-                num_slots=(self._slot_bucket() if num_slots == "auto"
-                           else num_slots))
+                num_slots=num_slots)
         self._clock += n_blocks * self.config.block_size
         return mix
+
+    def qnorm_probe_eligible(self) -> bool:
+        """The probe runs decay_block_blocked, which needs the lam-power
+        tables; table-less (scan-only) banks cannot probe."""
+        return self.bank.pow_re is not None
 
     def qnorm_probe(self):
         """Per-mode energy telemetry [O, M] of the CURRENT state over one
@@ -591,7 +596,16 @@ class ModalSession:
         saved_sus = self._sus_active.copy()
         saved_xfade = self._xfade_from
         saved_config = self.config
+        saved_listener = self._last_listener
         try:
+            if self.ffat is not None and self.use_transfer:
+                # a live listener move dispatches compute_transfer on the
+                # synthesis thread; compile it now (state.transfer is
+                # restored below, so this changes nothing observable)
+                o = self.bank.num_objects
+                shape = ((o, 3) if self.num_listeners <= 1
+                         else (self.num_listeners, o, 3))
+                self.set_listener_relative(np.ones(shape))
             self.hit(0, np.zeros(self.bank.num_modes), amp=0.0)
             self.clear_forces()
             k = self.state.slots.num_slots
@@ -641,6 +655,7 @@ class ModalSession:
             self._t0[...] = saved_t0
             self._sus_active[...] = saved_sus
             self._xfade_from = saved_xfade
+            self._last_listener = saved_listener
             if post_mix is not None and hasattr(post_mix, "reset"):
                 post_mix.reset()
 
@@ -704,6 +719,11 @@ class ModalSession:
         (modal_solver.h:286-300). Returns [T * S, C] float32.
         """
         from .solver import step_multi_transfers
+        if self.num_listeners > 1:
+            raise ValueError("render_moving supports single-listener "
+                             "sessions (a [T, L, O, M] transfer schedule "
+                             "is not implemented; step the session with "
+                             "set_listener per block instead)")
         if self.ffat is None or not self.use_transfer:
             raise ValueError("render_moving needs an FFAT transfer "
                              "(build the session with ffat=...)")

@@ -316,3 +316,36 @@ def test_double_start_refused():
     # a stopped engine can start again
     engine.start()
     engine.stop()
+
+
+def test_restart_clears_stale_error():
+    """A stopped-after-failure engine restarts clean: healthy again, the
+    old error not re-raised."""
+    engine, _ = _engine(RawCollectorSink())
+    engine.start()
+    engine.error = RuntimeError("injected")
+    engine._stop.set()
+    engine.stop()
+    assert not engine.healthy
+    engine.start()
+    try:
+        assert engine.healthy and engine.error is None
+    finally:
+        engine.stop()
+
+
+def test_event_validation_on_producer_thread():
+    """sustained/arparam/clear validate obj (and AR shape) at enqueue —
+    a bad event applied on the synthesis thread would kill the stream."""
+    import pytest as _pytest
+    engine, _ = _engine(RawCollectorSink(), o=2)
+    with _pytest.raises(IndexError):
+        engine.sustained_start(7, np.ones(16))
+    with _pytest.raises(IndexError):
+        engine.sustained_end(-1)
+    with _pytest.raises(IndexError):
+        engine.clear_forces(5)
+    with _pytest.raises(ValueError):
+        engine.set_ar_params(0, a=(0.1, 0.2, 0.3))
+    with _pytest.raises(IndexError):
+        engine.set_ar_params(9)

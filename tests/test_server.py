@@ -518,3 +518,24 @@ def test_server_survives_binary_garbage(server):
     assert any("health" in m for m in c.messages)
     c.send(cmd="quit")
     c.close()
+
+
+def test_broadcast_bad_sustain_keeps_stream(broadcast_server):
+    """An out-of-range sustain/release over the wire errors only the
+    sender; validation happens at enqueue, never on the synth thread."""
+    srv, md = broadcast_server
+    c = AudioClient(*srv.address)
+    for cmd in ({"cmd": "sustain", "obj": 99,
+                 "space": [1.0] * md.num_modes},
+                {"cmd": "release", "obj": 99},
+                {"cmd": "arparam", "obj": 0, "a": [1, 2, 3]}):
+        c.messages.clear()
+        c.send(**cmd)
+        for _ in range(300):
+            c.read_block()
+            if c.messages:
+                break
+        assert c.messages and "error" in c.messages[-1], cmd
+    assert srv._engine.healthy and srv.restarts == 0
+    c.send(cmd="quit")
+    c.close()
