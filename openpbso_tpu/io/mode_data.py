@@ -60,6 +60,7 @@ class ModeData:
 
 def read_modes(path: str, dtype=np.float64) -> ModeData:
     """Load a ``.modes`` file (layout per reference ModeData.h:62-83)."""
+    import os
     with open(path, "rb") as f:
         header = np.fromfile(f, dtype="<i4", count=2)
         if header.size != 2:
@@ -67,6 +68,16 @@ def read_modes(path: str, dtype=np.float64) -> ModeData:
         n_dof, n_modes = int(header[0]), int(header[1])
         if n_dof < 0 or n_modes < 0:
             raise ValueError(f"corrupt modes header ({n_dof}, {n_modes}): {path}")
+        # bound the claimed payload against the actual file size BEFORE
+        # np.fromfile pre-allocates count*8 bytes — a corrupt header
+        # (e.g. 2^30 x 2^30) would otherwise demand exabytes instead of
+        # reaching the truncation error below
+        remaining = os.fstat(f.fileno()).st_size - f.tell()
+        need = 8 * (n_modes + n_modes * n_dof)
+        if need > remaining:
+            raise ValueError(
+                f"modes header claims {need} payload bytes but file has "
+                f"{remaining}: {path}")
         omega_squared = np.fromfile(f, dtype="<f8", count=n_modes)
         modes = np.fromfile(f, dtype="<f8", count=n_modes * n_dof)
         if omega_squared.size != n_modes or modes.size != n_modes * n_dof:

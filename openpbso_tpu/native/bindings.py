@@ -92,22 +92,27 @@ class NativeSpscRing:
         if not self._ring:
             raise MemoryError("spsc_create failed")
 
-    def try_push(self, block: np.ndarray) -> bool:
+    def _check_block(self, block: np.ndarray) -> np.ndarray:
+        # a hard error, not an assert: an undersized array would make the
+        # native memcpy read past the numpy buffer (and asserts vanish
+        # under python -O)
         a = np.ascontiguousarray(block, np.float32)
-        assert a.size == self._floats
+        if a.size != self._floats:
+            raise ValueError(f"block has {a.size} floats, ring expects "
+                             f"{self._floats}")
+        return a
+
+    def try_push(self, block: np.ndarray) -> bool:
+        a = self._check_block(block)
         return bool(self._lib.spsc_try_push(
             self._ring, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
 
     def push_overwrite(self, block: np.ndarray) -> None:
-        """Latest-wins push: when full, overwrite the newest pending block.
-
-        Requires capacity >= 2 (the consumer only reads the tail slot, so
-        overwriting head-1 is race-free; with capacity 1 it would not be).
-        """
-        if self._capacity < 2:
-            raise ValueError("push_overwrite needs capacity >= 2 "
-                             "(torn-read safety)")
-        a = np.ascontiguousarray(block, np.float32)
+        """Drop-oldest push: when full, the oldest pending block is
+        retired (CAS tail skip in the native ring — the producer never
+        writes a published slot, so any capacity >= 1 is race-free) and
+        the new block is published."""
+        a = self._check_block(block)
         self._lib.spsc_push_overwrite(
             self._ring, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
 

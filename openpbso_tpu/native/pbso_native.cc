@@ -70,30 +70,44 @@ int spsc_try_push(SpscRing* r, const float* block) {
   return 1;
 }
 
-// push_overwrite: latest-wins semantics (the reference's capacity-1
+// push_overwrite: drop-oldest semantics (the reference's capacity-1
 // transfer queue *behavior*: a newer value replaces the pending one).
-// When full, the NEWEST slot (head-1) is overwritten in place — the
-// consumer only ever reads the tail slot, so with capacity >= 2 the
-// producer never touches a slot the consumer may be copying from (with
-// capacity 1 head-1 == tail and a torn read would be possible; the
-// bindings enforce capacity >= 2 for this call).
+// The producer must NEVER write a published slot — the consumer may be
+// mid-copy of ANY slot in [tail, head), not just the one tail pointed at
+// when we looked (an earlier version overwrote head-1 in place, which
+// races exactly that way). Instead, on full the producer RETIRES the
+// oldest slot by advancing tail with a CAS; the consumer's pop validates
+// its copy with the same CAS and discards a potentially-stale copy when
+// it loses. The head slot it then writes is unpublished by definition.
 void spsc_push_overwrite(SpscRing* r, const float* block) {
-  if (spsc_try_push(r, block)) return;
-  const int64_t head = r->head.load(std::memory_order_relaxed);
-  std::memcpy(r->data + ((head - 1) % r->capacity) * r->block_floats, block,
-              sizeof(float) * r->block_floats);
-  r->dropped.fetch_add(1, std::memory_order_relaxed);
+  for (;;) {
+    if (spsc_try_push(r, block)) return;
+    int64_t t = r->tail.load(std::memory_order_relaxed);
+    const int64_t head = r->head.load(std::memory_order_relaxed);
+    if (head - t < r->capacity) continue;  // consumer made room; retry
+    if (r->tail.compare_exchange_strong(t, t + 1,
+                                        std::memory_order_acq_rel)) {
+      r->dropped.fetch_add(1, std::memory_order_relaxed);
+    }
+    // CAS lost => the consumer freed a slot concurrently; retry either way
+  }
 }
 
 // try_pop: returns 1 on success, 0 when empty (audio side replays stale).
+// The copy-then-CAS order pairs with push_overwrite's tail skip: if the
+// producer retired the slot we were copying, our CAS fails and the
+// (possibly torn) copy is discarded before anyone sees it.
 int spsc_try_pop(SpscRing* r, float* out) {
-  const int64_t tail = r->tail.load(std::memory_order_relaxed);
-  const int64_t head = r->head.load(std::memory_order_acquire);
-  if (tail >= head) return 0;  // empty
-  std::memcpy(out, r->data + (tail % r->capacity) * r->block_floats,
-              sizeof(float) * r->block_floats);
-  r->tail.store(tail + 1, std::memory_order_release);
-  return 1;
+  for (;;) {
+    int64_t tail = r->tail.load(std::memory_order_relaxed);
+    const int64_t head = r->head.load(std::memory_order_acquire);
+    if (tail >= head) return 0;  // empty
+    std::memcpy(out, r->data + (tail % r->capacity) * r->block_floats,
+                sizeof(float) * r->block_floats);
+    if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      return 1;
+  }
 }
 
 int64_t spsc_size(SpscRing* r) {
@@ -150,16 +164,27 @@ struct Cursor {
   void skip(int wire_type) {
     switch (wire_type) {
       case 0: varint(); break;
-      case 1: p += 8; break;
-      case 2: { uint64_t n = varint(); p += n; break; }
-      case 5: p += 4; break;
+      case 1:
+        if (end - p < 8) ok = false; else p += 8;
+        break;
+      case 2: {
+        // bound-check BEFORE advancing: a hostile ~2^64 length would
+        // wrap the pointer past any after-the-fact p > end test
+        const uint64_t n = varint();
+        if (static_cast<uint64_t>(end - p) < n) ok = false; else p += n;
+        break;
+      }
+      case 5:
+        if (end - p < 4) ok = false; else p += 4;
+        break;
       default: ok = false;
     }
-    if (p > end) ok = false;
   }
 };
 
-// packed (or repeated) doubles -> out (up to max), returns count seen
+// packed (or repeated) doubles -> out (up to max), returns count seen,
+// or -1 on malformed input (truncated payload, non-multiple-of-8 packed
+// length — np.frombuffer raises for the same bytes in the Python codec)
 int64_t read_vec(Cursor c, double* out, int64_t max) {
   int64_t n = 0;
   while (c.ok && c.p < c.end) {
@@ -167,6 +192,7 @@ int64_t read_vec(Cursor c, double* out, int64_t max) {
     const int wt = key & 7;
     if ((key >> 3) == 1 && wt == 2) {
       Cursor payload = c.sub(c.varint());
+      if (!c.ok || (payload.end - payload.p) % 8 != 0) return -1;
       const int64_t cnt = (payload.end - payload.p) / 8;
       const int64_t take = (n + cnt > max) ? (max - n) : cnt;
       if (out && take > 0) std::memcpy(out + n, payload.p, take * 8);
@@ -179,9 +205,10 @@ int64_t read_vec(Cursor c, double* out, int64_t max) {
       c.skip(wt);
     }
   }
-  return n;
+  return c.ok ? n : -1;
 }
 
+// returns count seen, or -1 on malformed input
 int64_t read_vec_i(Cursor c, int32_t* out, int64_t max) {
   int64_t n = 0;
   while (c.ok && c.p < c.end) {
@@ -202,7 +229,7 @@ int64_t read_vec_i(Cursor c, int32_t* out, int64_t max) {
       c.skip(wt);
     }
   }
-  return n;
+  return c.ok ? n : -1;
 }
 
 }  // namespace
@@ -242,6 +269,9 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
   if (!top.ok || !have_map3) return 0;
 
   out->psi_count = 0;
+  bool bad = false;  // nested decode failures must fail the WHOLE decode:
+  // a partially-zeroed map silently feeding transfer lookups is worse
+  // than falling back to the Python codec (which raises for these bytes)
   // missing center fields decode to zeros, matching the Python codec
   // (io/fatcube.py:239,276)
   for (int i = 0; i < 3; ++i) out->map_center[i] = out->shell_center[i] = 0.0;
@@ -252,7 +282,8 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
     if (field == 1 && wt == 1) {
       out->k = map3.f64();
     } else if (field == 2 && wt == 2) {
-      read_vec(map3.sub(map3.varint()), out->map_center, 3);
+      if (read_vec(map3.sub(map3.varint()), out->map_center, 3) < 0)
+        bad = true;
     } else if (field == 3 && wt == 2) {          // shells (ffat_map_t_1)
       Cursor sh = map3.sub(map3.varint());
       int lc = 0, ne = 0;
@@ -267,35 +298,46 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
           while (mat.ok && mat.p < mat.end) {
             const uint64_t k3 = mat.varint();
             if ((k3 >> 3) == 1 && (k3 & 7) == 2 && lc < 6) {
-              read_vec(mat.sub(mat.varint()), out->low_corners + 3 * lc, 3);
+              if (read_vec(mat.sub(mat.varint()),
+                           out->low_corners + 3 * lc, 3) < 0)
+                bad = true;
               ++lc;
             } else {
               mat.skip(k3 & 7);
             }
           }
+          if (!mat.ok) bad = true;
         } else if (f2 == 3 && w2 == 2) {         // n_elements: mat_i
           Cursor mat = sh.sub(sh.varint());
           while (mat.ok && mat.p < mat.end) {
             const uint64_t k3 = mat.varint();
             if ((k3 >> 3) == 1 && (k3 & 7) == 2 && ne < 6) {
-              read_vec_i(mat.sub(mat.varint()), out->n_elements + 2 * ne, 2);
+              if (read_vec_i(mat.sub(mat.varint()),
+                             out->n_elements + 2 * ne, 2) < 0)
+                bad = true;
               ++ne;
             } else {
               mat.skip(k3 & 7);
             }
           }
+          if (!mat.ok) bad = true;
         } else if (f2 == 4 && w2 == 2) {
-          read_vec_i(sh.sub(sh.varint()), out->strides, 6);
+          if (read_vec_i(sh.sub(sh.varint()), out->strides, 6) < 0)
+            bad = true;
         } else if (f2 == 5 && w2 == 2) {
-          read_vec(sh.sub(sh.varint()), out->shell_center, 3);
+          if (read_vec(sh.sub(sh.varint()), out->shell_center, 3) < 0)
+            bad = true;
         } else if (f2 == 6 && w2 == 2) {
-          read_vec(sh.sub(sh.varint()), out->bbox_low, 3);
+          if (read_vec(sh.sub(sh.varint()), out->bbox_low, 3) < 0)
+            bad = true;
         } else if (f2 == 7 && w2 == 2) {
-          read_vec(sh.sub(sh.varint()), out->bbox_top, 3);
+          if (read_vec(sh.sub(sh.varint()), out->bbox_top, 3) < 0)
+            bad = true;
         } else {
           sh.skip(w2);
         }
       }
+      if (!sh.ok) bad = true;
     } else if (field == 4 && wt == 0) {
       out->is_compressed = static_cast<int32_t>(map3.varint());
     } else if (field == 5 && wt == 2) {          // psi: mat
@@ -309,20 +351,22 @@ int fatcube_decode(const uint8_t* buf, int64_t len, FatcubeOut* out) {
         if ((k3 >> 3) == 1 && (k3 & 7) == 2) {
           Cursor col = mat.sub(mat.varint());
           if (!have_col) {
-            out->psi_count = read_vec(col, out->psi, out->psi_capacity);
+            const int64_t cnt = read_vec(col, out->psi, out->psi_capacity);
+            if (cnt < 0) bad = true; else out->psi_count = cnt;
             have_col = true;
           }
         } else {
           mat.skip(k3 & 7);
         }
       }
+      if (!mat.ok) bad = true;
     } else if (field == 6 && wt == 0) {
       out->mode_id = static_cast<int32_t>(map3.varint());
     } else {
       map3.skip(wt);
     }
   }
-  return map3.ok ? 1 : 0;
+  return (map3.ok && !bad) ? 1 : 0;
 }
 
 }  // extern "C"

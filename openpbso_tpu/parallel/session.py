@@ -90,6 +90,11 @@ class ShardedSession(ModalSession):
             tables = shard_span_tables(self.mesh,
                                        self.span_tables_for(n_blocks))
             self._sharded_tables[n_blocks] = tables
+            # only the sharded copy is ever dispatched; keeping the
+            # base-class unsharded copy alive would pin a second full set
+            # of [O, C+1, M] tables on the default device for the
+            # session's lifetime
+            self._span_cache.pop(n_blocks, None)
         return tables
 
     def _step_full(self, with_sustained=None, num_slots="auto"):
@@ -109,14 +114,8 @@ class ShardedSession(ModalSession):
         self._clock += self.config.block_size
         return sound, mix, qnorm
 
-    def step(self):
-        self._maybe_rebase()
-        if self._xfade_from is not None:
-            prev, self._xfade_from = self._xfade_from, None
-            return self._step_xfade(prev)
-        if self._idle() and self.decay_eligible():
-            return self._step_decay()
-        return self._step_full()
+    # step() itself is inherited unchanged: all dispatch divergence lives
+    # in the _step_full/_step_decay/_step_xfade/_step_span hooks it calls
 
     def _step_xfade(self, prev, with_sustained=None, num_slots="auto"):
         # overriding the session's dispatcher keeps warmup honest: it
@@ -137,11 +136,26 @@ class ShardedSession(ModalSession):
         self._maybe_rebase()   # engine dispatches spans directly
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path
+        if not idle:
+            k_eff = (self._slot_bucket() if num_slots == "auto"
+                     else num_slots)
+            k = (self.state.slots.num_slots if k_eff is None
+                 else int(k_eff))
+            if (k * n_blocks * self.config.block_size
+                    * self.bank.num_objects > self.SPAN_FORCE_BUDGET):
+                # same HBM guard as the base class: force_span
+                # materializes [O, K, N] intermediates (per shard the O
+                # axis divides, but a mode-only mesh keeps it whole)
+                fn = self._fn("multi", n_blocks=n_blocks,
+                              with_sustained=self._with_sustained(),
+                              num_slots=k_eff)
+                self.state, mix = fn(self.state, self.bank, self.gains)
+                self._clock += n_blocks * self.config.block_size
+                return mix
         if idle:
             fn = self._fn("span", n_blocks=n_blocks, decay=True)
         else:
-            k = (self._slot_bucket() if num_slots == "auto" else num_slots)
-            fn = self._fn("span", n_blocks=n_blocks, num_slots=k,
+            fn = self._fn("span", n_blocks=n_blocks, num_slots=k_eff,
                           decay=False)
         self.state, mix = fn(self.state, self.bank,
                              self._span_tables_sharded(n_blocks), self.gains)

@@ -18,7 +18,6 @@ a few KB over ICI per 11.6 ms of audio.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_BLOCK
 from ..ops.coeffs import ModalBank
-from ..ops.forces import force_block, sustained_block
-from ..ops.integrator import get_backend
 from ..runtime.state import SolverState
 
 
@@ -229,10 +226,12 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
             z_re, z_im, sound = integrate_span(
                 state.z_re, state.z_im, bank, tables, space_k, f_k,
                 state.transfer)
-        sound = jax.lax.psum(sound, "mode")
-        # multi-listener span sound is [O, L, N] (ops/span.py layout)
+        # the mix is linear in sound, so the mode-partial sound reduces
+        # AFTER the mixdown: ONE [N, C] psum over both axes instead of
+        # psumming the full [O, (L,) N] sound tensor over 'mode' (O-fold
+        # more ICI traffic for the same result)
         mix = _mixdown_span(sound, gains)
-        mix = jax.lax.psum(mix, "obj")
+        mix = jax.lax.psum(mix, ("mode", "obj"))
         new_state = dataclasses.replace(
             state, z_re=z_re, z_im=z_im,
             block_start=state.block_start + n)

@@ -246,3 +246,17 @@ def test_complex_vector_matches_cpp_reference_bytes(tmp_path):
     write_complex_vector(str(pt), v, binary=False)
     assert pt.read_text() == open(
         os.path.join(golden, "complex_ref.txt")).read()
+
+
+def test_read_modes_rejects_huge_header(tmp_path):
+    """A corrupt header claiming exabytes of payload must raise, not
+    pre-allocate (round-2 review finding)."""
+    import struct
+
+    import pytest as _pytest
+
+    from openpbso_tpu.io.mode_data import read_modes
+    p = tmp_path / "corrupt.modes"
+    p.write_bytes(struct.pack("<ii", 1 << 30, 1 << 30) + b"\x00" * 64)
+    with _pytest.raises(ValueError, match="claims"):
+        read_modes(str(p))

@@ -39,15 +39,17 @@ def test_spsc_pacing_semantics(lib):
     assert ring.try_push(a)
 
 
-def test_spsc_overwrite_latest_wins(lib):
-    # capacity >= 2 required: when full, the NEWEST pending block is
-    # replaced (the consumer-owned tail slot is never touched)
+def test_spsc_overwrite_drops_oldest(lib):
+    # when full, the OLDEST block is retired (CAS tail skip) and the new
+    # one published — the producer never writes a published slot, so a
+    # consumer mid-copy can never see torn data (its pop CAS fails and
+    # the copy is discarded). The consumer window is always the freshest.
     ring = native.NativeSpscRing(2, (2,))
     ring.push_overwrite(np.asarray([1.0, 1.0], np.float32))
     ring.push_overwrite(np.asarray([2.0, 2.0], np.float32))
     ring.push_overwrite(np.asarray([3.0, 3.0], np.float32))
     assert ring.dropped == 1
-    assert ring.try_pop()[0] == 1.0
+    assert ring.try_pop()[0] == 2.0
     assert ring.try_pop()[0] == 3.0
 
 

@@ -142,19 +142,28 @@ def test_transfer_toggle_recomputes(synth_model_root):
     np.testing.assert_allclose(np.asarray(sess.state.transfer), t_on)
 
 
-def test_native_overwrite_requires_capacity_2():
+def test_native_overwrite_safety():
+    """round-2 review: push_overwrite retires the OLDEST slot via a CAS
+    tail skip (the old overwrite-newest wrote a published slot, racing a
+    consumer mid-copy); capacity 1 is now race-free too, and undersized
+    blocks are a hard error rather than a native OOB read."""
     pytest.importorskip("openpbso_tpu.native.bindings")
     from openpbso_tpu.native.bindings import NativeSpscRing, load_native
     if load_native() is None:
         pytest.skip("native lib unavailable")
     ring = NativeSpscRing(1, (2,))
+    ring.push_overwrite(np.asarray([1.0, 1.0], np.float32))
+    ring.push_overwrite(np.asarray([2.0, 2.0], np.float32))  # retires #1
+    assert ring.try_pop()[0] == 2.0
     with pytest.raises(ValueError):
-        ring.push_overwrite(np.zeros(2, np.float32))
+        ring.push_overwrite(np.zeros(5, np.float32))   # wrong block size
+    with pytest.raises(ValueError):
+        ring.try_push(np.zeros(1, np.float32))
     ring2 = NativeSpscRing(2, (2,))
     ring2.push_overwrite(np.asarray([1.0, 1.0], np.float32))
     ring2.push_overwrite(np.asarray([2.0, 2.0], np.float32))
-    ring2.push_overwrite(np.asarray([3.0, 3.0], np.float32))  # overwrites #2
-    assert ring2.try_pop()[0] == 1.0
+    ring2.push_overwrite(np.asarray([3.0, 3.0], np.float32))  # retires #1
+    assert ring2.try_pop()[0] == 2.0
     assert ring2.try_pop()[0] == 3.0
 
 
