@@ -108,15 +108,10 @@ def resolve_paths(args) -> ModelPaths:
                       args.ffat_map)
 
 
-def make_session(args):
-    import jax.numpy as jnp
-
-    from ..ops.coeffs import bank_from_material
-    from ..ops.ffat import build_ffat
-    from ..runtime.session import ModalSession
-    if args.backend == "pallas":
-        from ..ops import pallas_integrator  # noqa: F401 (registers backend)
-
+def load_model_only(args):
+    """Resolve paths (or synthesize the demo model) and load mesh+modes+
+    material WITHOUT building a device session — metadata-only queries
+    (--print-frequencies) must not pay the session's jit compiles."""
     if args.demo_synth:
         import tempfile
 
@@ -132,6 +127,19 @@ def make_session(args):
           f"{model.modes.num_modes} modes "
           f"({model.num_modes_audible} audible), "
           f"{len(model.ffat_maps)} FFAT maps")
+    return model
+
+
+def make_session(args):
+    import jax.numpy as jnp
+
+    from ..ops.coeffs import bank_from_material
+    from ..ops.ffat import build_ffat
+    from ..runtime.session import ModalSession
+    if args.backend == "pallas":
+        from ..ops import pallas_integrator  # noqa: F401 (registers backend)
+
+    model = load_model_only(args)
     bank = bank_from_material(
         model.material.density,
         model.modes.omega_squared[: model.num_modes_audible],
@@ -157,6 +165,25 @@ def make_session(args):
     listener = np.asarray([float(v) for v in args.listener.split(",")])
     sess.set_listener(listener)
     return model, sess
+
+
+def session_from_meta(args, meta_path: str):
+    """(model, session) rebuilt from a 4-line .meta descriptor — the ONE
+    hot-swap recipe shared by the interactive 'load' command and the
+    server's load_model (the reference's LoadNewModel flow,
+    real_time_modal_sound.cpp:347-474)."""
+    import copy
+
+    from ..io.meta import read_meta
+    meta = read_meta(meta_path)
+    new_args = copy.copy(args)
+    new_args.data_dir = FILE_NOT_EXIST
+    new_args.mesh = meta.obj_file
+    new_args.surf_mode = meta.modes_file
+    new_args.material = meta.material_file
+    new_args.ffat_map = meta.ffat_dir
+    new_args.demo_synth = False
+    return make_session(new_args)
 
 
 def interactive_loop(engine, model, args) -> None:
@@ -195,21 +222,8 @@ def interactive_loop(engine, model, args) -> None:
                 engine.clear_forces()
             elif cmd == "load":
                 # hot-swap to a new model from a 4-line .meta descriptor
-                # (the reference's LoadNewModel file-dialog flow,
-                # real_time_modal_sound.cpp:347-474)
-                import copy
-
-                from ..io.meta import read_meta
                 from ..runtime.checkpoint import swap_model
-                meta = read_meta(toks[1])
-                new_args = copy.copy(args)
-                new_args.data_dir = FILE_NOT_EXIST
-                new_args.mesh = meta.obj_file
-                new_args.surf_mode = meta.modes_file
-                new_args.material = meta.material_file
-                new_args.ffat_map = meta.ffat_dir
-                new_args.demo_synth = False
-                model, new_sess = make_session(new_args)
+                model, new_sess = session_from_meta(args, toks[1])
                 new_sess.step()  # warm before swapping the live stream
                 swap_model(engine, new_sess)
                 print(f"loaded {toks[1]}: {model.num_modes_audible} "
@@ -249,13 +263,17 @@ def main(argv=None) -> int:
                               "cpu" if args.platform == "cpu" else "")
         except Exception:
             pass
-    model, sess = make_session(args)
     if args.print_frequencies:
+        # metadata-only query: load the model WITHOUT building the device
+        # session (construction costs minutes of jit compiles on a
+        # tunneled TPU and none of it would be used)
+        model = load_model_only(args)
         freqs = model.modes.frequencies_hz(model.material.density)
         for i, f in enumerate(freqs):
             marker = "" if i < model.num_modes_audible else "  (culled)"
             print(f"Mode {i}: {f:.3f} Hz{marker}")
         return 0
+    model, sess = make_session(args)
 
     from ..runtime.audio import WavFileSink
     from ..runtime.engine import StreamingEngine

@@ -61,23 +61,34 @@ def export_mode_shapes(model, out_dir: str, *, mode_indices=None,
     """OBJ animation frames of superposed mode displacement
     (sum_k U_k cos(omega_k t), render_fields.cpp:241-261)."""
     os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for fr, v in enumerate(_mode_shape_frames(model, mode_indices, frames,
+                                              scale)):
+        path = os.path.join(out_dir, f"mode_shape_{fr:04d}.obj")
+        write_obj(path, v, model.faces)
+        paths.append(path)
+    return paths
+
+
+def _mode_shape_frames(model, mode_indices, frames: int, scale: float):
+    """Yield displaced vertex arrays of the superposed mode animation —
+    ONE implementation for the OBJ and PNG exports (sum_k U_k cos(w_k t),
+    render_fields.cpp:241-261), normalized over one period of the
+    slowest selected mode."""
     if mode_indices is None:
         mode_indices = list(range(min(4, model.num_modes_audible)))
+    if not mode_indices:
+        raise ValueError("no audible modes to animate (mode_indices is "
+                         "empty; check freq_threshold.txt culling)")
     freqs = model.modes.frequencies_hz(model.material.density)
-    # normalize animation over one period of the slowest selected mode
     base_f = min(freqs[i] for i in mode_indices)
-    paths = []
     for fr in range(frames):
         t = fr / frames / base_f
         disp = np.zeros_like(model.vertices)
         for k in mode_indices:
             u = model.modes.mode_displacements(k)
             disp += u * np.cos(2 * np.pi * freqs[k] * t)
-        v = model.vertices + scale * disp
-        path = os.path.join(out_dir, f"mode_shape_{fr:04d}.obj")
-        write_obj(path, v, model.faces)
-        paths.append(path)
-    return paths
+        yield model.vertices + scale * disp
 
 
 def render_field_slices(field_dir: str, out_dir: str, *,
@@ -85,8 +96,14 @@ def render_field_slices(field_dir: str, out_dir: str, *,
                         z_slice: int | None = None,
                         vmin: float | None = None,
                         vmax: float | None = None) -> list[str]:
-    """Binary float32 grid files -> colormapped PNGs
-    (render_fields.cpp:86-169)."""
+    """Binary float32 field files -> colormapped PNGs.
+
+    The reference's wavesolver emits ONE nx*ny plane per .dat file
+    (render_fields.cpp:100-129: Plane::Load reads dims[0]*dims[1]
+    floats, column-major Eigen), which is the primary format here; files
+    carrying a full nx*ny*nz volume are also accepted (the z_slice plane
+    is extracted). Files matching neither size are reported, not
+    silently skipped."""
     os.makedirs(out_dir, exist_ok=True)
     out = []
     files = [f for f in sorted(os.listdir(field_dir))
@@ -94,10 +111,17 @@ def render_field_slices(field_dir: str, out_dir: str, *,
     z = nz // 2 if z_slice is None else z_slice
     for i, name in enumerate(files):
         data = np.fromfile(os.path.join(field_dir, name), "<f4")
-        if data.size < nx * ny * nz:
+        if data.size == nx * ny:
+            # one plane per file, column-major like the Eigen matrix the
+            # reference memcpys into (render_fields.cpp:121-127)
+            plane = data.reshape(ny, nx, order="F")
+        elif data.size >= nx * ny * nz:
+            grid = data[: nx * ny * nz].reshape(nz, ny, nx)
+            plane = grid[z]
+        else:
+            print(f"skipping {name}: {data.size} floats is neither a "
+                  f"{nx}x{ny} plane nor a {nx}x{ny}x{nz} volume")
             continue
-        grid = data[: nx * ny * nz].reshape(nz, ny, nx)
-        plane = grid[z]
         lo = vmin if vmin is not None else np.percentile(plane, 2)
         hi = vmax if vmax is not None else np.percentile(plane, 98)
         norm = (plane - lo) / max(hi - lo, 1e-12)
@@ -170,20 +194,11 @@ def render_mode_shape_frames(model, out_dir: str, *, mode_indices=None,
     (render_fields.cpp:40-84 CapturePlugin + matcap_shader.h)."""
     from .softrender import default_matcap, render_mesh
     os.makedirs(out_dir, exist_ok=True)
-    if mode_indices is None:
-        mode_indices = list(range(min(4, model.num_modes_audible)))
-    freqs = model.modes.frequencies_hz(model.material.density)
-    base_f = min(freqs[i] for i in mode_indices)
     mc = default_matcap()
     radius = np.abs(model.vertices).max()
     paths = []
-    for fr in range(frames):
-        t = fr / frames / base_f
-        disp = np.zeros_like(model.vertices)
-        for k in mode_indices:
-            u = model.modes.mode_displacements(k)
-            disp += u * np.cos(2 * np.pi * freqs[k] * t)
-        v = model.vertices + scale * disp
+    for fr, v in enumerate(_mode_shape_frames(model, mode_indices, frames,
+                                              scale)):
         img = render_mesh(v, model.faces, width=size, height=size,
                           eye=np.asarray([1.6, 1.2, 2.2]) * radius,
                           matcap=mc)

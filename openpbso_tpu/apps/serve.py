@@ -130,21 +130,10 @@ def main(argv=None) -> int:
             return sess
 
         def load_from_meta(meta_path):
-            # build a (model, session) pair from a server-side .meta
-            # descriptor for the load_model hot-swap command (single-model
-            # servers only; scenes rebuild from their descriptor)
-            import copy
-
-            from ..io.meta import read_meta
-            meta = read_meta(meta_path)
-            new_args = copy.copy(args)
-            new_args.data_dir = FILE_NOT_EXIST
-            new_args.mesh = meta.obj_file
-            new_args.surf_mode = meta.modes_file
-            new_args.material = meta.material_file
-            new_args.ffat_map = meta.ffat_dir
-            new_args.demo_synth = False
-            return make_session(new_args)
+            # the ONE meta-to-session hot-swap recipe, shared with the
+            # interactive CLI's 'load' command
+            from .real_time_modal_sound import session_from_meta
+            return session_from_meta(args, meta_path)
 
     cls = AudioServer
     if args.web and args.multi_client:

@@ -47,10 +47,19 @@ def estimate(trace: np.ndarray) -> ARParams:
     if n < 8:
         raise ValueError("trace too short for AR(2) estimation")
     r = np.array([d @ d, d[:-1] @ d[1:], d[:-2] @ d[2:]]) / n
+    if r[0] <= 0.0:
+        # constant/silent trace: zero variance makes the Yule-Walker
+        # system singular — a clear error beats LinAlgError
+        raise ValueError("trace has zero variance (constant/silent "
+                         "segment); AR(2) estimation needs fluctuation")
     # Yule-Walker: [r0 r1; r1 r0] [a1 a2]^T = [r1 r2]^T
     mat = np.array([[r[0], r[1]], [r[1], r[0]]])
     rhs = np.array([r[1], r[2]])
-    a1, a2 = np.linalg.solve(mat, rhs)
+    try:
+        a1, a2 = np.linalg.solve(mat, rhs)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(f"degenerate autocorrelation (r={r.tolist()}); "
+                         "the segment is not AR(2)-identifiable") from e
     sigma2 = r[0] - a1 * r[1] - a2 * r[2]
     return ARParams((float(a1), float(a2)),
                     float(np.sqrt(max(sigma2, 0.0))), mu)

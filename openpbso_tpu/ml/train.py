@@ -130,10 +130,6 @@ def main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
-
 def plot_results_png(results: list[TrainResult], path: str) -> None:
     """Accuracy bar chart PNG (the reference's scripts/plot_bar.py output)
     rendered without matplotlib."""
@@ -161,3 +157,7 @@ def plot_results_png(results: list[TrainResult], path: str) -> None:
     img[base_y: base_y + 2, 40: w - 20] = 30
     img[40: base_y, 48: 50] = 30
     _write_png(path, img)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -278,7 +278,6 @@ class Scene:
                              "scenes (multi-listener scenes hold their "
                              "offsets fixed; step them via set_listener)")
         rel = self._relative_path(listener_path, object_paths)
-        self._last_rel = rel[-1]
         return self.session.render_moving(rel, **kw)
 
     def render_doppler(self, listener_path: np.ndarray,
@@ -291,5 +290,4 @@ class Scene:
             raise ValueError("render_doppler supports single-listener "
                              "scenes")
         rel = self._relative_path(listener_path, object_paths)
-        self._last_rel = rel[-1]
         return self.session.render_doppler(rel, **kw)
