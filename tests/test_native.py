@@ -119,3 +119,40 @@ def test_native_fatcube_distinct_centers(lib):
     assert np.array_equal(nat.center, m.center)
     assert np.array_equal(nat.shell.center, m.shell.center)
     assert maps_match_bits(m, nat)
+
+
+def test_spsc_overwrite_concurrent_no_torn_blocks(lib):
+    """Hammer push_overwrite against a concurrent consumer: every popped
+    block must be internally consistent (all lanes equal) — the CAS
+    tail-skip protocol discards copies the producer retired mid-read
+    (the old overwrite-newest wrote published slots and could tear)."""
+    import threading
+    ring = native.NativeSpscRing(2, (64,))
+    n = 4000
+    bad = []
+    done = threading.Event()
+
+    def produce():
+        for i in range(n):
+            ring.push_overwrite(np.full(64, float(i), np.float32))
+        done.set()
+
+    def consume():
+        last = -1.0
+        while not done.is_set() or len(ring):
+            out = ring.try_pop()
+            if out is None:
+                continue
+            if not np.all(out == out[0]):
+                bad.append(out.copy())
+            # drop-oldest still preserves order among survivors
+            if out[0] <= last:
+                bad.append(("order", last, float(out[0])))
+            last = float(out[0])
+
+    t1 = threading.Thread(target=produce)
+    t2 = threading.Thread(target=consume)
+    t1.start(); t2.start()
+    t1.join(); t2.join()
+    assert not bad, bad[:3]
+    assert ring.dropped + 0 <= n  # sanity: drops bounded by pushes
