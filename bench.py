@@ -279,7 +279,7 @@ def _hetero_stderr_line():
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--span",
-             "--skip-single", "--hetero"],
+             "--skip-single", "--hetero", "--nblocks=1024"],
             capture_output=True, text=True, timeout=420)
         for line in r.stdout.splitlines():
             if line.startswith("{"):
