@@ -56,6 +56,23 @@ PRECISION = {
 }[_os.environ.get("OPENPBSO_MATMUL_PRECISION", "highest").lower()]
 
 
+def _complex_weights(t_re, t_im, v_re, v_im):
+    """Reduce-channel weights of Im(t * P * v) for a possibly-COMPLEX
+    transfer t = t_re + i*t_im (t_im None = the real case):
+
+        Im(t P v) = P_re (t_re v_im + t_im v_re)
+                  + P_im (t_re v_re - t_im v_im)
+
+    Returns (w_pr, w_pi). A complex transfer costs no extra matmuls —
+    both P channels are already reduced; only these elementwise
+    pre-products change. Per-mode phase = a time shift at that mode's
+    frequency (modes are narrowband), giving exact interaural time
+    differences / phase-accurate complex FFAT on every fast path."""
+    if t_im is None:
+        return t_re * v_im, t_re * v_re
+    return t_re * v_im + t_im * v_re, t_re * v_re - t_im * v_im
+
+
 def _mode_reduce(w: jax.Array, table: jax.Array) -> jax.Array:
     """einsum('om,oms->os') that lowers to a true matmul for shared tables.
 
@@ -113,19 +130,24 @@ def step_block_scan(
     time_profile: jax.Array,    # [O, S]
     transfer: jax.Array,        # [O, M]
     compute_qnorm: bool = False,
+    transfer_im: jax.Array | None = None,
 ):
     """lax.scan backend. Returns (z_re, z_im, sound [O,S], qnorm [O,M]|None)."""
     be_re = bank.b_re * space
     be_im = bank.b_im * space
     tmask = transfer * bank.mask
+    timask = None if transfer_im is None else transfer_im * bank.mask
 
     def body(carry, f_s):
         zr, zi = carry
         # f_s: [O] one sample of the time profile
         zr_n = bank.lam_re * zr - bank.lam_im * zi + be_re * f_s[:, None]
         zi_n = bank.lam_im * zr + bank.lam_re * zi + be_im * f_s[:, None]
-        # tmask may carry a leading listener axis ([L, O, M] -> [L, O])
+        # tmask may carry a leading listener axis ([L, O, M] -> [L, O]);
+        # a complex transfer adds the Re(z) channel (see _complex_weights)
         sound = jnp.sum(tmask * zi_n, axis=-1)
+        if timask is not None:
+            sound = sound + jnp.sum(timask * zr_n, axis=-1)
         out = (sound, zi_n * zi_n) if compute_qnorm else (sound, None)
         return (zr_n, zi_n), out
 
@@ -145,6 +167,7 @@ def step_block_blocked(
     time_profile: jax.Array,    # [O, S]
     transfer: jax.Array,        # [O, M]
     compute_qnorm: bool = False,
+    transfer_im: jax.Array | None = None,
 ):
     """Block-form backend (requires bank lam-power tables of size S+1)."""
     s = time_profile.shape[-1]
@@ -154,13 +177,16 @@ def step_block_blocked(
     be_re = bank.b_re * space                   # [O, M]
     be_im = bank.b_im * space
     tmask = transfer * bank.mask
+    timask = None if transfer_im is None else transfer_im * bank.mask
 
     # _mode_reduce lowers to a true [O,M]@[M,S] matmul for shared tables
     # and a batched einsum otherwise
-    hom = (_mode_reduce(tmask * z_im, pr[..., 1:])
-           + _mode_reduce(tmask * z_re, pi[..., 1:]))
-    g = (_mode_reduce(tmask * be_re, pi[..., :s])
-         + _mode_reduce(tmask * be_im, pr[..., :s]))
+    wz_pr, wz_pi = _complex_weights(tmask, timask, z_re, z_im)
+    hom = (_mode_reduce(wz_pr, pr[..., 1:])
+           + _mode_reduce(wz_pi, pi[..., 1:]))
+    wg_pr, wg_pi = _complex_weights(tmask, timask, be_re, be_im)
+    g = (_mode_reduce(wg_pi, pi[..., :s])
+         + _mode_reduce(wg_pr, pr[..., :s]))
     sound = hom + _causal_conv(g, time_profile)
 
     # state at block end: z_out = lam^S z_{-1} + b*space * C,
@@ -294,6 +320,7 @@ def decay_block_blocked(
     bank: ModalBank,
     transfer: jax.Array,        # [O, M]
     compute_qnorm: bool = False,
+    transfer_im: jax.Array | None = None,
 ):
     """Homogeneous-only block step: the scene is ringing down, no forces.
 
@@ -308,8 +335,10 @@ def decay_block_blocked(
     s = bank.pow_re.shape[-1] - 1
     pr, pi = bank.pow_re, bank.pow_im
     tmask = transfer * bank.mask
-    sound = (_mode_reduce(tmask * z_im, pr[..., 1:])
-             + _mode_reduce(tmask * z_re, pi[..., 1:]))
+    timask = None if transfer_im is None else transfer_im * bank.mask
+    w_pr, w_pi = _complex_weights(tmask, timask, z_re, z_im)
+    sound = (_mode_reduce(w_pr, pr[..., 1:])
+             + _mode_reduce(w_pi, pi[..., 1:]))
     ps_re, ps_im = pr[..., s], pi[..., s]
     z_re_out = ps_re * z_re - ps_im * z_im
     z_im_out = ps_im * z_re + ps_re * z_im

@@ -117,6 +117,7 @@ def step_block_pallas(
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
     obj_tile: int = OBJ_TILE,
+    transfer_im=None,
 ):
     """Pallas backend; same contract as ops.integrator.step_block_*.
 
@@ -124,6 +125,9 @@ def step_block_pallas(
     qnorm (telemetry, UI-rate) falls back to the blocked XLA path when
     requested.
     """
+    assert transfer_im is None, (
+        "complex transfer rows are not supported by the Pallas kernel "
+        "(the solver routes them to the blocked form)")
     o, m = z_re.shape
     s = time_profile.shape[-1]
     chunk = min(chunk, s)   # small blocks: one chunk spans the block

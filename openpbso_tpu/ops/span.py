@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coeffs import ModalBank, _power_table, round_up
-from .integrator import PRECISION
+from .integrator import PRECISION, _complex_weights
 
 
 @jax.tree_util.register_dataclass
@@ -266,6 +266,7 @@ def integrate_span(
     space_k: jax.Array,         # [O, K, M] per-slot modal amplitudes
     f_k: jax.Array,             # [O, K, N] per-slot effective profiles
     transfer: jax.Array,        # [O, M]
+    transfer_im: jax.Array | None = None,
 ):
     """Integrate one span. Returns (z_re', z_im', sound [O, N]).
 
@@ -282,7 +283,10 @@ def integrate_span(
         f"span tables built for {tables.span} samples, got {n}")
     if isinstance(tables, ChunkSpanTables):
         return _integrate_span_chunked(z_re, z_im, bank, tables, space_k,
-                                       f_k, transfer)
+                                       f_k, transfer, transfer_im)
+    if transfer_im is not None:
+        raise ValueError("complex transfer rows need the chunked span "
+                         "form (build_span_tables form='chunked')")
     if transfer.ndim == 3:
         raise ValueError("multi-listener transfer rows need the chunked "
                          "span form (build_span_tables form='chunked')")
@@ -335,7 +339,7 @@ def integrate_span(
 
 
 def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
-                            space_k, f_k, transfer):
+                            space_k, f_k, transfer, transfer_im=None):
     """FFT-free span: per-chunk force injection + chunk-state scan +
     cross-chunk hom, all matmul-shaped (see ChunkSpanTables).
 
@@ -357,23 +361,30 @@ def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
     multi = transfer.ndim == 3
     nl = transfer.shape[0] if multi else 1
     tmask = transfer * bank.mask
+    timask = None if transfer_im is None else transfer_im * bank.mask
     be_re = bank.b_re[:, None, :] * space_k            # [O, K, M]
     be_im = bank.b_im[:, None, :] * space_k
     if multi:
         # [O, L, M]: the only transpose in the multi path (L*O*M, small)
         tmask_t = jnp.swapaxes(tmask, 0, 1)
+        timask_t = None if timask is None else jnp.swapaxes(timask, 0, 1)
 
-    # short per-slot kernels g_k[d] = Im(B[d] t b e_k) . 1, d in [0, C)
+    # short per-slot kernels g_k[d] = Im(B[d] t b e_k) . 1, d in [0, C);
+    # complex transfers reshuffle the pre-products (_complex_weights)
     if multi:
-        tb_re = (tmask_t[:, :, None, :]
-                 * be_re[:, None, :, :]).reshape(o, nl * k, m)
-        tb_im = (tmask_t[:, :, None, :]
-                 * be_im[:, None, :, :]).reshape(o, nl * k, m)
+        w_pr, w_pi = _complex_weights(
+            tmask_t[:, :, None, :],
+            None if timask_t is None else timask_t[:, :, None, :],
+            be_re[:, None, :, :], be_im[:, None, :, :])
+        tb_pr = w_pr.reshape(o, nl * k, m)
+        tb_pi = w_pi.reshape(o, nl * k, m)
     else:
-        tb_re = tmask[:, None, :] * be_re              # [O, K, M]
-        tb_im = tmask[:, None, :] * be_im
-    g = (_contract_xr(tb_re, b_im[:, :c])
-         + _contract_xr(tb_im, b_re[:, :c]))           # [O, (L*)K, C]
+        tb_pr, tb_pi = _complex_weights(
+            tmask[:, None, :],
+            None if timask is None else timask[:, None, :],
+            be_re, be_im)
+    g = (_contract_xr(tb_pr, b_re[:, :c])
+         + _contract_xr(tb_pi, b_im[:, :c]))           # [O, (L*)K, C]
 
     # within-chunk causal conv: Toeplitz batched matmul, summed over slots
     fc = f_k.reshape(o, k, x, c)
@@ -413,20 +424,23 @@ def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
     zs_re = jnp.moveaxis(zs_re, 0, 1)                  # [O, X, M]
     zs_im = jnp.moveaxis(zs_im, 0, 1)
 
-    # cross-chunk hom from each chunk's start state: Im(B[1..C] z_x) . t
+    # cross-chunk hom from each chunk's start state: Im(B[1..C] t z_x)
     if multi:
-        wz_re = (tmask_t[:, :, None, :]
-                 * zs_re[:, None, :, :]).reshape(o, nl * x, m)
-        wz_im = (tmask_t[:, :, None, :]
-                 * zs_im[:, None, :, :]).reshape(o, nl * x, m)
-        hom = (_contract_xr(wz_im, b_re[:, 1:])
-               + _contract_xr(wz_re, b_im[:, 1:]))     # [O, L*X, C]
+        w_pr, w_pi = _complex_weights(
+            tmask_t[:, :, None, :],
+            None if timask_t is None else timask_t[:, :, None, :],
+            zs_re[:, None, :, :], zs_im[:, None, :, :])
+        hom = (_contract_xr(w_pr.reshape(o, nl * x, m), b_re[:, 1:])
+               + _contract_xr(w_pi.reshape(o, nl * x, m),
+                              b_im[:, 1:]))            # [O, L*X, C]
         sound = (hom.reshape(o, nl, x, c) + conv).reshape(o, nl, n)
     else:
-        wz_re = tmask[:, None, :] * zs_re
-        wz_im = tmask[:, None, :] * zs_im
-        hom = (_contract_xr(wz_im, b_re[:, 1:])
-               + _contract_xr(wz_re, b_im[:, 1:]))     # [O, X, C]
+        w_pr, w_pi = _complex_weights(
+            tmask[:, None, :],
+            None if timask is None else timask[:, None, :],
+            zs_re, zs_im)
+        hom = (_contract_xr(w_pr, b_re[:, 1:])
+               + _contract_xr(w_pi, b_im[:, 1:]))      # [O, X, C]
         sound = (hom + conv).reshape(o, n)
     return zr_f, zi_f, sound
 
@@ -477,6 +491,7 @@ def decay_span(
     bank: ModalBank,
     tables: SpanTables,
     transfer: jax.Array,
+    transfer_im: jax.Array | None = None,
 ):
     """Homogeneous-only span (scene ringing down, zero excitation).
 
@@ -486,6 +501,9 @@ def decay_span(
     """
     o, m = z_re.shape
     n = tables.span
+    if transfer_im is not None and not isinstance(tables, ChunkSpanTables):
+        raise ValueError("complex transfer rows need the chunked span "
+                         "form (build_span_tables form='chunked')")
     if isinstance(tables, ChunkSpanTables):
         c, x = tables.chunk, tables.n_chunks
         b_re, b_im = tables.b_re, tables.b_im
@@ -501,21 +519,27 @@ def decay_span(
             body, (z_re, z_im), None, length=x)
         zs_re = jnp.moveaxis(zs_re, 0, 1)              # [O, X, M]
         zs_im = jnp.moveaxis(zs_im, 0, 1)
+        timask = None if transfer_im is None else transfer_im * bank.mask
         if transfer.ndim == 3:                         # [L, O, M] listeners
             nl = transfer.shape[0]
             tmask_t = jnp.swapaxes(tmask, 0, 1)        # [O, L, M]
-            wz_re = (tmask_t[:, :, None, :]
-                     * zs_re[:, None, :, :]).reshape(o, nl * x, m)
-            wz_im = (tmask_t[:, :, None, :]
-                     * zs_im[:, None, :, :]).reshape(o, nl * x, m)
-            sound = (_contract_xr(wz_im, b_re[:, 1:])
-                     + _contract_xr(wz_re, b_im[:, 1:]))
+            timask_t = (None if timask is None
+                        else jnp.swapaxes(timask, 0, 1))
+            w_pr, w_pi = _complex_weights(
+                tmask_t[:, :, None, :],
+                None if timask_t is None else timask_t[:, :, None, :],
+                zs_re[:, None, :, :], zs_im[:, None, :, :])
+            sound = (_contract_xr(w_pr.reshape(o, nl * x, m), b_re[:, 1:])
+                     + _contract_xr(w_pi.reshape(o, nl * x, m),
+                                    b_im[:, 1:]))
             # [O, L, N]: listener axis inside (see _integrate_span_chunked)
             return zr_f, zi_f, sound.reshape(o, nl, n)
-        wz_re = tmask[:, None, :] * zs_re
-        wz_im = tmask[:, None, :] * zs_im
-        sound = (_contract_xr(wz_im, b_re[:, 1:])
-                 + _contract_xr(wz_re, b_im[:, 1:])).reshape(o, n)
+        w_pr, w_pi = _complex_weights(
+            tmask[:, None, :],
+            None if timask is None else timask[:, None, :],
+            zs_re, zs_im)
+        sound = (_contract_xr(w_pr, b_re[:, 1:])
+                 + _contract_xr(w_pi, b_im[:, 1:])).reshape(o, n)
         return zr_f, zi_f, sound
     if transfer.ndim == 3:
         raise ValueError("multi-listener transfer rows need the chunked "

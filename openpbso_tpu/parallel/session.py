@@ -188,6 +188,11 @@ class ShardedSession(ModalSession):
 
     # ----------------------------------------------------------- listener
 
+    def set_complex_transfer(self, t) -> None:
+        raise NotImplementedError(
+            "complex transfer rows on a mesh need a transfer_im "
+            "PartitionSpec (round-3 item); use a single-device session")
+
     def set_listener_relative(self, pos: np.ndarray) -> None:
         # the transfer row is computed replicated then placed onto the
         # mesh so the step's in_spec constraint is already satisfied.

@@ -320,12 +320,35 @@ class ModalSession:
             if pos.ndim == 1:
                 pos = jnp.broadcast_to(pos, (o, 3))
             transfer = compute_transfer(self.ffat, pos)
+        if self.state.transfer_im is not None:
+            # FFAT lookups are magnitude-only; a previously installed
+            # complex row's phase must not survive the move
+            self.state = dataclasses.replace(self.state, transfer_im=None)
         if self.config.smooth_transfer and self._xfade_from is None:
             # remember the outgoing row; the next block ramps to the new
             # one (repeated moves within one block keep the oldest start)
             self._xfade_from = self.state.transfer
         self.state = dataclasses.replace(
             self.state, transfer=transfer.astype(self._dtype))
+
+    def set_complex_transfer(self, t: np.ndarray) -> None:
+        """Install a COMPLEX transfer ([O, M] or [L, O, M] complex array):
+        the imaginary part applies per-mode PHASE — each mode is
+        narrowband, so phase = a time shift at that mode's frequency,
+        giving exact interaural time differences (and phase-accurate
+        complex FFAT) on the blocked/scan/span fast paths at no extra
+        matmul cost (ops/integrator._complex_weights).
+
+        Beyond-reference: the reference's runtime map reconstructs
+        magnitude only (|Psi|/kr, ffat_solver.h:899-906) even though its
+        1-shell map stores complex Psi. Install BEFORE warmup/start (the
+        complex row changes the jit signature); a later set_listener
+        (magnitude-only FFAT lookup) clears the phase."""
+        t = np.asarray(t)
+        self.state = dataclasses.replace(
+            self.state,
+            transfer=jnp.asarray(t.real, self._dtype),
+            transfer_im=jnp.asarray(t.imag, self._dtype))
 
     def set_use_transfer(self, use: bool) -> None:
         """Toggle FFAT transfer vs the 1E7 unit transfer

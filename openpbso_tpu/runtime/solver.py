@@ -120,9 +120,9 @@ def _step_block_impl(
         sus = state.sustained
         time_profile, space = time_imp, space_imp
 
-    if state.transfer.ndim == 3:
-        # shared-state multi-listener rows: the Pallas kernel has no
-        # listener axis; the blocked form handles [L, O, M] natively
+    if state.transfer.ndim == 3 or state.transfer_im is not None:
+        # shared-state multi-listener rows and complex transfers: the
+        # Pallas kernel supports neither; the blocked form handles both
         from ..ops.integrator import resolve_backend_name
         if resolve_backend_name(backend, bank) == "pallas":
             backend = "blocked"
@@ -130,11 +130,17 @@ def _step_block_impl(
         integrate = get_backend(backend, bank)
         z_re, z_im, sound, qnorm = integrate(
             state.z_re, state.z_im, bank, space, time_profile,
-            state.transfer, compute_qnorm)
+            state.transfer, compute_qnorm,
+            transfer_im=state.transfer_im)
     else:
         from ..ops.integrator import (resolve_backend_name,
                                       step_block_blocked_xfade,
                                       step_block_scan_xfade)
+        if state.transfer_im is not None:
+            raise NotImplementedError(
+                "smooth_transfer (xfade) with complex transfer rows is "
+                "not implemented; disable smooth_transfer or use real "
+                "rows")
         name = resolve_backend_name(backend, bank)
         fn = (step_block_scan_xfade if name == "scan"
               else step_block_blocked_xfade)  # pallas falls back to blocked
@@ -224,7 +230,8 @@ def decay_block(
     """
     from ..ops.integrator import decay_block_blocked
     z_re, z_im, sound, qnorm = decay_block_blocked(
-        state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
+        state.z_re, state.z_im, bank, state.transfer, compute_qnorm,
+        transfer_im=state.transfer_im)
     mix = _mixdown(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
@@ -390,7 +397,8 @@ def step_span(
         slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
     f_k, space_k = force_span(slots, state.block_start, n, block_size)
     z_re, z_im, sound = integrate_span(
-        state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer)
+        state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer,
+        transfer_im=state.transfer_im)
     mix = _mixdown_span(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,
@@ -413,7 +421,8 @@ def decay_span_step(
     from ..ops.span import decay_span
     n = n_blocks * block_size
     z_re, z_im, sound = decay_span(
-        state.z_re, state.z_im, bank, tables, state.transfer)
+        state.z_re, state.z_im, bank, tables, state.transfer,
+        transfer_im=state.transfer_im)
     mix = _mixdown_span(sound, gains)
     new_state = dataclasses.replace(
         state, z_re=z_re, z_im=z_im,

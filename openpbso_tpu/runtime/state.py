@@ -30,6 +30,14 @@ class SolverState:
     #   [L, O, M] per-listener rows sharing one oscillator state (sound is
     #   linear in the transfer, so L listeners cost L mode-reduces only)
     block_start: jax.Array     # [] int32 global sample index
+    transfer_im: jax.Array | None = None   # optional imaginary part: a
+    #   COMPLEX transfer t = re + i*im applies a per-mode PHASE as well as
+    #   a magnitude (sound_s = Im(t z_s) = re*Im(z) + im*Re(z)) — each
+    #   mode is narrowband, so a phase is a time shift at that mode's
+    #   frequency: exact interaural time differences (and phase-accurate
+    #   complex FFAT maps) at ZERO extra compute, because the blocked and
+    #   span forms already carry both P_re/P_im reduce channels and the
+    #   complex weights only change the elementwise pre-products.
 
     @property
     def num_objects(self) -> int:
