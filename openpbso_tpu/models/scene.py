@@ -44,6 +44,7 @@ class Scene:
                  shared_state: bool = True,
                  mesh=None,
                  smooth_transfer: bool = False,
+                 itd: bool = False,
                  dtype=None):
         """``binaural`` renders each logical object to two output channels
         (left/right ear) with independent FFAT lookups per ear — true
@@ -64,6 +65,13 @@ class Scene:
         object replicated into L solver rows), which also replicates the
         state, force, and table work L-fold; identical output, kept for
         the SPMD object-axis sharding path which shards solver rows.
+
+        ``itd``: multi-listener scenes derive per-mode interaural time
+        differences from the ear geometry on every listener move
+        (complex transfer rows; narrowband-exact — the FFAT magnitudes
+        already give the level differences, this adds the timing cue the
+        reference lacks entirely). Needs shared_state and is incompatible
+        with smooth_transfer (the xfade ramp is real-valued).
 
         ``mesh``: a jax.sharding.Mesh ('obj', 'mode') makes the scene
         multi-chip — the session becomes a ShardedSession
@@ -162,6 +170,14 @@ class Scene:
         # default binaural ear offsets (set_listener's ear_axis updates)
         ear = np.asarray((1.0, 0.0, 0.0)) * (self.ear_distance / 2)
         self._ear_offsets = np.stack([-ear, ear])
+        if itd:
+            if not self.shared_state:
+                raise ValueError("itd needs shared_state multi-listener "
+                                 "rows (binaural or listener_offsets)")
+            if smooth_transfer:
+                raise ValueError("itd is incompatible with smooth_transfer "
+                                 "(the transfer ramp is real-valued)")
+            self.session.auto_itd = True
         # engine/server listener events go through the bare session; the
         # installed frame maps their world positions into the scene's
         # per-object relative coordinates (Scene's own set_listener calls

@@ -143,6 +143,9 @@ class ModalSession:
         # listener events are scene-correct: the session's native frame is
         # per-object relative, the world has object positions)
         self.listener_frame = None
+        # multi-listener sessions with lam64: derive per-mode ITD phases
+        # from the listener geometry on every move (set_listener_relative)
+        self.auto_itd = False
 
     # ------------------------------------------------------------------ events
 
@@ -328,8 +331,30 @@ class ModalSession:
             # remember the outgoing row; the next block ramps to the new
             # one (repeated moves within one block keep the oldest start)
             self._xfade_from = self.state.transfer
-        self.state = dataclasses.replace(
-            self.state, transfer=transfer.astype(self._dtype))
+        transfer = transfer.astype(self._dtype)
+        if (self.auto_itd and self.num_listeners > 1
+                and self._lam64 is not None and pos.ndim == 3):
+            # interaural time differences from the geometry: listener l
+            # hears object o delayed by (r_lo - min_l r_lo)/c relative to
+            # the nearest ear; per-mode phase e^{-i theta_m d} IS that
+            # delay for a narrowband mode (theta = omega_d * h, so d is
+            # in samples; see set_complex_transfer)
+            from ..config import SAMPLE_RATE, SOUND_SPEED
+            r = np.linalg.norm(np.asarray(pos, np.float64), axis=-1)
+            d = (r - r.min(axis=0, keepdims=True))                 * (SAMPLE_RATE / SOUND_SPEED)            # [L, O] samples
+            theta = np.zeros((self.bank.num_objects, self.bank.num_modes))
+            lam = (np.broadcast_to(self._lam64,
+                                   (self.bank.num_objects,
+                                    self._lam64.shape[-1]))
+                   if self._lam64.shape[0] == 1 else self._lam64)
+            theta[:, : lam.shape[-1]] = np.angle(lam)
+            phase = jnp.asarray(theta[None] * d[:, :, None], self._dtype)
+            self.state = dataclasses.replace(
+                self.state,
+                transfer=transfer * jnp.cos(phase),
+                transfer_im=-transfer * jnp.sin(phase))
+            return
+        self.state = dataclasses.replace(self.state, transfer=transfer)
 
     def set_complex_transfer(self, t: np.ndarray) -> None:
         """Install a COMPLEX transfer ([O, M] or [L, O, M] complex array):
