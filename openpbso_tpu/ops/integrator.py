@@ -219,6 +219,24 @@ def _qnorm_blocked(bank, pr, pi, be_re, be_im, time_profile, z_re, z_im, s):
     return jnp.sqrt(jnp.sum(q * q, axis=-1)) * bank.mask
 
 
+def _xfade_rows(transfer_prev, transfer, transfer_prev_im, transfer_im,
+                mask):
+    """(t0_re, dt_re, t0_im|None, dt_im|None) for the ramped transfer.
+
+    A COMPLEX xfade ramps the real and imaginary rows independently —
+    the output is linear in both, so the ramped complex dot still splits
+    into two constant-weight renders. A side that lacks an imaginary row
+    ramps from/to zero phase (e.g. an ITD row fading in)."""
+    t0 = transfer_prev * mask
+    dt = (transfer - transfer_prev) * mask
+    if transfer_prev_im is None and transfer_im is None:
+        return t0, dt, None, None
+    pim = (jnp.zeros_like(transfer_prev) if transfer_prev_im is None
+           else transfer_prev_im)
+    nim = jnp.zeros_like(transfer) if transfer_im is None else transfer_im
+    return t0, dt, pim * mask, (nim - pim) * mask
+
+
 @partial(jax.jit, static_argnames=("compute_qnorm",))
 def step_block_scan_xfade(
     z_re: jax.Array,
@@ -229,6 +247,8 @@ def step_block_scan_xfade(
     transfer_prev: jax.Array,   # [O, M] transfer at the block start
     transfer: jax.Array,        # [O, M] transfer at the block end
     compute_qnorm: bool = False,
+    transfer_prev_im: jax.Array | None = None,
+    transfer_im: jax.Array | None = None,
 ):
     """scan backend with per-sample linear transfer interpolation.
 
@@ -236,13 +256,14 @@ def step_block_scan_xfade(
     computeTransfer consumes one listener update per block), which steps
     the output level discontinuously when the listener moves fast. Here
     the transfer row ramps linearly across the block:
-    t(s) = t_prev + (s+1)/S (t_new - t_prev).
+    t(s) = t_prev + (s+1)/S (t_new - t_prev). Complex rows (per-mode
+    phase, see _complex_weights) ramp re and im independently.
     """
     s = time_profile.shape[-1]
     be_re = bank.b_re * space
     be_im = bank.b_im * space
-    t0 = transfer_prev * bank.mask
-    dt = (transfer - transfer_prev) * bank.mask
+    t0, dt, t0i, dti = _xfade_rows(transfer_prev, transfer,
+                                   transfer_prev_im, transfer_im, bank.mask)
     ramp = (jnp.arange(1, s + 1, dtype=time_profile.dtype) / s)
 
     def body(carry, inp):
@@ -251,6 +272,8 @@ def step_block_scan_xfade(
         zr_n = bank.lam_re * zr - bank.lam_im * zi + be_re * f_s[:, None]
         zi_n = bank.lam_im * zr + bank.lam_re * zi + be_im * f_s[:, None]
         sound = jnp.sum((t0 + w * dt) * zi_n, axis=-1)
+        if t0i is not None:
+            sound = sound + jnp.sum((t0i + w * dti) * zr_n, axis=-1)
         out = (sound, zi_n * zi_n) if compute_qnorm else (sound, None)
         return (zr_n, zi_n), out
 
@@ -271,6 +294,8 @@ def step_block_blocked_xfade(
     transfer_prev: jax.Array,
     transfer: jax.Array,
     compute_qnorm: bool = False,
+    transfer_prev_im: jax.Array | None = None,
+    transfer_im: jax.Array | None = None,
 ):
     """Blocked backend with per-sample linear transfer interpolation.
 
@@ -278,8 +303,9 @@ def step_block_blocked_xfade(
     splits into two constant-weight renders:
     sound_s = <t_prev, q_s> + ramp_s <dt, q_s> — i.e. the standard hom/G
     machinery evaluated for both weight rows, plus one elementwise ramp.
-    The state update is transfer-independent and identical to
-    step_block_blocked.
+    Complex rows ramp re and im independently (the render is linear in
+    both channels, _complex_weights); the state update is
+    transfer-independent and identical to step_block_blocked.
     """
     s = time_profile.shape[-1]
     assert bank.pow_re is not None and bank.pow_re.shape[-1] == s + 1, (
@@ -287,18 +313,20 @@ def step_block_blocked_xfade(
     pr, pi = bank.pow_re, bank.pow_im
     be_re = bank.b_re * space
     be_im = bank.b_im * space
-    t0 = transfer_prev * bank.mask
-    dt = (transfer - transfer_prev) * bank.mask
+    t0, dt, t0i, dti = _xfade_rows(transfer_prev, transfer,
+                                   transfer_prev_im, transfer_im, bank.mask)
 
-    def render(w):
-        hom = (_mode_reduce(w * z_im, pr[..., 1:])
-               + _mode_reduce(w * z_re, pi[..., 1:]))
-        g = (_mode_reduce(w * be_re, pi[..., :s])
-             + _mode_reduce(w * be_im, pr[..., :s]))
+    def render(w, wi):
+        wz_pr, wz_pi = _complex_weights(w, wi, z_re, z_im)
+        hom = (_mode_reduce(wz_pr, pr[..., 1:])
+               + _mode_reduce(wz_pi, pi[..., 1:]))
+        wg_pr, wg_pi = _complex_weights(w, wi, be_re, be_im)
+        g = (_mode_reduce(wg_pi, pi[..., :s])
+             + _mode_reduce(wg_pr, pr[..., :s]))
         return hom + _causal_conv(g, time_profile)
 
     ramp = (jnp.arange(1, s + 1, dtype=time_profile.dtype) / s)
-    sound = render(t0) + ramp[None, :] * render(dt)
+    sound = render(t0, t0i) + ramp[None, :] * render(dt, dti)
 
     f_rev = time_profile[..., ::-1]
     c_re = _weighted_gather(pr[..., :s], f_rev)

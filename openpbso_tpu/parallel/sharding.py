@@ -39,23 +39,28 @@ def make_mesh(n_obj_shards: int, n_mode_shards: int = 1,
     return Mesh(grid, axis_names=("obj", "mode"))
 
 
-def state_specs(num_listeners: int = 1) -> SolverState:
+def state_specs(num_listeners: int = 1,
+                complex_rows: bool = False) -> SolverState:
     """PartitionSpecs for every SolverState leaf.
 
     ``num_listeners`` > 1: the transfer is [L, O, M] (shared-state
     multi-listener rows, runtime/state.py) — the listener axis replicates
-    while obj/mode shard as usual."""
+    while obj/mode shard as usual. ``complex_rows`` adds the transfer_im
+    spec (same layout as transfer: a complex row is just a second weight
+    channel, ops/integrator._complex_weights)."""
     from ..ops.forces import ForceSlots, SustainedState
     om = P("obj", "mode")
     o = P("obj")
+    tspec = om if num_listeners <= 1 else P(None, "obj", "mode")
     return SolverState(
         z_re=om, z_im=om,
         slots=ForceSlots(ftype=o, t0=o, width=o, amp=o,
                          space=P("obj", None, "mode")),
         sustained=SustainedState(
             active=o, space=om, ar_hist=o, a=o, sigma=o, mu=o, key=o),
-        transfer=(om if num_listeners <= 1 else P(None, "obj", "mode")),
+        transfer=tspec,
         block_start=P(),
+        transfer_im=(tspec if complex_rows else None),
     )
 
 
@@ -82,13 +87,15 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
                       compute_qnorm: bool = False,
                       with_sustained: bool = True,
                       num_slots: int | None = None,
-                      num_listeners: int = 1):
+                      num_listeners: int = 1,
+                      complex_rows: bool = False):
     """Build a jitted SPMD block step over ``mesh``.
 
     Returns ``step(state, bank, gains) -> (state', sound, mix, qnorm)`` where
     per-shard object/mode rows integrate locally and the stereo mix is
     psum-reduced over both mesh axes. ``with_sustained``/``num_slots`` are
-    the host-gated dead-work flags (runtime/solver.py).
+    the host-gated dead-work flags (runtime/solver.py); ``complex_rows``
+    declares the state carries a transfer_im leaf (complex transfer).
     """
     from ..runtime.solver import _step_block_impl
 
@@ -102,10 +109,10 @@ def make_sharded_step(mesh: Mesh, bank: ModalBank, *,
                                 with_sustained=with_sustained,
                                 num_slots=num_slots)
 
-    specs_in = (state_specs(num_listeners), bank_specs(bank),
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
                 P("obj", None))
-    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
-                 P(), None)
+    specs_out = (state_specs(num_listeners, complex_rows),
+                 _sound_spec(num_listeners), P(), None)
     if compute_qnorm:
         specs_out = specs_out[:3] + (P("obj", "mode"),)
 
@@ -120,28 +127,34 @@ def make_sharded_xfade_step(mesh: Mesh, bank: ModalBank, *,
                             compute_qnorm: bool = False,
                             with_sustained: bool = True,
                             num_slots: int | None = None,
-                            num_listeners: int = 1):
+                            num_listeners: int = 1,
+                            complex_rows: bool = False):
     """SPMD transfer-ramp block step (runtime/solver.py::step_block_xfade):
     the transfer interpolates linearly from ``transfer_prev`` to
     state.transfer across the block after a listener move.
 
-    Returns ``step(state, bank, gains, transfer_prev) -> (...)``.
+    Returns ``step(state, bank, gains, transfer_prev) -> (...)`` — with
+    ``complex_rows``, ``step(state, bank, gains, transfer_prev,
+    transfer_prev_im)`` (both channels ramp, ops/integrator._xfade_rows).
     """
     from ..runtime.solver import _step_block_impl
 
-    def local_step(state, bank, gains, transfer_prev):
+    def local_step(state, bank, gains, transfer_prev,
+                   transfer_prev_im=None):
         return _step_block_impl(state, bank, gains, block_size, backend,
                                 compute_qnorm, mode_axis="mode",
                                 obj_axis="obj",
                                 transfer_prev=transfer_prev,
                                 with_sustained=with_sustained,
-                                num_slots=num_slots)
+                                num_slots=num_slots,
+                                transfer_prev_im=transfer_prev_im)
 
     tspec = (P("obj", "mode") if num_listeners <= 1
              else P(None, "obj", "mode"))
-    specs_in = (state_specs(num_listeners), bank_specs(bank),
-                P("obj", None), tspec)
-    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
+                P("obj", None), tspec) + ((tspec,) if complex_rows else ())
+    specs_out = (state_specs(num_listeners, complex_rows),
+                 _sound_spec(num_listeners),
                  P(), P("obj", "mode") if compute_qnorm else None)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
@@ -153,7 +166,8 @@ def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
                        backend: str = "blocked",
                        with_sustained: bool = True,
                        num_slots: int | None = None,
-                       num_listeners: int = 1):
+                       num_listeners: int = 1,
+                       complex_rows: bool = False):
     """SPMD multi-block scan: n_blocks per dispatch, one [S,C] psum per
     block riding ICI (the only cross-chip traffic).
 
@@ -171,9 +185,9 @@ def make_sharded_multi(mesh: Mesh, bank: ModalBank, *, n_blocks: int,
         state, mixes = jax.lax.scan(body, state, None, length=n_blocks)
         return state, mixes.reshape(n_blocks * block_size, -1)
 
-    specs_in = (state_specs(num_listeners), bank_specs(bank),
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
                 P("obj", None))
-    specs_out = (state_specs(num_listeners), P())
+    specs_out = (state_specs(num_listeners, complex_rows), P())
     sharded = jax.shard_map(local_multi, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -199,33 +213,52 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
                       block_size: int = DEFAULT_BLOCK,
                       num_slots: int | None = None,
                       decay: bool = False,
-                      num_listeners: int = 1):
+                      num_listeners: int = 1,
+                      complex_rows: bool = False,
+                      with_sustained: bool = False,
+                      ar_g_shared: bool = True):
     """SPMD span dispatch (ops/span.py): N = n_blocks*S samples per
     dispatch with ONE [N, C] psum over the mesh — the minimum possible
     cross-chip traffic per second of audio.
 
     The mode-sharded hom/g partial sums stay partial through the (linear)
     causal convolution and are reduced together with the object-axis mix
-    sum. Returns ``step(state, bank, tables, gains) -> (state', mix)``.
+    sum. Returns ``step(state, bank, tables, gains) -> (state', mix)``;
+    with ``with_sustained``, ``step(state, bank, tables, gains, ar_g)``
+    (the host AR impulse table, replicated when ``ar_g_shared`` else
+    obj-sharded) — the sustained AR(2) channel is entirely per-object
+    (keys, history, profile), so it shards with no extra communication.
     """
-    from ..ops.forces import force_span
+    from ..ops.forces import force_span, sustained_span
     from ..ops.span import decay_span, integrate_span
     from ..runtime.solver import _mixdown_span
     n = n_blocks * block_size
 
-    def local_span(state, bank, tables, gains):
+    def local_span(state, bank, tables, gains, ar_g=None):
         if decay:
             z_re, z_im, sound = decay_span(
-                state.z_re, state.z_im, bank, tables, state.transfer)
+                state.z_re, state.z_im, bank, tables, state.transfer,
+                transfer_im=state.transfer_im)
         else:
             slots = state.slots
             if num_slots is not None and num_slots < slots.ftype.shape[1]:
                 slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
             f_k, space_k = force_span(slots, state.block_start, n,
                                       block_size)
+            sus = state.sustained
+            if with_sustained:
+                sus, prof, space_sus = sustained_span(
+                    state.sustained, ar_g, n_blocks, block_size)
+                gate = sus.active[:, None].astype(f_k.dtype)
+                f_k = jnp.concatenate(
+                    [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
+                space_k = jnp.concatenate(
+                    [space_k * (1 - gate)[..., None],
+                     space_sus[:, None, :]], axis=1)
             z_re, z_im, sound = integrate_span(
                 state.z_re, state.z_im, bank, tables, space_k, f_k,
-                state.transfer)
+                state.transfer, transfer_im=state.transfer_im)
+            state = dataclasses.replace(state, sustained=sus)
         # the mix is linear in sound, so the mode-partial sound reduces
         # AFTER the mixdown: ONE [N, C] psum over both axes instead of
         # psumming the full [O, (L,) N] sound tensor over 'mode' (O-fold
@@ -237,9 +270,15 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
             block_start=state.block_start + n)
         return new_state, mix.astype(jnp.float32)
 
-    specs_in = (state_specs(num_listeners), bank_specs(bank),
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
                 span_table_specs(tables), P("obj", None))
-    specs_out = (state_specs(num_listeners), P())
+    if with_sustained:
+        # the mode axis of sustained_span's spatial gate lives in
+        # state.sustained.space (already obj x mode sharded); ar_g's mode
+        # axis is the AR lag, replicated over 'mode'
+        specs_in = specs_in + (
+            P(None, None) if ar_g_shared else P("obj", None),)
+    specs_out = (state_specs(num_listeners, complex_rows), P())
     sharded = jax.shard_map(local_span, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
     return jax.jit(sharded)
@@ -254,7 +293,8 @@ def shard_span_tables(mesh: Mesh, tables):
 def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
                             block_size: int = DEFAULT_BLOCK,
                             compute_qnorm: bool = False,
-                            num_listeners: int = 1):
+                            num_listeners: int = 1,
+                            complex_rows: bool = False):
     """SPMD variant of the idle-scene decay step (solver.decay_block).
 
     Same host gating contract as the single-chip path: dispatch only when
@@ -267,7 +307,8 @@ def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
 
     def local_step(state: SolverState, bank: ModalBank, gains: jax.Array):
         z_re, z_im, sound, qnorm = decay_block_blocked(
-            state.z_re, state.z_im, bank, state.transfer, compute_qnorm)
+            state.z_re, state.z_im, bank, state.transfer, compute_qnorm,
+            transfer_im=state.transfer_im)
         sound = jax.lax.psum(sound, "mode")
         # _mixdown pins full-f32 precision (the MXU default is one bf16
         # pass, -52.6 dB, below the -60 dB oracle contract) and handles
@@ -279,9 +320,10 @@ def make_sharded_decay_step(mesh: Mesh, bank: ModalBank, *,
             block_start=state.block_start + block_size)
         return new_state, sound, mix.astype(jnp.float32), qnorm
 
-    specs_in = (state_specs(num_listeners), bank_specs(bank),
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
                 P("obj", None))
-    specs_out = (state_specs(num_listeners), _sound_spec(num_listeners),
+    specs_out = (state_specs(num_listeners, complex_rows),
+                 _sound_spec(num_listeners),
                  P(), P("obj", "mode") if compute_qnorm else None)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=specs_in,
                             out_specs=specs_out, check_vma=False)
@@ -296,7 +338,7 @@ def _put(mesh: Mesh, x, spec):
 
 def shard_state(mesh: Mesh, state: SolverState) -> SolverState:
     nl = state.transfer.shape[0] if state.transfer.ndim == 3 else 1
-    specs = state_specs(nl)
+    specs = state_specs(nl, complex_rows=state.transfer_im is not None)
     return jax.tree.map(lambda x, s: _put(mesh, x, s), state, specs,
                         is_leaf=lambda x: x is None)
 

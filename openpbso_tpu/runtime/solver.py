@@ -88,6 +88,7 @@ def _step_block_impl(
     transfer_prev: jax.Array | None = None,
     with_sustained: bool = True,
     num_slots: int | None = None,
+    transfer_prev_im: jax.Array | None = None,
 ):
     """Core block step; ``mode_axis``/``obj_axis`` name shard_map mesh axes
     to psum partial results over (used by parallel/sharding.py so the SPMD
@@ -136,17 +137,14 @@ def _step_block_impl(
         from ..ops.integrator import (resolve_backend_name,
                                       step_block_blocked_xfade,
                                       step_block_scan_xfade)
-        if state.transfer_im is not None:
-            raise NotImplementedError(
-                "smooth_transfer (xfade) with complex transfer rows is "
-                "not implemented; disable smooth_transfer or use real "
-                "rows")
         name = resolve_backend_name(backend, bank)
         fn = (step_block_scan_xfade if name == "scan"
               else step_block_blocked_xfade)  # pallas falls back to blocked
         z_re, z_im, sound, qnorm = fn(
             state.z_re, state.z_im, bank, space, time_profile,
-            transfer_prev, state.transfer, compute_qnorm)
+            transfer_prev, state.transfer, compute_qnorm,
+            transfer_prev_im=transfer_prev_im,
+            transfer_im=state.transfer_im)
     if mode_axis is not None:
         # each mode shard contributed a partial transfer dot
         sound = jax.lax.psum(sound, mode_axis)
@@ -196,16 +194,20 @@ def step_block_xfade(
     compute_qnorm: bool = False,
     with_sustained: bool = True,
     num_slots: int | None = None,
+    transfer_prev_im: jax.Array | None = None,
 ) -> tuple[SolverState, jax.Array, jax.Array, jax.Array | None]:
     """One block with the transfer ramping linearly from ``transfer_prev``
     to ``state.transfer`` — dispatched by the session for the single block
     after a listener move when SolverConfig.smooth_transfer is on, removing
     the per-block level step ("zipper") of the reference's block-constant
-    transfer (modal_solver.h:286-300)."""
+    transfer (modal_solver.h:286-300). Complex rows ramp re and im
+    independently (``transfer_prev_im`` is the outgoing imaginary row,
+    None = zero phase)."""
     return _step_block_impl(state, bank, gains, block_size, backend,
                             compute_qnorm, transfer_prev=transfer_prev,
                             with_sustained=with_sustained,
-                            num_slots=num_slots)
+                            num_slots=num_slots,
+                            transfer_prev_im=transfer_prev_im)
 
 
 @partial(jax.jit, static_argnames=("block_size", "compute_qnorm"))
@@ -358,7 +360,8 @@ def step_multi_transfers_sound(
     return state, sound
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots"))
+@partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots",
+                                   "with_sustained"))
 def step_span(
     state: SolverState,
     bank: ModalBank,
@@ -368,6 +371,8 @@ def step_span(
     n_blocks: int,
     block_size: int = DEFAULT_BLOCK,
     num_slots: int | None = None,
+    with_sustained: bool = False,
+    ar_g: jax.Array | None = None,   # [Og, S+1] host AR impulse table
 ) -> tuple[SolverState, jax.Array]:
     """Advance n_blocks in ONE dispatch with no serial dependency at all.
 
@@ -383,27 +388,95 @@ def step_span(
     ``num_slots`` statically slices the force-slot table to its first k
     slots (host-maintained active count): per-slot work scales with k.
 
-    Caller contract: the sustained channel must be inactive (the AR(2)
-    channel is a per-sample serial recurrence; ModalSession gates on its
-    host mirror and falls back to step_multi). The transfer is constant
-    across the span, like the reference's block-constant transfer held
-    over a lookahead batch. Returns (state', mix [N, C]).
+    ``with_sustained=True`` adds the sustained AR(2) channel as ONE extra
+    span slot: ops/forces.py::sustained_span factors the AR recurrence
+    over the whole span (bitwise the per-block noise stream), and per the
+    reference's replace-semantics (modal_solver.h:195-204) the slot
+    channels of sustained-active objects are gated off. ``ar_g`` is the
+    host AR impulse table (ar_impulse_g); required when with_sustained.
+    The transfer is constant across the span, like the reference's
+    block-constant transfer held over a lookahead batch.
+    Returns (state', mix [N, C]).
     """
-    from ..ops.forces import force_span
+    from ..ops.forces import force_span, sustained_span
     from ..ops.span import integrate_span
     n = n_blocks * block_size
     slots = state.slots
     if num_slots is not None and num_slots < slots.num_slots:
         slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
     f_k, space_k = force_span(slots, state.block_start, n, block_size)
+    sus = state.sustained
+    if with_sustained:
+        sus, prof, space_sus = sustained_span(
+            state.sustained, ar_g, n_blocks, block_size)
+        gate = sus.active[:, None].astype(f_k.dtype)       # [O, 1]
+        f_k = jnp.concatenate(
+            [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
+        space_k = jnp.concatenate(
+            [space_k * (1 - gate)[..., None], space_sus[:, None, :]], axis=1)
     z_re, z_im, sound = integrate_span(
         state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer,
         transfer_im=state.transfer_im)
     mix = _mixdown_span(sound, gains)
     new_state = dataclasses.replace(
-        state, z_re=z_re, z_im=z_im,
+        state, z_re=z_re, z_im=z_im, sustained=sus,
         block_start=state.block_start + n)
     return new_state, mix.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots",
+                                   "with_sustained", "idle"))
+def step_span_sound(
+    state: SolverState,
+    bank: ModalBank,
+    tables,
+    *,
+    n_blocks: int,
+    block_size: int = DEFAULT_BLOCK,
+    num_slots: int | None = None,
+    with_sustained: bool = False,
+    ar_g: jax.Array | None = None,
+    idle: bool = False,
+) -> tuple[SolverState, jax.Array]:
+    """step_span returning the raw per-object sound instead of the mix:
+    (state', sound [O, N]).
+
+    Feeds post-mix stages that consume per-object signals over a whole
+    span in one shot — the HRTF frequency-domain mix is length-agnostic
+    (ops/hrtf.py::hrtf_mix_span), so broadband-binaural streams ride the
+    span dispatch instead of paying per-block rates (round-2 VERDICT
+    item 4). ``idle=True`` is the ring-down fast path (decay_span)."""
+    from ..ops.forces import force_span, sustained_span
+    from ..ops.span import decay_span, integrate_span
+    n = n_blocks * block_size
+    if idle:
+        z_re, z_im, sound = decay_span(
+            state.z_re, state.z_im, bank, tables, state.transfer,
+            transfer_im=state.transfer_im)
+        new_state = dataclasses.replace(
+            state, z_re=z_re, z_im=z_im,
+            block_start=state.block_start + n)
+        return new_state, sound
+    slots = state.slots
+    if num_slots is not None and num_slots < slots.num_slots:
+        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
+    f_k, space_k = force_span(slots, state.block_start, n, block_size)
+    sus = state.sustained
+    if with_sustained:
+        sus, prof, space_sus = sustained_span(
+            state.sustained, ar_g, n_blocks, block_size)
+        gate = sus.active[:, None].astype(f_k.dtype)
+        f_k = jnp.concatenate(
+            [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
+        space_k = jnp.concatenate(
+            [space_k * (1 - gate)[..., None], space_sus[:, None, :]], axis=1)
+    z_re, z_im, sound = integrate_span(
+        state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer,
+        transfer_im=state.transfer_im)
+    new_state = dataclasses.replace(
+        state, z_re=z_re, z_im=z_im, sustained=sus,
+        block_start=state.block_start + n)
+    return new_state, sound
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "block_size"))

@@ -206,3 +206,85 @@ def test_scene_binaural_itd(synth_model_root):
     lag = int(np.argmax(xc)) - (len(a) - 1)
     expected = ear_distance / 343.0 * SAMPLE_RATE   # ~51 samples
     assert abs(lag - expected) < 4, (lag, expected)
+
+
+def test_complex_xfade_is_linear_ramp():
+    """smooth_transfer with COMPLEX rows (round-3): the ramped block obeys
+    the linear identity sound = (1-r)*render(t0) + r*render(t1) exactly
+    (both channels ramp independently, ops/integrator._xfade_rows)."""
+    rng = np.random.default_rng(11)
+
+    def build():
+        sess, md, _ = _session(backend="blocked")
+        sess.config = dataclasses.replace(sess.config, smooth_transfer=True)
+        return sess, md
+
+    m_all = _session()[0].bank.num_modes
+    t0 = (rng.uniform(0.5, 2.0, (2, m_all))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (2, m_all))))
+    t1 = (rng.uniform(0.5, 2.0, (2, m_all))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi, (2, m_all))))
+    space = rng.standard_normal(10)
+
+    # ramped session: install t0, ring for 2 blocks, then move to t1
+    sess, md = build()
+    sess.set_complex_transfer(t0)
+    sess.hit(0, space, kind="gaussian", width_us=400.0)
+    for _ in range(2):
+        sess.step()
+    state_before = sess.state
+    sess.set_complex_transfer(t1)          # smooth: next block ramps
+    assert sess._xfade_from is not None
+    _, mix_ramp, _ = sess.step()
+    mix_ramp = np.asarray(mix_ramp)
+
+    # constant-row references from the SAME pre-move state
+    refs = {}
+    for name, t in (("t0", t0), ("t1", t1)):
+        s2, _ = build()
+        s2.state = state_before
+        s2._clock = 2 * S
+        # copy the host slot mirrors: without them the fresh session would
+        # prove itself idle and dispatch the decay path while the gaussian
+        # is still producing
+        s2._expiry[...] = sess._expiry
+        s2._t0[...] = sess._t0
+        s2.set_complex_transfer(t)
+        s2._xfade_from = None              # constant-row block
+        _, mix, _ = s2.step()
+        refs[name] = np.asarray(mix)
+    r = ((np.arange(1, S + 1) / S)[:, None]).astype(np.float32)
+    expect = (1 - r) * refs["t0"] + r * refs["t1"]
+    db = _db(mix_ramp - expect, expect)
+    assert db <= -100, f"{db:.1f} dB"
+
+
+def test_scene_itd_with_smooth_transfer(synth_model_root):
+    """Scene(itd=True, smooth_transfer=True) composes since round 3: a
+    listener move during a binaural ITD stream ramps BOTH channels and
+    keeps the interaural lag of the new geometry."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+
+    model = load_model(resolve_model_dir(synth_model_root, "synth"))
+    ear_distance = 0.4
+    sc = Scene([SceneInstance(model, np.zeros(3))], block_size=S,
+               backend="blocked", binaural=True,
+               ear_distance=ear_distance, itd=True, smooth_transfer=True,
+               dtype=jnp.float32)
+    sc.set_listener(np.asarray([3.0, 0.0, 0.0]))
+    sc.hit(0, 3, kind="gaussian", width_us=400.0)
+    mix = sc.render(6)
+    assert np.isfinite(mix).all() and np.abs(mix).max() > 0
+    # move mid-stream: the next block is the complex xfade
+    sc.set_listener(np.asarray([0.0, 3.0, 0.0]))
+    assert sc.session._xfade_from is not None
+    mix2 = sc.render(18)
+    assert np.isfinite(mix2).all()
+    # after the move the listener sits on +y: the ear axis (+x) is
+    # symmetric, so the interaural lag collapses to ~0
+    a, b = mix2[S:, 0], mix2[S:, 1]
+    xc = np.correlate(b, a, mode="full")
+    lag = int(np.argmax(xc)) - (len(a) - 1)
+    assert abs(lag) <= 2, lag

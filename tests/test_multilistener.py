@@ -273,3 +273,37 @@ def test_scene_render_doppler(scene_model):
     n_delay = int(r / SOUND_SPEED * SAMPLE_RATE)
     assert np.abs(audio[: n_delay - 1]).max() == 0.0
     assert np.abs(audio).max() > 0.0
+
+
+def test_scene_render_moving_multi_listener(scene_model):
+    """Multi-listener (binaural) render_moving (round-3): the [T, L, O, M]
+    schedule matches stepping the scene with set_listener per block."""
+    mk = lambda: Scene(  # noqa: E731
+        [SceneInstance(scene_model, np.asarray([0.0, 0.0, 0.0])),
+         SceneInstance(scene_model, np.asarray([1.0, 0.2, 0.0]))],
+        block_size=S, backend="blocked", binaural=True,
+        ear_distance=0.3, dtype=jnp.float32)
+    t_blocks = 5
+    path = np.stack([np.linspace(0.6, 1.4, t_blocks),
+                     np.full(t_blocks, 0.3),
+                     np.linspace(0.1, -0.3, t_blocks)], axis=1)
+    a = mk()
+    assert a.num_listeners == 2
+    a.hit(0, 3, kind="gaussian", width_us=600.0)
+    got = a.render_moving(path, smooth=False)
+    assert got.shape == (t_blocks * S, 2)
+    b = mk()
+    b.hit(0, 3, kind="gaussian", width_us=600.0)
+    chunks = []
+    for t in range(t_blocks):
+        b.set_listener(path[t])
+        _, mix, _ = b.step()
+        chunks.append(np.asarray(mix))
+    ref = np.concatenate(chunks, axis=0)
+    db = _db(got - ref, ref)
+    assert db <= -100, f"{db:.1f} dB"
+    # smooth (ramped) variant runs and stays finite with L rows too
+    c = mk()
+    c.hit(0, 3, kind="gaussian", width_us=600.0)
+    sm = c.render_moving(path, smooth=True)
+    assert np.isfinite(sm).all() and np.abs(sm).max() > 0

@@ -243,3 +243,71 @@ def test_scene_on_mesh(dberr):
     got = sharded.render_multi(10, blocks_per_dispatch=5)
     want = single.render_multi(10, blocks_per_dispatch=5)
     assert dberr(got, want) <= -100.0
+
+
+def test_sharded_complex_rows(dberr):
+    """Complex transfer rows on the mesh (round-2 VERDICT gap 3): install,
+    step, span, and decay all match the single-device session."""
+    sh, ref, m = _pair((2, 4))
+    rng = np.random.default_rng(21)
+    mm = sh.bank.num_modes
+    t = (rng.uniform(0.5, 2.0, (sh.bank.num_objects, mm))
+         * np.exp(1j * rng.uniform(-np.pi, np.pi,
+                                   (sh.bank.num_objects, mm))))
+    for s in (sh, ref):
+        s.set_complex_transfer(t)
+        s.hit(1, np.linspace(0.3, 1.0, m), kind="gaussian", width_us=300.0)
+    assert sh.state.transfer_im is not None
+    a = np.concatenate([np.asarray(sh.step()[1]) for _ in range(3)])
+    b = np.concatenate([np.asarray(ref.step()[1]) for _ in range(3)])
+    assert dberr(a, b) <= -100
+    a = sh.render_multi(8, blocks_per_dispatch=4)    # span incl. decay
+    b = ref.render_multi(8, blocks_per_dispatch=4)
+    assert dberr(a, b) <= -100
+
+
+def test_sharded_complex_xfade(dberr):
+    """smooth_transfer with complex rows on the mesh: a mid-stream
+    set_complex_transfer ramps both channels, matching single-device."""
+    sh, ref, m = _pair((4, 2), smooth=True)
+    rng = np.random.default_rng(22)
+    mm = sh.bank.num_modes
+    t0 = (rng.uniform(0.5, 2.0, (sh.bank.num_objects, mm))
+          * np.exp(1j * rng.uniform(-np.pi, np.pi,
+                                    (sh.bank.num_objects, mm))))
+    t1 = t0 * np.exp(1j * rng.uniform(-1.0, 1.0,
+                                      (sh.bank.num_objects, mm)))
+    for s in (sh, ref):
+        s.set_complex_transfer(t0)
+        s.hit(0, np.linspace(0.2, 1.0, m), kind="gaussian", width_us=200.0)
+        s.step()
+        s.set_complex_transfer(t1)
+        assert s._xfade_from is not None
+    a = np.concatenate([np.asarray(sh.step()[1]) for _ in range(2)])
+    b = np.concatenate([np.asarray(ref.step()[1]) for _ in range(2)])
+    assert dberr(a, b) <= -100
+
+
+def test_sharded_sustained_span(dberr):
+    """The sustained AR(2) channel rides the mesh span (round-3): same
+    noise chain per object shard, parity with the single-device span."""
+    sh, ref, m = _pair((8, 1))
+    rng = np.random.default_rng(23)
+    sus_space = rng.standard_normal(m)
+    for s in (sh, ref):
+        s.sustained_start(2, sus_space)
+        s.sustained_start(5, np.linspace(-1, 1, m))
+        s.hit(0, np.linspace(0.2, 1.0, m), kind="gaussian", width_us=300.0)
+    assert sh.span_eligible() and ref.span_eligible()
+    a = sh.render_multi(8, blocks_per_dispatch=4)
+    b = ref.render_multi(8, blocks_per_dispatch=4)
+    assert dberr(a, b) <= -60
+    # AR history/keys advanced coherently on the mesh
+    np.testing.assert_array_equal(np.asarray(sh.state.sustained.key),
+                                  np.asarray(ref.state.sustained.key))
+    # and the per-block path continues identically afterwards
+    for s in (sh, ref):
+        s.sustained_end(2)
+    a2 = np.concatenate([np.asarray(sh.step()[1]) for _ in range(2)])
+    b2 = np.concatenate([np.asarray(ref.step()[1]) for _ in range(2)])
+    assert dberr(a2, b2) <= -60

@@ -1,0 +1,236 @@
+"""Sustained AR(2) channel on the span path (round-3).
+
+Contract: step_span(with_sustained=True) over N = n_blocks * S samples must
+match running step_block (with_sustained=True) n_blocks times — the noise
+stream is bitwise identical by construction (sustained_span replays the
+exact per-block key-split chain), so the only difference is float rounding
+of the factored AR evaluation and the span integrator (<= -60 dB).
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpbso_tpu.config import SAMPLE_RATE
+from openpbso_tpu.ops.coeffs import bank_from_material, lambda_from_modes
+from openpbso_tpu.ops.forces import (ar_impulse_g, make_sustained_state,
+                                     sustained_block, sustained_span)
+from openpbso_tpu.ops.span import build_span_tables
+from openpbso_tpu.runtime.solver import step_block, step_span
+from openpbso_tpu.runtime.state import make_solver_state
+from openpbso_tpu.utils.oracle import OracleARForce
+from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+S = 64
+
+
+def _scene(o=4, m=10, seed=3):
+    """Shared bank + state with sustained active on objects 0,2 and an
+    impact slot planted on objects 0,1 (object 0 exercises the gating)."""
+    md = synth_mode_data(m, 8, seed=11)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=o,
+                              block_size=S, dtype=jnp.float32)
+    state = make_solver_state(o, bank.num_modes, num_slots=4, seed=seed)
+    rng = np.random.default_rng(seed)
+    slots = state.slots
+    slots = dataclasses.replace(
+        slots,
+        ftype=slots.ftype.at[0, 0].set(2).at[1, 0].set(2),
+        width=slots.width.at[:, 0].set(9.0),
+        space=slots.space.at[0, 0, :].set(
+            jnp.asarray(rng.standard_normal(bank.num_modes), jnp.float32))
+        .at[1, 0, :].set(
+            jnp.asarray(rng.standard_normal(bank.num_modes), jnp.float32)))
+    sus = state.sustained
+    sus = dataclasses.replace(
+        sus,
+        active=sus.active.at[0].set(True).at[2].set(True),
+        space=sus.space.at[0, :4].set(
+            jnp.asarray(rng.standard_normal(4), jnp.float32))
+        .at[2, :4].set(jnp.asarray(rng.standard_normal(4), jnp.float32)))
+    transfer = jnp.asarray(rng.uniform(0.5, 2.0, (o, bank.num_modes)),
+                           jnp.float32)
+    state = dataclasses.replace(state, slots=slots, sustained=sus,
+                                transfer=transfer)
+    return bank, lam64, state
+
+
+@pytest.mark.parametrize("n_blocks", [4, 8])
+def test_sustained_span_matches_block_sequence(n_blocks, dberr):
+    bank, lam64, state = _scene()
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), S), jnp.float32)
+
+    st = state
+    ref = []
+    for _ in range(n_blocks):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=S,
+                                   backend="blocked", with_sustained=True)
+        ref.append(np.asarray(mix))
+    ref = np.concatenate(ref, axis=0)
+
+    tables = build_span_tables(lam64, n_blocks * S,
+                               num_modes=bank.num_modes)
+    st2, mix2 = step_span(state, bank, tables, gains, n_blocks=n_blocks,
+                          block_size=S, with_sustained=True, ar_g=ar_g)
+    assert dberr(np.asarray(mix2), ref) <= -60.0
+    # the key chain advanced identically (bitwise) and the AR history of
+    # active objects agrees to float noise
+    np.testing.assert_array_equal(np.asarray(st2.sustained.key),
+                                  np.asarray(st.sustained.key))
+    np.testing.assert_allclose(np.asarray(st2.sustained.ar_hist),
+                               np.asarray(st.sustained.ar_hist),
+                               rtol=0, atol=1e-5)
+    # oscillator state continues correctly: one more block from each path
+    stb, _, mb, _ = step_block(st, bank, gains, block_size=S,
+                               backend="blocked", with_sustained=True)
+    sts, _, ms, _ = step_block(st2, bank, gains, block_size=S,
+                               backend="blocked", with_sustained=True)
+    assert dberr(np.asarray(ms), np.asarray(mb)) <= -60.0
+
+
+def test_sustained_span_gates_slots(dberr):
+    """Reference replace-semantics: while sustained is active, an object's
+    slot forces are NOT accumulated (modal_solver.h:195-204)."""
+    bank, lam64, state = _scene()
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), S), jnp.float32)
+    tables = build_span_tables(lam64, 4 * S, num_modes=bank.num_modes)
+    _, mix = step_span(state, bank, tables, gains, n_blocks=4,
+                       block_size=S, with_sustained=True, ar_g=ar_g)
+    # zero object 0's slot explicitly: output must be identical (its slot
+    # was already gated off by the active sustained channel)
+    slots = state.slots
+    state2 = dataclasses.replace(
+        state, slots=dataclasses.replace(
+            slots, ftype=slots.ftype.at[0, 0].set(0)))
+    _, mix2 = step_span(state2, bank, tables, gains, n_blocks=4,
+                        block_size=S, with_sustained=True, ar_g=ar_g)
+    np.testing.assert_array_equal(np.asarray(mix), np.asarray(mix2))
+
+
+def test_sustained_span_per_object_ar(dberr):
+    """Per-object AR tunings ([O, S+1] impulse tables) span-match the
+    per-block path after a retune."""
+    bank, lam64, state = _scene()
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    o = bank.num_objects
+    a_host = np.tile(np.asarray([[0.783, 0.116]]), (o, 1))
+    a_host[2] = (0.9, 0.05)
+    sus = state.sustained
+    state = dataclasses.replace(
+        state, sustained=dataclasses.replace(
+            sus, a=jnp.asarray(a_host, jnp.float32)))
+    ar_g = jnp.asarray(ar_impulse_g(a_host, S), jnp.float32)
+    assert ar_g.shape == (o, S + 1)
+
+    st = state
+    ref = []
+    for _ in range(6):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=S,
+                                   backend="blocked", with_sustained=True)
+        ref.append(np.asarray(mix))
+    ref = np.concatenate(ref, axis=0)
+    tables = build_span_tables(lam64, 6 * S, num_modes=bank.num_modes)
+    _, mix2 = step_span(state, bank, tables, gains, n_blocks=6,
+                        block_size=S, with_sustained=True, ar_g=ar_g)
+    assert dberr(np.asarray(mix2), ref) <= -60.0
+
+
+def test_sustained_span_profile_statistics():
+    """The span-factored AR(2) profile has the oracle's statistics: mean
+    ~= mu, stationary variance, lag-1 autocorrelation (forces.h:107-128,
+    Pai et al. 2001) — same contract as test_forces.test_ar_statistics."""
+    o, m, s, x = 2, 4, 256, 40
+    st = make_sustained_state(o, m, seed=1, dtype=jnp.float64)
+    st = dataclasses.replace(
+        st, active=jnp.asarray([True, False]),
+        space=st.space.at[0].set(1.0))
+    g = jnp.asarray(ar_impulse_g((0.783, 0.116), s))
+    st2, prof, spc = sustained_span(st, g, x, s)
+    prof = np.asarray(prof)
+    assert np.all(prof[1] == 0.0)           # inactive object: exact zeros
+    sig = prof[0]
+    assert sig.mean() == pytest.approx(0.142, abs=0.02)
+    a1, a2, sg = 0.783, 0.116, 0.00148
+    var = (sg ** 2 * (1 - a2) / ((1 + a2) * ((1 - a2) ** 2 - a1 ** 2)))
+    assert np.var(sig) == pytest.approx(var, rel=0.3)
+    oracle = OracleARForce(seed=3)
+    ref = np.zeros(len(sig))
+    oracle.add(ref)
+    for arr in (sig, ref):
+        ac = np.correlate(arr - arr.mean(), arr - arr.mean(), "full")
+        mid = len(ac) // 2
+        assert ac[mid + 1] / ac[mid] == pytest.approx(a1 / (1 - a2),
+                                                      abs=0.1)
+
+
+def test_sustained_span_profile_bitwise_noise():
+    """sustained_span replays sustained_block's key-split chain: the
+    profiles agree to float rounding (NOT just statistically)."""
+    o, m, s, x = 3, 4, 64, 5
+    st = make_sustained_state(o, m, seed=7, dtype=jnp.float32)
+    st = dataclasses.replace(
+        st, active=jnp.asarray([True, True, False]),
+        space=st.space.at[:2].set(1.0))
+    g = jnp.asarray(ar_impulse_g((0.783, 0.116), s), jnp.float32)
+    stb = st
+    chunks = []
+    for _ in range(x):
+        stb, prof, _ = sustained_block(stb, s)
+        chunks.append(np.asarray(prof))
+    ref = np.concatenate(chunks, axis=-1)
+    sts, prof_span, _ = sustained_span(st, g, x, s)
+    np.testing.assert_allclose(np.asarray(prof_span), ref,
+                               rtol=0, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(sts.key), np.asarray(stb.key))
+
+
+def test_session_sustained_rides_span(dberr):
+    """render_multi with an active sustained channel takes the span path
+    and matches per-block stepping; engine-level span_eligible no longer
+    excludes sustained scenes (VERDICT round-2 item 2)."""
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    def build():
+        md = synth_mode_data(10, 8, seed=11)
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=3, block_size=S)
+        return ModalSession(bank, config=SolverConfig(block_size=S),
+                            num_slots=4, lam64=lam64)
+
+    rng = np.random.default_rng(0)
+    space = rng.standard_normal(10)
+    sess_a = build()
+    sess_a.hit(1, rng.standard_normal(10), kind="gaussian", width_us=500.0)
+    sess_a.sustained_start(0, space)
+    assert sess_a.span_eligible()
+    out_a = sess_a.render_multi(8, blocks_per_dispatch=4)
+
+    sess_b = build()
+    sess_b.hit(1, rng.standard_normal(10), kind="gaussian", width_us=500.0)
+    # note: same rng draws order — rebuild identically
+    rng2 = np.random.default_rng(0)
+    space2 = rng2.standard_normal(10)
+    hit2 = rng2.standard_normal(10)
+    sess_c = build()
+    sess_c.hit(1, hit2, kind="gaussian", width_us=500.0)
+    sess_c.sustained_start(0, space2)
+    out_c = np.concatenate([np.asarray(sess_c.step()[1])
+                            for _ in range(8)], axis=0)
+    assert dberr(out_a, out_c) <= -60.0
+    # AR retune invalidates the cached impulse table and still matches
+    sess_a.set_ar_params(0, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    sess_c.set_ar_params(0, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    out_a2 = sess_a.render_multi(4, blocks_per_dispatch=4)
+    out_c2 = np.concatenate([np.asarray(sess_c.step()[1])
+                             for _ in range(4)], axis=0)
+    assert dberr(out_a2, out_c2) <= -60.0
