@@ -21,6 +21,7 @@ Without a display, interaction runs over stdin (one command per line):
   release <obj>                                     end sustained force
   listener <x> <y> <z>                              move the listener
   transfer on|off                                   toggle FFAT transfer
+  transfer compressed on|off                        raw vs compressed Psi
   clear                                             clear all forces
   stats                                             print health/latency
   qnorm                                             per-mode energy telemetry
@@ -155,8 +156,15 @@ def make_session(args):
         model.material.alpha, model.material.beta)
     ffat = None
     if model.ffat_maps and not args.no_transfer:
-        ffat = build_ffat(model.ffat_maps, bank.num_modes,
-                          dtype=jnp.float32)
+        # carry BOTH Psi textures (raw + compressed) like the reference's
+        # runtime map, so `transfer compressed on` is a zero-rebuild
+        # switch; skip the second texture if the image codec is missing
+        try:
+            ffat = build_ffat(model.ffat_maps, bank.num_modes,
+                              dtype=jnp.float32, compressed_maps="auto")
+        except ImportError:
+            ffat = build_ffat(model.ffat_maps, bank.num_modes,
+                              dtype=jnp.float32)
     sess = ModalSession(bank, ffat=ffat, lam64=lam64,
                         config=SolverConfig(
                             block_size=args.block, backend=args.backend,
@@ -217,7 +225,13 @@ def interactive_loop(engine, model, args) -> None:
                 engine.set_listener(np.asarray(
                     [float(toks[1]), float(toks[2]), float(toks[3])]))
             elif cmd == "transfer":
-                engine.session.set_use_transfer(toks[1] == "on")
+                # transfer on|off  /  transfer compressed on|off (the
+                # reference's useCompressed ImGui toggle,
+                # real_time_modal_sound.cpp:835-853)
+                if toks[1] == "compressed":
+                    engine.session.set_use_compressed(toks[2] == "on")
+                else:
+                    engine.session.set_use_transfer(toks[1] == "on")
             elif cmd == "clear":
                 engine.clear_forces()
             elif cmd == "load":

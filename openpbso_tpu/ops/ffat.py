@@ -18,6 +18,7 @@ All math is elementwise/gather (VPU-friendly), runs at listener-update rate
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,11 @@ class DeviceFFAT:
     n_elements: jax.Array   # [Og, M, 6, 2] int32 (Nu, Nv)
     strides: jax.Array      # [Og, M, 6] int32
     mode_mask: jax.Array    # [Og, M] 1.0 where a map exists
+    psi_c: jax.Array | None = None   # optional COMPRESSED amplitudes,
+    #   same layout: the reference keeps both Psi sets and selects per
+    #   query (GetMapVal(pos, getCompressed), ffat_solver.h:1180-1214);
+    #   carrying the second texture makes the toggle a zero-rebuild
+    #   runtime switch (compute_transfer(compressed=True))
 
     @property
     def shared(self) -> bool:
@@ -63,17 +69,24 @@ def build_ffat(
     num_modes: int,
     *,
     dtype=jnp.float32,
+    compressed_maps: dict[int, FatcubeMap] | str | None = None,
 ) -> FFATMaps:
     """Pack decoded fatcube maps (mode id -> map) into device arrays.
 
     One geometry/texture set, shared by however many instances query it
     (the object count comes from the query positions, compute_transfer).
-    To serve the reference's compressed-vs-raw toggle
-    (GetMapVal(pos, useCompressed), ffat_solver.h:1180-1214), build from
-    maps whose psi went through ffat_fit.compress_map — the FatcubeMap
-    already holds whichever values were stored.
+
+    ``compressed_maps`` carries the reference's SECOND Psi set for the
+    runtime compressed-vs-raw toggle (GetMapVal(pos, useCompressed),
+    ffat_solver.h:1180-1214): a dict of compressed FatcubeMaps (same
+    geometry), or the string "auto" to run each map through
+    ffat_fit.compress_map at the reference tool's JPEG quality 65.
     """
     m = num_modes
+    if compressed_maps == "auto":
+        from .ffat_fit import compress_map
+        compressed_maps = {mid: compress_map(mm, jpeg_quality=65)
+                           for mid, mm in maps.items()}
     p_max = 0
     for mm in maps.values():
         p_max = max(p_max, mm.psi.shape[0])
@@ -107,6 +120,13 @@ def build_ffat(
         if mode_id < m:
             cell[0, mode_id] = mm.shell.cell_size
 
+    psi_c = None
+    if compressed_maps:
+        psi_c_np = np.zeros((1, m, p_pad), np.float64)
+        for mode_id, mm in compressed_maps.items():
+            if mode_id < m:
+                psi_c_np[0, mode_id, : mm.psi.shape[0]] = mm.psi
+        psi_c = jnp.asarray(psi_c_np, dtype)
     geom = DeviceFFAT(
         psi=jnp.asarray(psi, dtype),
         k=jnp.asarray(k, dtype),
@@ -117,15 +137,24 @@ def build_ffat(
         n_elements=jnp.asarray(n_elements, jnp.int32),
         strides=jnp.asarray(strides, jnp.int32),
         mode_mask=jnp.asarray(mask, dtype),
+        psi_c=psi_c,
     )
     return FFATMaps(geom=geom, cell_size=jnp.asarray(cell, dtype))
 
 
 def build_ffat_hetero(per_object_maps: list[dict[int, FatcubeMap]],
-                      num_modes: int, *, dtype=jnp.float32) -> FFATMaps:
-    """Per-object FFAT maps (heterogeneous scene): geometry axis Og = O."""
-    singles = [build_ffat(maps, num_modes, dtype=dtype)
-               for maps in per_object_maps]
+                      num_modes: int, *, dtype=jnp.float32,
+                      compressed_maps=None) -> FFATMaps:
+    """Per-object FFAT maps (heterogeneous scene): geometry axis Og = O.
+
+    ``compressed_maps``: per-object list of compressed dicts, or "auto"
+    (forwarded to build_ffat per object)."""
+    singles = [build_ffat(maps, num_modes, dtype=dtype,
+                          compressed_maps=(compressed_maps[i]
+                                           if isinstance(compressed_maps,
+                                                         list)
+                                           else compressed_maps))
+               for i, maps in enumerate(per_object_maps)]
     p_max = max(f.geom.psi.shape[-1] for f in singles)
 
     def cat(get, pad_psi=False):
@@ -137,6 +166,8 @@ def build_ffat_hetero(per_object_maps: list[dict[int, FatcubeMap]],
             parts.append(a)
         return jnp.concatenate(parts, axis=0)
 
+    psi_c = (cat(lambda f: f.geom.psi_c, pad_psi=True)
+             if all(f.geom.psi_c is not None for f in singles) else None)
     geom = DeviceFFAT(
         psi=cat(lambda f: f.geom.psi, pad_psi=True),
         k=cat(lambda f: f.geom.k),
@@ -147,12 +178,14 @@ def build_ffat_hetero(per_object_maps: list[dict[int, FatcubeMap]],
         n_elements=cat(lambda f: f.geom.n_elements),
         strides=cat(lambda f: f.geom.strides),
         mode_mask=cat(lambda f: f.geom.mode_mask),
+        psi_c=psi_c,
     )
     return FFATMaps(geom=geom, cell_size=cat(lambda f: f.cell_size))
 
 
-@jax.jit
-def compute_transfer(ffat: FFATMaps, listener: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("compressed",))
+def compute_transfer(ffat: FFATMaps, listener: jax.Array,
+                     compressed: bool = False) -> jax.Array:
     """Transfer magnitudes |Psi(dir)/(k r)| for every (object, mode).
 
     ``listener``: [O, 3] listener position relative to each object's frame
@@ -162,9 +195,17 @@ def compute_transfer(ffat: FFATMaps, listener: jax.Array) -> jax.Array:
     from the listener toward the map center, nearest-plane face pick, bilinear
     interpolation with edge clamping on the outer shell, then the 1/(kr)
     reconstruct (ffat_solver.h:899-906). computeTransfer then takes the
-    absolute value per mode (modal_solver.h:294-297).
+    absolute value per mode (modal_solver.h:294-297). ``compressed=True``
+    samples the second (compressed) Psi texture — the reference's
+    useCompressed query flag (modal_solver.h:84-98, live ImGui toggle
+    real_time_modal_sound.cpp:835-853).
     """
     g = ffat.geom
+    if compressed:
+        if g.psi_c is None:
+            raise ValueError("FFAT maps were built without a compressed "
+                             "Psi set (build_ffat compressed_maps=...)")
+        g = dataclasses.replace(g, psi=g.psi_c)
     p = jnp.atleast_2d(listener)                    # [O, 3]
     o = p.shape[0]
     eps = jnp.asarray(1e-30, p.dtype)

@@ -142,6 +142,34 @@ def fir_to_freq(fir: np.ndarray, block_size: int, dtype=jnp.complex64):
     return jnp.asarray(hf, dtype)
 
 
+@partial(jax.jit, static_argnames=("n_samples",))
+def hrtf_mix_span(
+    sound: jax.Array,     # [O, N] raw per-object modal sound (whole span)
+    hf: jax.Array,        # [O, C, F] rfft of the FIRs at n = 2 * N
+    carry: jax.Array,     # [C, T-1] convolution tail from the prior span
+    *,
+    n_samples: int,
+) -> tuple[jax.Array, jax.Array]:
+    """A whole span of HRTF mixdown in ONE frequency-domain pass.
+
+    The per-block form pays one FFT triple per block; the mix is a plain
+    causal convolution, so a span of N samples is the same overlap-save
+    with a 2N-point FFT — block-exact output (same carry semantics: the
+    (T-1)-sample tail hands over across spans AND blocks, so mixing span
+    and per-block calls mid-stream stays seamless). This is what lets
+    broadband-binaural streams ride the engine's span dispatches
+    (round-2 VERDICT item 4). Returns (mix [N, C], carry' [C, T-1]).
+    """
+    n2 = 2 * n_samples
+    t1 = carry.shape[-1]
+    sf = jnp.fft.rfft(sound, n=n2, axis=-1)           # [O, F]
+    yf = jnp.einsum("of,ocf->cf", sf, hf, precision=PRECISION)
+    y = jnp.fft.irfft(yf, n=n2, axis=-1)[:, : n_samples + t1]
+    y = y.at[:, :t1].add(carry)
+    mix = (y[:, :n_samples] / OUTPUT_SCALE).T.astype(jnp.float32)
+    return mix, y[:, n_samples:].astype(carry.dtype)
+
+
 class HRTFPostMix:
     """StreamingEngine ``post_mix`` hook: binaural HRTF mixdown per block.
 
@@ -166,15 +194,19 @@ class HRTFPostMix:
         self.head_radius = head_radius
         self.n_taps = min(n_taps, block_size + 1)
         self._carry = jnp.zeros((2, self.n_taps - 1), jnp.float32)
+        # per-span-length frequency tables (process_span); rebuilt lazily
+        # after each listener move
+        self._hf_span: dict[int, jax.Array] = {}
         self.on_listener(np.zeros(3))
 
     def on_listener(self, pos: np.ndarray) -> None:
-        fir = spherical_hrtf_fir(self.positions - np.asarray(pos,
-                                                             np.float64),
-                                 ear_axis=self.ear_axis,
-                                 head_radius=self.head_radius,
-                                 n_taps=self.n_taps)
-        self._hf = fir_to_freq(fir, self.block_size)
+        self._fir = spherical_hrtf_fir(
+            self.positions - np.asarray(pos, np.float64),
+            ear_axis=self.ear_axis,
+            head_radius=self.head_radius,
+            n_taps=self.n_taps)
+        self._hf = fir_to_freq(self._fir, self.block_size)
+        self._hf_span.clear()
 
     def reset(self) -> None:
         self._carry = jnp.zeros_like(self._carry)
@@ -182,6 +214,24 @@ class HRTFPostMix:
     def __call__(self, sound, mix):
         out, self._carry = hrtf_mix_block(sound, self._hf, self._carry,
                                           block_size=self.block_size)
+        return out
+
+    def process_span(self, sound) -> jax.Array:
+        """[O, N] whole-span sound -> [N, C] binaural mix (hrtf_mix_span).
+
+        The engine detects this method and keeps the span dispatch even
+        with a post-mix installed (StreamingEngine._synth_once): one
+        length-2N FFT mix instead of N/S per-block FFT triples. The carry
+        is shared with the per-block path, so a stream may interleave
+        both (e.g. a qnorm block between spans) without a seam."""
+        n = int(sound.shape[-1])
+        hf = self._hf_span.get(n)
+        if hf is None:
+            hf = jnp.asarray(np.fft.rfft(self._fir, n=2 * n, axis=-1),
+                             jnp.complex64)
+            self._hf_span[n] = hf
+        out, self._carry = hrtf_mix_span(sound, hf, self._carry,
+                                         n_samples=n)
         return out
 
 

@@ -346,13 +346,25 @@ class StreamingEngine:
                 self.recorded.append((self.session.sample_clock, ar))
             self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
 
+    def _span_mix(self, n_blocks: int):
+        """One span dispatch -> device mix [N, C]; routes through the
+        post-mix's span entry when it has one (HRTFPostMix.process_span:
+        broadband-binaural streams keep the span rate, round-2 VERDICT
+        item 4)."""
+        if self._post_mix is not None:
+            sound = self.session._step_span_sound(n_blocks)
+            return self._post_mix.process_span(sound)
+        return self.session._step_span(n_blocks)
+
     def _synth_once(self) -> list[np.ndarray]:
         """One synthesis dispatch -> list of host audio blocks."""
         want_qnorm = (self._qnorm_every > 0
                       and self._blocks_done >= self._next_qnorm)
         if want_qnorm:
             self._next_qnorm = self._blocks_done + self._qnorm_every
-        use_span = (self._post_mix is None and self.session.span_eligible()
+        use_span = ((self._post_mix is None
+                     or hasattr(self._post_mix, "process_span"))
+                    and self.session.span_eligible()
                     and self.session._xfade_from is None)
         if use_span and want_qnorm \
                 and self.session.qnorm_probe_eligible():
@@ -361,7 +373,7 @@ class StreamingEngine:
             # the span for a synced per-block qnorm step (docs/PERF.md
             # 4-min soak: that sync was the dominant health penalty)
             qnorm = self.session.qnorm_probe()
-            mix = self.session._step_span(self.lookahead)
+            mix = self._span_mix(self.lookahead)
             mix_np = np.asarray(mix)
             try:
                 self._qnorm.put_nowait(np.asarray(qnorm))
@@ -375,7 +387,7 @@ class StreamingEngine:
                 # single-block span dispatch: beats BOTH per-block forms
                 # (blocked for shared banks, the fused Pallas kernel for
                 # hetero) — docs/PERF.md single-block span measurements
-                return [np.asarray(self.session._step_span(1))]
+                return [np.asarray(self._span_mix(1))]
             if want_qnorm:
                 self.session.config = dataclasses.replace(
                     self.session.config, compute_qnorm=True)
@@ -391,11 +403,12 @@ class StreamingEngine:
                 except queue.Full:
                     pass  # telemetry is best-effort (modal_solver.h:273)
             return [mix_np]
-        # lookahead: when the session has span tables (and no post-mix
-        # needs per-block [O,S] sound), ONE span dispatch synthesizes all L
-        # blocks with no serial dependency (ops/span.py) — the fastest path.
+        # lookahead: when the session has span tables, ONE span dispatch
+        # synthesizes all L blocks with no serial dependency (ops/span.py)
+        # — the fastest path; span-capable post-mixes (HRTF) consume the
+        # whole span's [O, N] sound in one frequency-domain mix.
         if use_span:
-            mix = np.asarray(self.session._step_span(self.lookahead))
+            mix = np.asarray(self._span_mix(self.lookahead))
             block = self.session.config.block_size
             return [mix[i * block:(i + 1) * block] for i in
                     range(self.lookahead)]
@@ -480,16 +493,17 @@ class StreamingEngine:
         # owns the variant set and snapshots/restores its own state
         # (session.warmup); the engine just declares which optional paths
         # this stream can reach.
+        span_capable = (self._post_mix is None
+                        or hasattr(self._post_mix, "process_span"))
         self.session.warmup(
             qnorm=self._qnorm_every > 0,
             post_mix=self._post_mix,
             sustained=True,
             span_blocks=(
                 (self.lookahead,)
-                if self._post_mix is None
-                and self.session.span_eligible() else ()),
+                if span_capable and self.session.span_eligible() else ()),
         )
-        if self._qnorm_every > 0 and self._post_mix is None \
+        if self._qnorm_every > 0 and span_capable \
                 and self.session.span_eligible() \
                 and self.session.qnorm_probe_eligible():
             np.asarray(self.session.qnorm_probe())  # compile the probe

@@ -370,6 +370,20 @@ class AudioServer:
                                      float(msg.get("mu", 0.142)))
             elif cmd == "clear":
                 engine.clear_forces()
+            elif cmd == "transfer":
+                # {"cmd": "transfer", "on": bool} toggles FFAT vs unit
+                # transfer (modal_solver.h:249-255);
+                # {"cmd": "transfer", "compressed": bool} selects the
+                # compressed Psi texture per query — the reference's
+                # useCompressed flag (modal_solver.h:84-98, ImGui toggle
+                # real_time_modal_sound.cpp:835-853)
+                sess = engine.session
+                if "on" in msg:
+                    sess.set_use_transfer(bool(msg["on"]))
+                if "compressed" in msg:
+                    sess.set_use_compressed(bool(msg["compressed"]))
+                sink.send_json({"transfer": bool(sess.use_transfer),
+                                "compressed": bool(sess.use_compressed)})
             elif cmd == "load_model":
                 # live hot-swap (the reference's LoadNewModel flow,
                 # real_time_modal_sound.cpp:347-474, served over the wire)

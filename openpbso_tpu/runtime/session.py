@@ -123,6 +123,9 @@ class ModalSession:
         else:
             self.gains = default_gains(o, dtype)
         self.use_transfer = ffat is not None
+        # compressed-vs-raw Psi selection for transfer queries
+        # (GetMapVal(pos, useCompressed), ffat_solver.h:1180-1214)
+        self.use_compressed = False
         self._dtype = dtype
         # host mirror for slot recycling: absolute expiry sample per slot
         self._expiry = np.zeros((o, num_slots), np.int64)
@@ -327,11 +330,14 @@ class ModalSession:
                 pos = jnp.broadcast_to(pos[:, None, :],
                                        (self.num_listeners, o, 3))
             transfer = jax.vmap(
-                lambda p: compute_transfer(self.ffat, p))(pos)  # [L, O, M]
+                lambda p: compute_transfer(
+                    self.ffat, p,
+                    compressed=self.use_compressed))(pos)  # [L, O, M]
         else:
             if pos.ndim == 1:
                 pos = jnp.broadcast_to(pos, (o, 3))
-            transfer = compute_transfer(self.ffat, pos)
+            transfer = compute_transfer(self.ffat, pos,
+                                        compressed=self.use_compressed)
         if self.config.smooth_transfer and self._xfade_from is None:
             # remember the outgoing rows (re AND im: a complex row ramps
             # both channels); the next block ramps to the new one
@@ -389,6 +395,26 @@ class ModalSession:
             self.state,
             transfer=jnp.asarray(t.real, self._dtype),
             transfer_im=jnp.asarray(t.imag, self._dtype))
+
+    def set_use_compressed(self, use: bool) -> None:
+        """Runtime compressed-vs-raw FFAT toggle: select which Psi texture
+        transfer queries sample (the reference keeps both and picks per
+        query — TransMessage.useCompressed, modal_solver.h:84-98; live
+        ImGui toggle real_time_modal_sound.cpp:835-853). Takes effect
+        immediately by recomputing the transfer from the remembered
+        listener position; zero rebuild (both textures are resident,
+        DeviceFFAT.psi_c)."""
+        use = bool(use)
+        if use and (self.ffat is None or self.ffat.geom.psi_c is None):
+            raise ValueError(
+                "FFAT maps carry no compressed Psi set (build with "
+                "build_ffat(compressed_maps=...))")
+        if use == self.use_compressed:
+            return
+        self.use_compressed = use
+        if (self.ffat is not None and self.use_transfer
+                and self._last_listener is not None):
+            self.set_listener_relative(self._last_listener)
 
     def set_use_transfer(self, use: bool) -> None:
         """Toggle FFAT transfer vs the 1E7 unit transfer
@@ -622,6 +648,36 @@ class ModalSession:
         self._clock += n_blocks * self.config.block_size
         return mix
 
+    def _step_span_sound(self, n_blocks: int,
+                         num_slots: int | None | str = "auto",
+                         idle: bool | None = None,
+                         with_sustained: bool | None = None):
+        """_step_span returning the raw per-object sound [O, N] (device,
+        not host-synced) for span-shaped post-mix stages (HRTF). No
+        SPAN_FORCE_BUDGET fallback: only the engine dispatches this, at
+        lookahead-sized spans far below the budget."""
+        from .solver import step_span_sound
+        self._maybe_rebase()
+        if idle is None:
+            idle = self._idle() and self.config.decay_fast_path
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        k_eff = (self._slot_bucket(ignore_sustained=with_sustained)
+                 if num_slots == "auto" else num_slots)
+        tables = self.span_tables_for(n_blocks)
+        if idle:
+            self.state, sound = step_span_sound(
+                self.state, self.bank, tables, n_blocks=n_blocks,
+                block_size=self.config.block_size, idle=True)
+        else:
+            self.state, sound = step_span_sound(
+                self.state, self.bank, tables, n_blocks=n_blocks,
+                block_size=self.config.block_size, num_slots=k_eff,
+                with_sustained=with_sustained,
+                ar_g=self.ar_span_table() if with_sustained else None)
+        self._clock += n_blocks * self.config.block_size
+        return sound
+
     def qnorm_probe_eligible(self) -> bool:
         """The probe runs decay_block_blocked, which needs the lam-power
         tables; table-less (scan-only) banks cannot probe."""
@@ -726,22 +782,32 @@ class ModalSession:
                 if self.decay_eligible():
                     _, mix, _ = self._step_decay()
                     np.asarray(mix)
+                pm_span = (post_mix is not None
+                           and hasattr(post_mix, "process_span"))
                 for n_blocks in span_blocks:
                     if q or not self.span_eligible():
                         continue
+
+                    def span_once(**kw):
+                        # with a span-capable post-mix the engine takes
+                        # the sound-span + process_span pair; compile
+                        # exactly that (otherwise the mix span)
+                        if pm_span:
+                            return post_mix.process_span(
+                                self._step_span_sound(n_blocks, **kw))
+                        return self._step_span(n_blocks, **kw)
+
                     for b in buckets:
-                        np.asarray(self._step_span(n_blocks, num_slots=b,
-                                                   idle=False,
-                                                   with_sustained=False))
+                        np.asarray(span_once(num_slots=b, idle=False,
+                                             with_sustained=False))
                     if sustained:
                         # a sustained drag rides the span too (round-3);
                         # its bucket tracks live slots (ignore_sustained)
                         for b in buckets:
-                            np.asarray(self._step_span(
-                                n_blocks, num_slots=b, idle=False,
-                                with_sustained=True))
+                            np.asarray(span_once(num_slots=b, idle=False,
+                                                 with_sustained=True))
                     if self.config.decay_fast_path:
-                        np.asarray(self._step_span(n_blocks, idle=True))
+                        np.asarray(span_once(idle=True))
         finally:
             self.config = saved_config
             self.state = dataclasses.replace(
@@ -844,13 +910,15 @@ class ModalSession:
                 positions = np.broadcast_to(positions[:, :, None, :],
                                             (t_total, nl, o, 3))
             rows = jax.vmap(jax.vmap(
-                lambda p: compute_transfer(self.ffat, p)))(
+                lambda p: compute_transfer(
+                    self.ffat, p, compressed=self.use_compressed)))(
                 jnp.asarray(positions, self._dtype))    # [T, L, O, M]
         else:
             if positions.ndim == 2:
                 positions = np.broadcast_to(positions[:, None, :],
                                             (t_total, o, 3))
-            rows = jax.vmap(lambda p: compute_transfer(self.ffat, p))(
+            rows = jax.vmap(lambda p: compute_transfer(
+                self.ffat, p, compressed=self.use_compressed))(
                 jnp.asarray(positions, self._dtype))    # [T, O, M]
         rows = rows.astype(self._dtype)
         if self._xfade_from is not None and smooth:
@@ -915,7 +983,8 @@ class ModalSession:
             positions = np.broadcast_to(positions[:, None, :],
                                         (t_total, o, 3))
         if self.ffat is not None and self.use_transfer:
-            rows = jax.vmap(lambda p: compute_transfer(self.ffat, p))(
+            rows = jax.vmap(lambda p: compute_transfer(
+                self.ffat, p, compressed=self.use_compressed))(
                 jnp.asarray(positions, self._dtype)).astype(self._dtype)
         else:
             rows = jnp.broadcast_to(

@@ -84,3 +84,68 @@ def test_missing_modes_masked(maps):
         ffat, jnp.asarray([1.0, 1.0, 1.0]))[0])
     assert np.all(got[6:] == 0.0)
     assert np.all(got[:6] > 0.0)
+
+
+def test_compressed_toggle_oracle(maps):
+    """Both resident Psi textures answer queries: compressed=True samples
+    the compressed set (oracle-exact on it), False the raw one — the
+    reference's GetMapVal(pos, useCompressed) (ffat_solver.h:1180-1214)."""
+    from openpbso_tpu.ops.ffat_fit import compress_map
+    cmaps = {i: compress_map(m) for i, m in maps.items()}
+    ffat = build_ffat(maps, num_modes=6, dtype=jnp.float64,
+                      compressed_maps=cmaps)
+    assert ffat.geom.psi_c is not None
+    rng = np.random.default_rng(6)
+    for _ in range(8):
+        p = rng.uniform(-1.5, 1.5, 3)
+        if np.max(np.abs(p)) < 0.4:
+            p[np.argmax(np.abs(p))] = 0.8
+        raw = np.asarray(compute_transfer(ffat, jnp.asarray(p))[0])
+        comp = np.asarray(compute_transfer(ffat, jnp.asarray(p),
+                                           compressed=True)[0])
+        ref_raw = np.array([ffat_map_val(maps[i], p) for i in range(6)])
+        ref_comp = np.array([ffat_map_val(cmaps[i], p) for i in range(6)])
+        np.testing.assert_allclose(raw[:6], ref_raw, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(comp[:6], ref_comp, rtol=1e-9,
+                                   atol=1e-12)
+    # the textures genuinely differ (uint8 quantization floor)
+    assert float(np.abs(np.asarray(ffat.geom.psi)
+                        - np.asarray(ffat.geom.psi_c)).max()) > 0
+
+
+def test_compressed_toggle_without_second_texture_raises(maps):
+    ffat = build_ffat(maps, num_modes=6)
+    with pytest.raises(ValueError, match="compressed"):
+        compute_transfer(ffat, jnp.zeros(3) + 0.8, compressed=True)
+
+
+def test_session_compressed_toggle(maps):
+    """set_use_compressed re-queries the remembered listener against the
+    other texture immediately (live toggle semantics,
+    real_time_modal_sound.cpp:835-853)."""
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat_fit import compress_map
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    md = synth_mode_data(6, 8, seed=3)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=1, block_size=64)
+    cmaps = {i: compress_map(m) for i, m in maps.items()}
+    ffat = build_ffat(maps, bank.num_modes, compressed_maps=cmaps)
+    sess = ModalSession(bank, ffat=ffat,
+                        config=SolverConfig(block_size=64))
+    sess.set_listener(np.asarray([0.9, 0.2, 0.1]))
+    raw_row = np.asarray(sess.state.transfer).copy()
+    sess.set_use_compressed(True)
+    comp_row = np.asarray(sess.state.transfer).copy()
+    assert np.abs(raw_row - comp_row).max() > 0
+    sess.set_use_compressed(False)
+    np.testing.assert_array_equal(np.asarray(sess.state.transfer), raw_row)
+    # without a second texture the toggle refuses
+    sess2 = ModalSession(bank, ffat=build_ffat(maps, bank.num_modes),
+                         config=SolverConfig(block_size=64))
+    with pytest.raises(ValueError, match="compressed"):
+        sess2.set_use_compressed(True)

@@ -154,3 +154,76 @@ def test_hrtf_post_mix_with_lookahead():
     assert np.abs(audio).max() > 0
     e_l, e_r = (audio[:, 0] ** 2).sum(), (audio[:, 1] ** 2).sum()
     assert e_r > e_l   # +x object loads the right ear through lookahead
+
+
+def test_hrtf_span_matches_block_streaming():
+    """process_span (one 2N-point overlap-save) == per-block hrtf_mix_block
+    chaining, including the carry hand-over ACROSS a span/block seam."""
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+
+    rng = np.random.default_rng(5)
+    o, taps, s = 3, 96, 128
+    positions = rng.standard_normal((o, 3))
+    sound = rng.standard_normal((o, 8 * s)).astype(np.float32)
+
+    pm_block = HRTFPostMix(positions, block_size=s, n_taps=taps)
+    blocks = [np.asarray(pm_block(jnp.asarray(sound[:, i*s:(i+1)*s]), None))
+              for i in range(8)]
+    ref = np.concatenate(blocks, axis=0)
+
+    pm_span = HRTFPostMix(positions, block_size=s, n_taps=taps)
+    # span of 5 blocks, then one per-block call, then a 2-block span:
+    # all three carries must hand over seamlessly
+    parts = [np.asarray(pm_span.process_span(jnp.asarray(sound[:, :5*s]))),
+             np.asarray(pm_span(jnp.asarray(sound[:, 5*s:6*s]), None)),
+             np.asarray(pm_span.process_span(jnp.asarray(sound[:, 6*s:])))]
+    got = np.concatenate(parts, axis=0)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < 1e-4, err
+
+
+def test_hrtf_post_mix_rides_span():
+    """An engine with lam64 span tables AND an HRTF post-mix keeps the
+    span dispatch (round-2 VERDICT item 4): stream healthy, binaural
+    output, and the span path demonstrably taken."""
+    import time
+
+    from openpbso_tpu.ops.coeffs import bank_from_material, \
+        lambda_from_modes
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    md = synth_mode_data(12, 8, seed=9)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=2,
+                              block_size=128, dtype=jnp.float32)
+    sess = ModalSession(bank, config=SolverConfig(block_size=128,
+                                                  backend="blocked"),
+                        lam64=lam64)
+    pm = HRTFPostMix(np.asarray([[0.7, 0.0, 0.0], [-0.7, 0.0, 0.0]]),
+                     block_size=128, n_taps=96)
+    sink = RawCollectorSink()
+    eng = StreamingEngine(sess, sink, post_mix=pm, lookahead=4)
+    assert sess.span_eligible()
+    calls = []
+    orig = sess._step_span_sound
+    sess._step_span_sound = lambda *a, **k: (calls.append(a)
+                                             or orig(*a, **k))
+    eng.start()
+    try:
+        eng.hit(0, np.ones(12), kind="gaussian", width_us=500.0)
+        time.sleep(0.5)
+    finally:
+        eng.stop()
+    assert eng.error is None
+    assert calls, "HRTF stream never took the span dispatch"
+    audio = sink.concatenated()
+    assert np.abs(audio).max() > 0
+    e_l, e_r = (audio[:, 0] ** 2).sum(), (audio[:, 1] ** 2).sum()
+    assert e_r > e_l   # +x object loads the right ear through the span

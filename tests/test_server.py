@@ -539,3 +539,67 @@ def test_broadcast_bad_sustain_keeps_stream(broadcast_server):
     assert srv._engine.healthy and srv.restarts == 0
     c.send(cmd="quit")
     c.close()
+
+
+def test_transfer_compressed_toggle_over_wire():
+    """{"cmd": "transfer", "compressed": true/false} flips the session's
+    Psi texture live (the reference's useCompressed flag served over the
+    wire); bad toggle (no second texture) errors without killing the
+    stream."""
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.ops.ffat_fit import compress_map
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    md = synth_mode_data(6, 8)
+    maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=4)
+            for i in range(6)}
+
+    sessions = []
+
+    def make_session():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        cmaps = {i: compress_map(m) for i, m in maps.items()}
+        ffat = build_ffat(maps, bank.num_modes, compressed_maps=cmaps)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"))
+        sess.set_listener(np.asarray([0.9, 0.2, 0.1]))
+        sess.step()
+        sessions.append(sess)
+        return sess
+
+    srv = AudioServer(make_session)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        import time as _time
+
+        def wait_msgs(c, n, deadline_s=60.0):
+            # the first toggle jit-traces the compressed lookup variant
+            # on the handler thread; wait on wall clock, not block count
+            t0 = _time.monotonic()
+            while (len(c.messages) < n
+                   and _time.monotonic() - t0 < deadline_s):
+                c.read_block()
+            assert len(c.messages) >= n, c.messages
+
+        c = AudioClient(*srv.address)
+        c.send(cmd="transfer", compressed=True)
+        wait_msgs(c, 1)
+        reply = c.messages[-1]
+        assert reply.get("compressed") is True and reply.get("transfer")
+        sess = sessions[-1]
+        comp_row = np.asarray(sess.state.transfer).copy()
+        c.send(cmd="transfer", compressed=False)
+        wait_msgs(c, 2)
+        assert c.messages[-1].get("compressed") is False
+        raw_row = np.asarray(sess.state.transfer)
+        assert np.abs(raw_row - comp_row).max() > 0
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
