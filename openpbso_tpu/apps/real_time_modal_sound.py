@@ -7,7 +7,7 @@ TPU-native counterpart of the reference's main binary
   -d DIR        data directory containing the model (naming convention)
   -name NAME    object prefix name inside -d (e.g. wine)
   -m/-s/-t/-p   explicit mesh / modes / material / FFAT-dir paths
-  -tex PATH     accepted for compatibility (texture is GUI-only)
+  -tex PATH     matcap texture for the 'preview' snapshot command
 
 plus TPU-build extras: --out WAV, --seconds, --block, --backend,
 --instances (batch the model O times), --listener x,y,z, --no-transfer,
@@ -25,6 +25,8 @@ Without a display, interaction runs over stdin (one command per line):
   clear                                             clear all forces
   stats                                             print health/latency
   qnorm                                             per-mode energy telemetry
+  again | d                                         repeat the last hit
+  preview [out.png]                                 matcap snapshot (-tex)
   load <file.meta>                                  hot-swap the model
   quit
 """
@@ -59,8 +61,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-p", dest="ffat_map", default=FILE_NOT_EXIST,
                    help="ffat map folder that contains *.fatcube files")
     p.add_argument("-tex", dest="obj_texture_map", default=FILE_NOT_EXIST,
-                   help="texture map (accepted for compatibility; unused "
-                        "in headless mode)")
+                   help="matcap texture map, used by the interactive "
+                        "'preview' snapshot (softrender matcap shading)")
     p.add_argument("--out", default="output.wav", help="output wav path")
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--block", type=int, default=DEFAULT_BLOCK)
@@ -196,6 +198,7 @@ def session_from_meta(args, meta_path: str):
 
 def interactive_loop(engine, model, args) -> None:
     print("interactive mode; type 'help' for commands", flush=True)
+    last_hit = None
     for line in sys.stdin:
         toks = line.split()
         if not toks:
@@ -210,8 +213,35 @@ def interactive_loop(engine, model, args) -> None:
                 obj, vid = int(toks[1]), int(toks[2])
                 kind = toks[3] if len(toks) > 3 else "point"
                 width = float(toks[4]) if len(toks) > 4 else 100.0
-                engine.hit(obj, model.modal_force_vertex(vid), kind=kind,
-                           width_us=width)
+                last_hit = dict(obj=obj, space=model.modal_force_vertex(vid),
+                                kind=kind, width_us=width)
+                engine.hit(last_hit["obj"], last_hit["space"],
+                           kind=kind, width_us=width)
+            elif cmd == "preview":
+                # matcap-shaded snapshot of the model — the headless
+                # stand-in for the reference's GUI viewport; honors the
+                # -tex texture (real_time_modal_sound.cpp:1179-1199)
+                import os as _os
+                out = toks[1] if len(toks) > 1 else "preview.png"
+                from .render_fields import _write_png
+                from .softrender import (default_matcap, load_matcap,
+                                         render_mesh)
+                tex = getattr(args, "obj_texture_map", FILE_NOT_EXIST)
+                mc = (load_matcap(tex)
+                      if tex != FILE_NOT_EXIST and _os.path.isfile(tex)
+                      else default_matcap())
+                _write_png(out, render_mesh(model.vertices, model.faces,
+                                            matcap=mc))
+                print(f"wrote {out}")
+            elif cmd in ("again", "d"):
+                # repeat the cached hit (the reference's GetModalForceCopy
+                # on key 'd', real_time_modal_sound.cpp:214-234,1111-1118)
+                if last_hit is None:
+                    print("no hit to repeat yet")
+                else:
+                    engine.hit(last_hit["obj"], last_hit["space"],
+                               kind=last_hit["kind"],
+                               width_us=last_hit["width_us"])
             elif cmd == "sustain":
                 obj, vid = int(toks[1]), int(toks[2])
                 engine.sustained_start(obj, model.modal_force_vertex(vid))

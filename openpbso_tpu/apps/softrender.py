@@ -41,6 +41,18 @@ def default_matcap(size: int = 256) -> np.ndarray:
     return lum[..., None] * tint[None, None, :]
 
 
+def load_matcap(path: str) -> np.ndarray:
+    """Load a matcap texture image -> [H, W, 3] float in [0, 1].
+
+    The reference loads its ``-tex`` PNG into the GUI matcap shader
+    (real_time_modal_sound.cpp:1179-1199); this is the headless
+    equivalent, consumed by render_mesh(matcap=...).
+    """
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.float64) / 255.0
+
+
 def render_mesh(
     v: np.ndarray,
     f: np.ndarray,

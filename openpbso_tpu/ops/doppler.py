@@ -24,8 +24,11 @@ precedes the render start are silence (the wavefront has not arrived).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import OUTPUT_SCALE, SAMPLE_RATE, SOUND_SPEED
 from .integrator import PRECISION
@@ -75,6 +78,94 @@ def delay_indices(dist, c: float = SOUND_SPEED,
     i0 = np.floor(idx)
     frac = (idx - i0).astype(np.float32)
     return i0.astype(np.int32), frac
+
+
+@jax.jit
+def _doppler_mix(hist, sound, d0, d1, gains):
+    """One dispatch of the LIVE fractional delay-line (DopplerPostMix).
+
+    ``hist`` [O, H] is the tail of previously-synthesized samples (the
+    delay line); ``sound`` [O, N] the new span/block. Each object's delay
+    ramps linearly from d0 to d1 samples across the N outputs — the ramp
+    IS the Doppler shift (d(delay)/dt = -v/c compresses the phase by
+    1 + v/c). Index math runs in f32 on device: unlike the offline path's
+    absolute sample index (see delay_resample), buffer-relative indices
+    are bounded by H+N (~10^4), where f32 still resolves ~1e-3 of a
+    sample. Returns (mix [N, C], new_hist [O, H]).
+    """
+    o, n = sound.shape
+    h = hist.shape[-1]
+    buf = jnp.concatenate([hist, sound], axis=-1)        # [O, H+N]
+    t = jnp.arange(n, dtype=sound.dtype)
+    d = d0[:, None] + (d1 - d0)[:, None] * ((t + 1.0) / n)
+    idx = h + t[None, :] - d                             # [O, N]
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = (idx - i0.astype(idx.dtype)).astype(sound.dtype)
+    take = lambda i: jnp.take_along_axis(  # noqa: E731
+        buf, jnp.clip(i, 0, h + n - 1), axis=-1)
+    y = take(i0) * (1.0 - frac) + take(i0 + 1) * frac
+    mix = jnp.einsum("on,oc->nc", y, gains, precision=PRECISION)
+    return (mix / OUTPUT_SCALE).astype(jnp.float32), buf[:, -h:]
+
+
+class DopplerPostMix:
+    """StreamingEngine ``post_mix`` hook: LIVE physical Doppler.
+
+    A per-object fractional delay-line fed by listener-move events makes
+    render_doppler's physics available in streaming mode (round-2 VERDICT
+    item 7; the offline form is session.render_doppler). Each applied
+    listener event retargets every object's propagation delay r_o/c; the
+    next dispatch ramps the delay there across its samples, which IS the
+    Doppler shift of the move's radial velocity. Amplitude-vs-distance
+    stays with the session's FFAT transfer, exactly as offline.
+
+    Implements both post-mix entries (per-block ``__call__`` and
+    ``process_span``), so Doppler streams ride the engine's span
+    dispatches. The delay line is zero-initialized: samples whose
+    emission time precedes the stream start are silent (the wavefront
+    has not arrived).
+    """
+
+    def __init__(self, positions: np.ndarray, *, gains=None,
+                 c: float = SOUND_SPEED, max_distance: float = 20.0,
+                 sample_rate: int = SAMPLE_RATE, dtype=jnp.float32):
+        """``positions``: [O, 3] object centers (world frame);
+        ``max_distance`` bounds the delay line (meters)."""
+        self.positions = np.asarray(positions, np.float64)
+        o = self.positions.shape[0]
+        self._scale = sample_rate / float(c)
+        h = int(np.ceil(max_distance * self._scale)) + 2
+        self._hist = jnp.zeros((o, h), dtype)
+        self._h_max = float(h - 2)
+        self.gains = (jnp.ones((o, 2), dtype) if gains is None
+                      else jnp.asarray(gains, dtype))
+        self._d_cur = np.zeros(o)
+        self._d_tgt = np.zeros(o)
+        self.on_listener(np.zeros(3))
+        self._d_cur = self._d_tgt.copy()   # start settled (no initial chirp)
+
+    def on_listener(self, pos: np.ndarray) -> None:
+        r = np.linalg.norm(self.positions - np.asarray(pos, np.float64),
+                           axis=-1)
+        self._d_tgt = np.minimum(r * self._scale, self._h_max)
+
+    def reset(self) -> None:
+        self._hist = jnp.zeros_like(self._hist)
+        self._d_cur = self._d_tgt.copy()
+
+    def _run(self, sound):
+        d0 = jnp.asarray(self._d_cur, sound.dtype)
+        d1 = jnp.asarray(self._d_tgt, sound.dtype)
+        mix, self._hist = _doppler_mix(self._hist, sound, d0, d1,
+                                       self.gains)
+        self._d_cur = self._d_tgt.copy()
+        return mix
+
+    def __call__(self, sound, mix):
+        return self._run(sound)
+
+    def process_span(self, sound):
+        return self._run(sound)
 
 
 def sample_distances(

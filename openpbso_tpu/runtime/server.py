@@ -317,6 +317,41 @@ class AudioServer:
             "has_transfer": self._ball_transfer is not None,
         }}
 
+    def _transfer_hist_payload(self, engine, msg=None) -> dict:
+        """Per-mode transfer magnitudes for the HUD histogram panel.
+
+        The reference plots |transfer| per mode next to the FFAT
+        compressed toggle (ImGui PlotHistogram,
+        real_time_modal_sound.cpp:832-853). Values come from the LIVE
+        state row (so the toggle/listener moves show immediately); mode
+        frequencies ride along for the axis labels.
+        """
+        sess = engine.session
+        obj = int(msg.get("obj", 0)) if msg else 0
+        if not 0 <= obj < sess.bank.num_objects:
+            raise IndexError(f"object {obj} out of range "
+                             f"[0, {sess.bank.num_objects})")
+        t = np.asarray(sess.state.transfer, np.float64)
+        if t.ndim == 3:                       # [L, O, M] multi-listener
+            t = t[int(msg.get("listener", 0)) if msg else 0]
+        row = t[obj]
+        if sess.state.transfer_im is not None:
+            ti = np.asarray(sess.state.transfer_im, np.float64)
+            if ti.ndim == 3:
+                ti = ti[int(msg.get("listener", 0)) if msg else 0]
+            row = np.hypot(row, ti[obj])      # complex rows: magnitude
+        m = self._model_for(obj) if self._model is not None else None
+        n = (int(m.num_modes_audible) if m is not None
+             else int(sess.bank.num_modes))
+        out = {"obj": obj, "values": row[:n].tolist(),
+               "compressed": bool(getattr(sess, "use_compressed", False)),
+               "transfer_on": bool(sess.use_transfer)}
+        if m is not None:
+            freqs = np.sqrt(m.modes.omega_squared[:n]
+                            / m.material.density) / (2 * np.pi)
+            out["freqs_hz"] = freqs.tolist()
+        return {"transfer_hist": out}
+
     def ball_colors(self, qnorm: np.ndarray) -> np.ndarray | None:
         """log10(qnorm . transfer) per ball vertex (the reference's live
         HUD coloring, real_time_modal_sound.cpp:960-979)."""
@@ -363,6 +398,8 @@ class AudioServer:
                 sink.send_json(self._mode_shape_payload(msg))
             elif cmd == "ball":
                 sink.send_json(self._ball_payload(engine))
+            elif cmd == "transfer_hist":
+                sink.send_json(self._transfer_hist_payload(engine, msg))
             elif cmd == "arparam":
                 engine.set_ar_params(int(msg.get("obj", 0)),
                                      tuple(msg.get("a", (0.783, 0.116))),

@@ -321,6 +321,9 @@ DEMO_PAGE = """<!doctype html>
   <label>shape scale <input id="mscale" type="range" min="1" max="100"
    value="30"></label>
   <label>buffer health</label><div class="bar"><div id="meter"></div></div>
+  <label>transfer per mode (log)
+   <input id="comp" type="checkbox"> compressed Psi</label>
+  <canvas id="hist" width="200" height="70"></canvas>
  </div>
 </div>
 <div id="log"></div>
@@ -467,6 +470,21 @@ function frame(ts){
   requestAnimationFrame(frame);
 }
 requestAnimationFrame(frame);
+// ---- transfer histogram (per-mode |transfer|, log scale) ----
+function drawHist(h){
+  const c=$('hist'),g=c.getContext('2d');
+  g.clearRect(0,0,c.width,c.height);
+  const v=h.values,n=v.length;if(!n)return;
+  let lo=1e30,hi=-1e30;
+  const lg=v.map(x=>Math.log10(Math.max(x,1e-12)));
+  for(const x of lg){lo=Math.min(lo,x);hi=Math.max(hi,x);}
+  const span=Math.max(hi-lo,1e-6),w=c.width/n;
+  g.fillStyle=h.compressed?'#eab308':'#22c55e';
+  for(let i=0;i<n;i++){
+    const t2=(lg[i]-lo)/span,bh=2+t2*(c.height-4);
+    g.fillRect(i*w,c.height-bh,Math.max(w-1,1),bh);}
+  $('comp').checked=!!h.compressed;
+}
 // ---- audio ----
 function play(f32){
   const ch=info.channels,n=f32.length/ch;
@@ -500,7 +518,12 @@ $('start').onclick=async()=>{
           log(`scene has ${m.objects} objects; drawing first 24`);
         for(let k=0;k<no;k++)send({cmd:'scene',obj:k});
         send({cmd:'ball'});
-        setInterval(()=>send({cmd:'stats'}),2000);}
+        setInterval(()=>send({cmd:'stats'}),2000);
+        // per-mode transfer histogram feed (the reference's ImGui
+        // PlotHistogram next to the compressed toggle)
+        setInterval(()=>send({cmd:'transfer_hist'}),1000);
+        $('comp').onchange=()=>send({cmd:'transfer',
+                                     compressed:$('comp').checked});}
       else if(m.scene){
         const sc=wrapMesh(m.scene);
         sc.obj=m.scene.obj||0;sc.modes=m.scene.modes_audible;
@@ -519,6 +542,7 @@ $('start').onclick=async()=>{
           `${sc.nf} faces, ${sc.modes} modes`);
         sendListener();}
       else if(m.ball){ball=wrapMesh(m.ball);S.ball=true;}
+      else if(m.transfer_hist){drawHist(m.transfer_hist);S.hist=true;}
       else if(m.ball_colors){ballColors=m.ball_colors;S.ballColors=true;}
       else if(m.mode_shape){modeShape=m.mode_shape;
         log(`mode ${m.mode_shape.mode}: ${m.mode_shape.freq_hz.toFixed(1)} Hz`);}

@@ -163,3 +163,78 @@ def test_assemble_movie(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         select_frames(str(frames), "test-*.png", start_from=99)
+
+
+def test_cli_interactive_again_preview_tex(tmp_path, synth_model_root):
+    """Interactive commands 'again' (repeat-hit, the reference's key d /
+    GetModalForceCopy) and 'preview' with a -tex matcap texture."""
+    import numpy as np
+
+    from openpbso_tpu.apps.render_fields import _write_png
+    from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+
+    # a recognizable matcap texture file for -tex
+    tex = str(tmp_path / "matcap.png")
+    rng = np.random.default_rng(0)
+    _write_png(tex, (rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8))
+    meta = str(tmp_path / "synth.meta")
+    write_meta(meta, resolve_model_dir(synth_model_root, "synth"))
+    png_out = str(tmp_path / "shot.png")
+    feed = (f"hit 0 3 gaussian 400\nagain\npreview {png_out}\nquit\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from openpbso_tpu.io.meta import read_meta
+    paths = read_meta(meta)
+    r = subprocess.run(
+        [sys.executable, "-m", "openpbso_tpu.apps.real_time_modal_sound",
+         "-m", paths.obj_file, "-s", paths.modes_file,
+         "-t", paths.material_file, "-p", paths.ffat_dir,
+         "-tex", tex, "--interactive", "--platform", "cpu",
+         "--block", "256"],
+        input=feed, capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(png_out)
+    with open(png_out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert f"wrote {png_out}" in r.stdout
+    assert "no hit to repeat" not in r.stdout   # the cached hit replayed
+
+
+def test_transfer_hist_payload():
+    """Per-mode transfer histogram feed (the reference's ImGui
+    PlotHistogram, real_time_modal_sound.cpp:832-853)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.runtime.server import AudioServer
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    md = synth_mode_data(6, 8, seed=1)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=2, block_size=64)
+    sess = ModalSession(bank, config=SolverConfig(block_size=64))
+
+    class FakeEngine:
+        session = sess
+
+    srv = AudioServer.__new__(AudioServer)
+    srv._model = None
+    p = srv._transfer_hist_payload(FakeEngine(), {"obj": 1})
+    h = p["transfer_hist"]
+    assert h["obj"] == 1 and len(h["values"]) == bank.num_modes
+    assert h["compressed"] is False
+    # complex rows report per-mode magnitudes
+    rng = np.random.default_rng(2)
+    t = (rng.uniform(0.5, 2.0, (2, bank.num_modes))
+         * np.exp(1j * rng.uniform(-np.pi, np.pi, (2, bank.num_modes))))
+    sess.set_complex_transfer(t)
+    h2 = srv._transfer_hist_payload(FakeEngine(), {"obj": 0})["transfer_hist"]
+    np.testing.assert_allclose(np.asarray(h2["values"]), np.abs(t[0]),
+                               rtol=1e-5)
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        srv._transfer_hist_payload(FakeEngine(), {"obj": 9})
