@@ -246,8 +246,9 @@ def main():
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
-                    if not hetero:
+                    if not hetero and not sustained:
                         _hetero_stderr_line()
+                        _sustained_stderr_line()
                     return
         except subprocess.TimeoutExpired:
             pass
@@ -336,6 +337,26 @@ def _hetero_stderr_line():
                 return
     print("hetero: no result (all fallbacks lost the compile race)",
           file=sys.stderr, flush=True)
+
+
+def _sustained_stderr_line():
+    """Track the sustained-drag span rate per round (round-2 VERDICT
+    item 2: the AR(2) channel is span-formed; its RTF should sit within
+    ~2x of the impact headline). One guarded child, stderr only."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--span",
+             "--skip-single", "--sustained", "--nblocks=512"],
+            capture_output=True, text=True, timeout=330)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(f"sustained: {line}", file=sys.stderr, flush=True)
+                return
+        print("sustained: no result", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("sustained: timed out (compile race lost)", file=sys.stderr,
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -123,6 +123,12 @@ class ChunkSpanTables:
     b_re: jax.Array   # [Og, C+1, M]
     b_im: jax.Array
     n_chunks: int = dataclasses.field(metadata=dict(static=True))
+    s_re: jax.Array | None = None   # [Og, G+1, M] SUPERCHUNK powers
+    s_im: jax.Array | None = None   # lam^(dC) for d in [0, G]: the
+    #   two-level hierarchy that turns most of the X-step chunk-state
+    #   scan into matmuls (measured: the scan was ~9 ms of a 69 ms span
+    #   at X=512 — 512 sequential ~17 us steps, loop-overhead bound;
+    #   with G-grouping the serial length drops to X/G)
 
     @property
     def chunk(self) -> int:
@@ -135,6 +141,11 @@ class ChunkSpanTables:
     @property
     def shared(self) -> bool:
         return self.b_re.shape[0] == 1
+
+    @property
+    def superchunk(self) -> int:
+        """Chunks per superchunk group (1 = plain single-level scan)."""
+        return 1 if self.s_re is None else self.s_re.shape[1] - 1
 
 
 def choose_radix(span: int, target: int | None = None) -> int:
@@ -207,9 +218,30 @@ def build_span_tables(
         raise ValueError(f"radix {r} does not divide span {span}")
     if form == "chunked":
         b = np.moveaxis(_power_table(src, r), -1, 1)
+        x = span // r
+        # two-level hierarchy: group G chunks per superchunk so the
+        # X-step serial scan shrinks to X/G (the [G, G] within-group
+        # mixing becomes matmuls). SHARED banks only: measured +3% RTF
+        # (84-85 -> 87.4 at 256x1024 nb=512); for hetero banks the
+        # per-object [O, G, G, M] mixing einsums cost MORE than the scan
+        # they replace (nb=512 RTF 73-76 -> 55.8 measured at G=8), so
+        # hetero spans keep the single-level scan.
+        g_cap = 32 if shared else 1
+        g = 1
+        if x >= 64:
+            for cand in range(min(g_cap, x), 1, -1):
+                if x % cand == 0:
+                    g = cand
+                    break
+        s_re = s_im = None
+        if g > 1:
+            s = np.moveaxis(_power_table(
+                src, np.arange(g + 1, dtype=np.int64) * r), -1, 1)
+            s_re = jnp.asarray(s.real, dtype)
+            s_im = jnp.asarray(s.imag, dtype)
         return ChunkSpanTables(b_re=jnp.asarray(b.real, dtype),
                                b_im=jnp.asarray(b.imag, dtype),
-                               n_chunks=span // r)
+                               n_chunks=x, s_re=s_re, s_im=s_im)
     if form == "full":
         if not shared:
             raise ValueError("full span tables need a shared bank "
@@ -338,6 +370,116 @@ def integrate_span(
     return z_re_out, z_im_out, sound
 
 
+def _chunk_start_states(z_re, z_im, inj_re, inj_im,
+                        tables: ChunkSpanTables):
+    """Propagate z_{x+1} = lam^C z_x + inj[x] across X chunks; returns
+    (z_final_re, z_final_im, starts_re [O, X, M], starts_im).
+
+    Single-level: one X-step lax.scan (~17 us/step at [256, 1024] — loop
+    overhead bound, docs/PERF.md stage breakdown). Two-level (when the
+    tables carry superchunk powers lam^(dC), d in [0, G]): group G chunks,
+    scan only the X/G group boundaries, and produce each group's interior
+    starts with matmul-shaped mixing —
+
+        Z_{g+1}   = lam^(GC) Z_g + sum_j lam^((G-1-j)C) inj[gG + j]
+        z_{gG+j}  = lam^(jC) Z_g + sum_{i<j} lam^((j-1-i)C) inj[gG + i]
+
+    the exact factorization that span-formed the per-sample recurrence,
+    applied once more at chunk level (round-2 VERDICT item 9).
+    """
+    o, m = z_re.shape
+    x = tables.n_chunks
+    b_re, b_im = tables.b_re, tables.b_im
+    c = tables.chunk
+    g = tables.superchunk
+    decay = inj_re is None
+    if g <= 1 or x % g:
+        pc_re, pc_im = b_re[:, c], b_im[:, c]          # [Og, M]
+
+        def body(carry, inj_x):
+            zr, zi = carry
+            zr_n = pc_re * zr - pc_im * zi
+            zi_n = pc_im * zr + pc_re * zi
+            if inj_x is not None:
+                zr_n = zr_n + inj_x[0]
+                zi_n = zi_n + inj_x[1]
+            return (zr_n, zi_n), (zr, zi)
+
+        xs = (None if decay else
+              (jnp.moveaxis(inj_re, 1, 0), jnp.moveaxis(inj_im, 1, 0)))
+        (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
+            body, (z_re, z_im), xs, length=x)
+        return (zr_f, zi_f, jnp.moveaxis(zs_re, 0, 1),
+                jnp.moveaxis(zs_im, 0, 1))
+
+    s_re, s_im = tables.s_re, tables.s_im              # [Og, G+1, M]
+    shared = tables.shared
+    xg = x // g
+    rot_re, rot_im = s_re[:, g], s_im[:, g]            # lam^(GC)
+    if not decay:
+        ir = inj_re.reshape(o, xg, g, m)
+        ii = inj_im.reshape(o, xg, g, m)
+        # group injection: INJ_g = sum_j lam^((G-1-j)C) inj[g, j]
+        wfr = jnp.flip(s_re[:, :g], axis=1)            # [Og, G, M]
+        wfi = jnp.flip(s_im[:, :g], axis=1)
+        if shared:
+            inj_g_re = (jnp.einsum("oxjm,jm->oxm", ir, wfr[0])
+                        - jnp.einsum("oxjm,jm->oxm", ii, wfi[0]))
+            inj_g_im = (jnp.einsum("oxjm,jm->oxm", ir, wfi[0])
+                        + jnp.einsum("oxjm,jm->oxm", ii, wfr[0]))
+        else:
+            inj_g_re = (jnp.einsum("oxjm,ojm->oxm", ir, wfr)
+                        - jnp.einsum("oxjm,ojm->oxm", ii, wfi))
+            inj_g_im = (jnp.einsum("oxjm,ojm->oxm", ir, wfi)
+                        + jnp.einsum("oxjm,ojm->oxm", ii, wfr))
+
+    def gbody(carry, inj_x):
+        zr, zi = carry
+        zr_n = rot_re * zr - rot_im * zi
+        zi_n = rot_im * zr + rot_re * zi
+        if inj_x is not None:
+            zr_n = zr_n + inj_x[0]
+            zi_n = zi_n + inj_x[1]
+        return (zr_n, zi_n), (zr, zi)
+
+    xs = (None if decay else
+          (jnp.moveaxis(inj_g_re, 1, 0), jnp.moveaxis(inj_g_im, 1, 0)))
+    (zr_f, zi_f), (zg_re, zg_im) = jax.lax.scan(
+        gbody, (z_re, z_im), xs, length=xg)
+    zg_re = jnp.moveaxis(zg_re, 0, 1)                  # [O, XG, M]
+    zg_im = jnp.moveaxis(zg_im, 0, 1)
+
+    # interior starts: lam^(jC) Z_g (carry term) + within-group mixing
+    car_re = (zg_re[:, :, None, :] * s_re[:, None, :g, :]
+              - zg_im[:, :, None, :] * s_im[:, None, :g, :])
+    car_im = (zg_re[:, :, None, :] * s_im[:, None, :g, :]
+              + zg_im[:, :, None, :] * s_re[:, None, :g, :])
+    if decay:
+        return (zr_f, zi_f, car_re.reshape(o, x, m),
+                car_im.reshape(o, x, m))
+    # T2[j, i] = lam^((j-1-i)C) for i < j, 0 otherwise (gp2[0] = 0 makes
+    # the clipped gather self-masking)
+    gp2_re = jnp.concatenate([jnp.zeros_like(s_re[:, :1]), s_re], axis=1)
+    gp2_im = jnp.concatenate([jnp.zeros_like(s_im[:, :1]), s_im], axis=1)
+    delta = np.arange(g)[:, None] - np.arange(g)[None, :]   # j - i
+    didx = jnp.asarray(delta.clip(0))
+    t2_re = jnp.take(gp2_re, didx, axis=1)             # [Og, G, G, M]
+    t2_im = jnp.take(gp2_im, didx, axis=1)
+    if shared:
+        mix_re = (jnp.einsum("oxim,jim->oxjm", ir, t2_re[0])
+                  - jnp.einsum("oxim,jim->oxjm", ii, t2_im[0]))
+        mix_im = (jnp.einsum("oxim,jim->oxjm", ir, t2_im[0])
+                  + jnp.einsum("oxim,jim->oxjm", ii, t2_re[0]))
+    else:
+        mix_re = (jnp.einsum("oxim,ojim->oxjm", ir, t2_re)
+                  - jnp.einsum("oxim,ojim->oxjm", ii, t2_im))
+        mix_im = (jnp.einsum("oxim,ojim->oxjm", ir, t2_im)
+                  + jnp.einsum("oxim,ojim->oxjm", ii, t2_re))
+    zs_re = (car_re + mix_re).reshape(o, x, m)
+    zs_im = (car_im + mix_im).reshape(o, x, m)
+    return zr_f, zi_f, zs_re, zs_im
+
+
 def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
                             space_k, f_k, transfer, transfer_im=None):
     """FFT-free span: per-chunk force injection + chunk-state scan +
@@ -408,21 +550,11 @@ def _integrate_span_chunked(z_re, z_im, bank, tables: ChunkSpanTables,
     inj_im = jnp.sum(be_re[:, :, None, :] * t_im
                      + be_im[:, :, None, :] * t_re, axis=1)
 
-    # chunk-state scan: z_{x+1} = lam^C z_x + inj[x]; emits chunk starts
-    pc_re, pc_im = b_re[:, c], b_im[:, c]              # [Og, M]
-
-    def body(carry, inj_x):
-        zr, zi = carry
-        ir, ii = inj_x
-        zr_n = pc_re * zr - pc_im * zi + ir
-        zi_n = pc_im * zr + pc_re * zi + ii
-        return (zr_n, zi_n), (zr, zi)
-
-    (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
-        body, (z_re, z_im),
-        (jnp.moveaxis(inj_re, 1, 0), jnp.moveaxis(inj_im, 1, 0)))
-    zs_re = jnp.moveaxis(zs_re, 0, 1)                  # [O, X, M]
-    zs_im = jnp.moveaxis(zs_im, 0, 1)
+    # chunk-state propagation: z_{x+1} = lam^C z_x + inj[x]; emits every
+    # chunk's start state (single-level scan, or the two-level superchunk
+    # hierarchy when the tables carry lam^(dC) powers)
+    zr_f, zi_f, zs_re, zs_im = _chunk_start_states(
+        z_re, z_im, inj_re, inj_im, tables)
 
     # cross-chunk hom from each chunk's start state: Im(B[1..C] t z_x)
     if multi:
@@ -508,17 +640,8 @@ def decay_span(
         c, x = tables.chunk, tables.n_chunks
         b_re, b_im = tables.b_re, tables.b_im
         tmask = transfer * bank.mask
-        pc_re, pc_im = b_re[:, c], b_im[:, c]
-
-        def body(carry, _):
-            zr, zi = carry
-            return (pc_re * zr - pc_im * zi,
-                    pc_im * zr + pc_re * zi), (zr, zi)
-
-        (zr_f, zi_f), (zs_re, zs_im) = jax.lax.scan(
-            body, (z_re, z_im), None, length=x)
-        zs_re = jnp.moveaxis(zs_re, 0, 1)              # [O, X, M]
-        zs_im = jnp.moveaxis(zs_im, 0, 1)
+        zr_f, zi_f, zs_re, zs_im = _chunk_start_states(
+            z_re, z_im, None, None, tables)
         timask = None if transfer_im is None else transfer_im * bank.mask
         if transfer.ndim == 3:                         # [L, O, M] listeners
             nl = transfer.shape[0]

@@ -260,3 +260,39 @@ def test_read_modes_rejects_huge_header(tmp_path):
     p.write_bytes(struct.pack("<ii", 1 << 30, 1 << 30) + b"\x00" * 64)
     with _pytest.raises(ValueError, match="claims"):
         read_modes(str(p))
+
+
+def test_committed_demo_assets_load():
+    """assets/demo is a COMMITTED dataset (SURVEY section 2 row 21 —
+    the reference ships example assets; ours are generated once and
+    checked in): it must resolve, load, and synthesize out of the box."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.ops.coeffs import bank_from_material
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "demo")
+    assert os.path.isdir(root), "committed demo assets missing"
+    model = load_model(resolve_model_dir(root, "demo"))
+    assert model.num_modes_audible > 0 and len(model.ffat_maps) > 0
+    n = model.num_modes_audible
+    bank = bank_from_material(
+        model.material.density, model.modes.omega_squared[:n],
+        model.material.alpha, model.material.beta, block_size=128,
+        dtype=jnp.float32)
+    sess = ModalSession(bank, ffat=build_ffat(model.ffat_maps,
+                                              bank.num_modes),
+                        config=SolverConfig(block_size=128))
+    sess.set_listener(np.asarray([0.8, 0.4, 0.3]))
+    sess.hit(0, model.modal_force_vertex(3), kind="gaussian",
+             width_us=300.0)
+    out = sess.render(6)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0

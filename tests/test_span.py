@@ -243,3 +243,78 @@ def test_span_f32_ten_seconds_vs_oracle(dberr):
         ref[i] = q @ tvec
     err = dberr(np.asarray(sound[0]), ref)
     assert err <= -60.0, f"{err:.1f} dB over 10 s"
+
+
+@pytest.mark.parametrize("layout", ["shared", "hetero"])
+def test_superchunk_hierarchy_matches_single_level(layout, dberr):
+    """Two-level chunk hierarchy (round-2 VERDICT item 9): spans long
+    enough to carry superchunk tables (X >= 64) produce the same output
+    and final state as the single-level X-step scan, for excitation,
+    ring-down, and the sustained channel."""
+    import dataclasses as dc
+
+    from openpbso_tpu.ops.forces import ar_impulse_g
+    from openpbso_tpu.ops.span import ChunkSpanTables
+    from openpbso_tpu.runtime.solver import step_span
+
+    if layout == "shared":
+        bank, lam64 = _shared_bank(o=3, m=10, s=S)
+    else:
+        bank, lam64 = _hetero_bank(o=3, m=10, s=S)
+    n_blocks = 64                       # 64 * 64 = 4096 samples
+    tables = build_span_tables(lam64, n_blocks * S,
+                               num_modes=bank.num_modes, radix=S)
+    assert isinstance(tables, ChunkSpanTables)
+    if layout == "shared":
+        assert tables.superchunk > 1, "expected superchunk tables at X=64"
+    else:
+        # hetero spans keep the single-level scan by default (the
+        # per-object mixing measured slower, ops/span.py); build the
+        # hierarchy manually so its hetero math path stays covered
+        from openpbso_tpu.ops.coeffs import _power_table
+        assert tables.superchunk == 1
+        g = 8
+        lam_pad = np.pad(np.atleast_2d(lam64),
+                         ((0, 0), (0, bank.num_modes - lam64.shape[-1])))
+        s = np.moveaxis(_power_table(
+            lam_pad, np.arange(g + 1, dtype=np.int64) * S), -1, 1)
+        tables = dc.replace(tables,
+                            s_re=jnp.asarray(s.real, jnp.float32),
+                            s_im=jnp.asarray(s.imag, jnp.float32))
+        assert tables.superchunk == g
+    flat = dc.replace(tables, s_re=None, s_im=None)   # single-level ref
+
+    state = _seeded_state(bank, n_blocks)
+    sus = state.sustained
+    state = dataclasses.replace(
+        state, sustained=dataclasses.replace(
+            sus, active=sus.active.at[2].set(True),
+            space=sus.space.at[2, :4].set(1.0)))
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), S), jnp.float32)
+
+    st_a, mix_a = step_span(state, bank, tables, gains, n_blocks=n_blocks,
+                            block_size=S, with_sustained=True, ar_g=ar_g)
+    st_b, mix_b = step_span(state, bank, flat, gains, n_blocks=n_blocks,
+                            block_size=S, with_sustained=True, ar_g=ar_g)
+    assert dberr(np.asarray(mix_a), np.asarray(mix_b)) <= -100
+    assert dberr(np.asarray(st_a.z_re), np.asarray(st_b.z_re)) <= -100
+
+    # ring-down too (decay_span takes the carry-only hierarchy)
+    idle = dataclasses.replace(
+        state,
+        slots=__import__('jax').tree.map(jnp.zeros_like, state.slots),
+        sustained=dataclasses.replace(
+            state.sustained, active=jnp.zeros_like(sus.active)),
+        z_re=jnp.asarray(
+            np.random.default_rng(3).standard_normal(state.z_re.shape),
+            jnp.float32),
+        z_im=jnp.asarray(
+            np.random.default_rng(4).standard_normal(state.z_re.shape),
+            jnp.float32))
+    za, zb, snd_a = decay_span(idle.z_re, idle.z_im, bank, tables,
+                               idle.transfer)
+    zc, zd, snd_b = decay_span(idle.z_re, idle.z_im, bank, flat,
+                               idle.transfer)
+    assert dberr(np.asarray(snd_a), np.asarray(snd_b)) <= -100
+    assert dberr(np.asarray(za), np.asarray(zc)) <= -100
