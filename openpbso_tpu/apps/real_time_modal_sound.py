@@ -167,12 +167,16 @@ def make_session(args):
         except ImportError:
             ffat = build_ffat(model.ffat_maps, bank.num_modes,
                               dtype=jnp.float32)
+    nl = int(getattr(args, "num_listeners", 1) or 1)
     sess = ModalSession(bank, ffat=ffat, lam64=lam64,
+                        num_listeners=nl,
                         config=SolverConfig(
                             block_size=args.block, backend=args.backend,
                             smooth_transfer=getattr(args, "smooth_transfer",
                                                     False)))
     listener = np.asarray([float(v) for v in args.listener.split(",")])
+    if nl > 1:
+        listener = np.broadcast_to(listener, (nl, 3))
     sess.set_listener(listener)
     return model, sess
 

@@ -56,7 +56,18 @@ def main(argv=None) -> int:
                    help="broadcast ONE synthesis stream to many concurrent "
                         "clients (shared world/listener) instead of one "
                         "engine per connection")
+    p.add_argument("--per-client-listeners", type=int, default=0,
+                   metavar="L",
+                   help="with --multi-client: give each of up to L "
+                        "concurrent clients its OWN listener (shared-state "
+                        "multi-listener solver rows; each client hears its "
+                        "own mix column). Raw protocol only.")
     args = p.parse_args(argv)
+    if args.per_client_listeners:
+        if not args.multi_client or args.web or args.scene:
+            raise SystemExit("--per-client-listeners needs --multi-client "
+                             "on the raw protocol (no --web/--scene)")
+        args.num_listeners = args.per_client_listeners
     if args.platform:
         import jax
         try:
@@ -148,9 +159,12 @@ def main(argv=None) -> int:
     qnorm_every = args.qnorm_every
     if qnorm_every is None:
         qnorm_every = 8 if args.web else 0
+    extra = {}
+    if args.per_client_listeners:
+        extra["per_client_listeners"] = args.per_client_listeners
     srv = cls(make, model=model, host=args.host, port=args.port,
               lookahead=args.lookahead, session_loader=load_from_meta,
-              qnorm_every=qnorm_every, positions=positions)
+              qnorm_every=qnorm_every, positions=positions, **extra)
     kind = "http/websocket" if args.web else "pbso protocol"
     print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)

@@ -507,9 +507,14 @@ class _ClientStream:
     reference's stale-buffer replay, real_time_modal_sound.cpp:203-210).
     """
 
-    def __init__(self, sink: _SocketSink, depth: int = 8):
+    def __init__(self, sink: _SocketSink, depth: int = 8,
+                 channel: int | None = None):
+        """``channel``: per-client listener routing — the engine mix is
+        [S, L] (one column per listener row); this client receives its
+        OWN column duplicated to stereo. None streams the full mix."""
         self.sink = sink
         self.dropped = 0
+        self.channel = channel
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._drain,
                                         name="pbso-client-tx", daemon=True)
@@ -533,6 +538,10 @@ class _ClientStream:
                 block = self._q.get(timeout=0.2)
             except queue.Empty:
                 continue
+            if self.channel is not None:
+                # slice AFTER the queue: blocks enqueue by reference, so
+                # the shared fan-out stores one array for all clients
+                block = block[:, (self.channel, self.channel)]
             if not self.sink.write(block):
                 return  # socket dead; sink.closed is now set
 
@@ -613,9 +622,10 @@ class BroadcastAudioServer(AudioServer):
     StreamingEngine synthesizes continuously for the server's lifetime;
     every connected client receives the same PCM stream and shares the
     command surface (hits, sustains, clears are world state). ``quit``
-    disconnects only that client. ``listener`` moves the SHARED listener —
-    per-client independent listeners need per-client transfer rows and are
-    served by Scene's multi-listener channels instead.
+    disconnects only that client. ``listener`` moves the SHARED listener
+    by default; with ``per_client_listeners`` = L, each client gets its
+    OWN listener row (shared-state multi-listener solver) and hears its
+    own mix column.
 
     ``load_model`` hot-swaps the stream for everyone (same channel/block
     guard as AudioServer).
@@ -625,16 +635,33 @@ class BroadcastAudioServer(AudioServer):
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, client_queue_depth: int = 8,
                  pace_lead: float | None = 0.3, max_restarts: int = 3,
-                 positions=None):
+                 positions=None, per_client_listeners: int = 0):
         """``max_restarts``: consecutive engine-rebuild attempts after a
         synthesis failure before the server gives up (a successful rebuild
         resets the count) — elastic recovery the reference lacks entirely
-        (its sim thread dies invisibly, SURVEY section 5)."""
+        (its sim thread dies invisibly, SURVEY section 5).
+
+        ``per_client_listeners`` = L > 0 gives each connected client its
+        OWN listener: the session must be built with num_listeners == L
+        (shared-state multi-listener rows — one [O, M] oscillator state,
+        [L, O, M] transfer rows, mix channel l = listener l's ears).
+        Client c is assigned a free listener slot at connect; its
+        ``listener`` commands move only that row (merged host-side into
+        one [L, 3] latest-wins event), and its PCM stream is its own mix
+        column duplicated to stereo. Beyond L concurrent clients, extra
+        connections share slot 0's view (announced in-band). L is a
+        static shape: pick a small power of two, like slot_buckets."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
                          qnorm_every=qnorm_every, positions=positions)
         self._client_depth = client_queue_depth
         self._fanout = _FanoutSink(pace_lead=pace_lead)
+        self._pcl = int(per_client_listeners)
+        self._slot_lock = threading.Lock()
+        self._slots_free = list(range(self._pcl))
+        self._listener_pos = (np.tile(np.asarray([[1.0, 0.5, 0.5]]),
+                                      (self._pcl, 1))
+                              if self._pcl else None)
         self._engine = None
         self._engine_lock = threading.Lock()
         self._max_restarts = max_restarts
@@ -676,10 +703,21 @@ class BroadcastAudioServer(AudioServer):
         with self._engine_lock:
             if self._engine is None:
                 session = self._make_session()
+                if self._pcl and session.num_listeners != self._pcl:
+                    raise ValueError(
+                        f"per_client_listeners={self._pcl} needs a "
+                        f"session built with num_listeners={self._pcl} "
+                        f"(got {session.num_listeners})")
                 self._engine = StreamingEngine(
                     session, self._fanout, lookahead=self._lookahead,
                     qnorm_every=self._qnorm_every)
                 self._engine.start()
+                if self._pcl:
+                    # (re)apply every slot's listener — an engine rebuild
+                    # must restore the clients' views, not reset them
+                    with self._slot_lock:
+                        pos = self._listener_pos.copy()
+                    self._engine.set_listener(pos)
                 self._after_engine_start(self._engine)
             return self._engine
 
@@ -749,17 +787,47 @@ class BroadcastAudioServer(AudioServer):
         self._serve_client(conn)
         del engine
 
+    def _alloc_listener_slot(self) -> int | None:
+        if not self._pcl:
+            return None
+        with self._slot_lock:
+            return self._slots_free.pop(0) if self._slots_free else None
+
+    def _free_listener_slot(self, slot: int | None) -> None:
+        if slot is None:
+            return
+        with self._slot_lock:
+            self._slots_free.append(slot)
+
+    def _move_client_listener(self, engine, slot: int, pos) -> None:
+        """Merge one client's move into the [L, 3] latest-wins event."""
+        pos = np.asarray(pos, np.float64).reshape(3)
+        with self._slot_lock:
+            self._listener_pos[slot] = pos
+            merged = self._listener_pos.copy()
+        engine.set_listener(merged)
+
     def _serve_client(self, conn: socket.socket) -> None:
         engine = self._ensure_engine()
         block = engine.session.config.block_size
         try:
-            sink = _SocketSink(conn, block,
-                               channels=int(engine.session.gains.shape[-1]))
+            sink = _SocketSink(
+                conn, block,
+                channels=(2 if self._pcl
+                          else int(engine.session.gains.shape[-1])))
         except OSError:
             conn.close()
             return
-        client = _ClientStream(sink, depth=self._client_depth)
+        slot = self._alloc_listener_slot()
+        client = _ClientStream(sink, depth=self._client_depth,
+                               channel=(slot if slot is not None else
+                                        (0 if self._pcl else None)))
         self._fanout.register(client)
+        if self._pcl:
+            sink.send_json({"listener_slot": slot} if slot is not None
+                           else {"listener_slot": None,
+                                 "error": "no free listener slot; "
+                                          "sharing slot 0's view"})
         try:
             buf = b""
             conn.settimeout(5.0)
@@ -784,9 +852,27 @@ class BroadcastAudioServer(AudioServer):
                     if engine is None or not engine.healthy:
                         sink.send_json({"error": "engine restarting"})
                         continue
+                    if self._pcl:
+                        # per-client listener routing: a 'listener'
+                        # command moves only THIS client's row
+                        try:
+                            msg = json.loads(line)
+                        except json.JSONDecodeError:
+                            msg = None
+                        if msg and msg.get("cmd") == "listener":
+                            try:
+                                if slot is None:
+                                    raise ValueError(
+                                        "no per-client listener slot")
+                                self._move_client_listener(
+                                    engine, slot, msg["pos"])
+                            except (KeyError, ValueError, TypeError) as e:
+                                sink.send_json({"error": str(e)})
+                            continue
                     if self._dispatch(engine, sink, line):
                         return
         finally:
+            self._free_listener_slot(slot)
             self._fanout.unregister(client)
             sink.closed = True
             client.join()

@@ -603,3 +603,86 @@ def test_transfer_compressed_toggle_over_wire():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_per_client_listeners_broadcast():
+    """per_client_listeners: each broadcast client owns a listener row
+    (shared-state multi-listener solver) and hears its own mix column —
+    a near client must receive more energy than a far one; a third
+    client beyond L shares slot 0's view (ROADMAP round-3 item)."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    md = synth_mode_data(6, 8, seed=2)
+    maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=6)
+            for i in range(6)}
+
+    def make_session():
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32,
+                                  num_objects=1)
+        ffat = build_ffat(maps, bank.num_modes)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"),
+                            num_listeners=2, lam64=lam64)
+        sess.set_listener(np.asarray([[0.9, 0.2, 0.1],
+                                      [0.9, 0.2, 0.1]]))
+        sess.step()
+        return sess
+
+    srv = BroadcastAudioServer(make_session, pace_lead=0.05,
+                               per_client_listeners=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = AudioClient(*srv.address)
+        b = AudioClient(*srv.address)
+        assert a.channels == 2 and b.channels == 2
+        # slot announcements
+        for c in (a, b):
+            deadline = time.time() + 30
+            while not c.messages and time.time() < deadline:
+                c.read_block()
+        slots = {a.messages[0]["listener_slot"],
+                 b.messages[0]["listener_slot"]}
+        assert slots == {0, 1}, slots
+        # near/far listeners: |pos| in the FFAT falloff 1/(kr)
+        a.send(cmd="listener", pos=[0.45, 0.0, 0.0])       # near
+        b.send(cmd="listener", pos=[1.8, 0.0, 0.0])        # far
+        time.sleep(0.8)                                    # moves apply
+        a.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+               kind="gaussian", width_us=2000.0)
+        ea = eb = 0.0
+        deadline = time.time() + 30
+        while time.time() < deadline and (ea == 0 or eb == 0):
+            ba_ = a.read_block()
+            bb_ = b.read_block()
+            ea += float((ba_ ** 2).sum())
+            eb += float((bb_ ** 2).sum())
+        for _ in range(30):
+            ea += float((a.read_block() ** 2).sum())
+            eb += float((b.read_block() ** 2).sum())
+        assert ea > 0 and eb > 0
+        assert ea > 2.0 * eb, (ea, eb)    # near client hears MORE
+        # a third client exceeds L: shares slot 0, still streams
+        c = AudioClient(*srv.address)
+        deadline = time.time() + 30
+        while not c.messages and time.time() < deadline:
+            c.read_block()
+        assert c.messages[0]["listener_slot"] is None
+        got = 0.0
+        for _ in range(40):
+            got = max(got, float(np.abs(c.read_block()).max()))
+        # slot-0 sharing: the stream is live (hit may have decayed)
+        assert np.isfinite(got)
+        c.send(cmd="quit"); c.close()
+        a.send(cmd="quit"); a.close()
+        b.send(cmd="quit"); b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
