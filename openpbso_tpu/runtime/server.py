@@ -800,12 +800,16 @@ class BroadcastAudioServer(AudioServer):
             self._slots_free.append(slot)
 
     def _move_client_listener(self, engine, slot: int, pos) -> None:
-        """Merge one client's move into the [L, 3] latest-wins event."""
+        """Merge one client's move into the [L, 3] latest-wins event.
+
+        The enqueue happens UNDER the merge lock: the engine's transfer
+        slot keeps only the newest array, so enqueue order must match
+        merge order — otherwise two concurrent movers could finish with
+        a latest event that misses one of the row updates."""
         pos = np.asarray(pos, np.float64).reshape(3)
         with self._slot_lock:
             self._listener_pos[slot] = pos
-            merged = self._listener_pos.copy()
-        engine.set_listener(merged)
+            engine.set_listener(self._listener_pos.copy())
 
     def _serve_client(self, conn: socket.socket) -> None:
         engine = self._ensure_engine()

@@ -751,6 +751,14 @@ class ModalSession:
                 shape = ((o, 3) if self.num_listeners <= 1
                          else (self.num_listeners, o, 3))
                 self.set_listener_relative(np.ones(shape))
+                if self.ffat.geom.psi_c is not None:
+                    # both Psi textures are live-toggleable
+                    # (set_use_compressed); compile the other variant too
+                    # so the toggle never stalls the stream on a compile
+                    saved_comp = self.use_compressed
+                    self.use_compressed = not saved_comp
+                    self.set_listener_relative(np.ones(shape))
+                    self.use_compressed = saved_comp
             self.hit(0, np.zeros(self.bank.num_modes), amp=0.0)
             self.clear_forces()
             k = self.state.slots.num_slots
