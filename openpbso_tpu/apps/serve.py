@@ -61,12 +61,13 @@ def main(argv=None) -> int:
                    help="with --multi-client: give each of up to L "
                         "concurrent clients its OWN listener (shared-state "
                         "multi-listener solver rows; each client hears its "
-                        "own mix column). Raw protocol only.")
+                        "own mix column). Raw protocol or --web.")
     args = p.parse_args(argv)
     if args.per_client_listeners:
-        if not args.multi_client or args.web or args.scene:
+        if not args.multi_client or args.scene:
             raise SystemExit("--per-client-listeners needs --multi-client "
-                             "on the raw protocol (no --web/--scene)")
+                             "(single-model serving; --scene manages its "
+                             "own listener rows)")
         args.num_listeners = args.per_client_listeners
     if args.platform:
         import jax

@@ -183,6 +183,9 @@ class Scene:
         # per-object relative coordinates (Scene's own set_listener calls
         # set_listener_relative and bypasses it)
         self.session.listener_frame = self._listener_frame
+        # remembered world listener: move_object recomputes the relative
+        # rows from it so live object motion takes effect immediately
+        self._last_world_listener = None
 
     def _listener_frame(self, pos: np.ndarray) -> np.ndarray:
         """World [3] listener -> the session's relative frame; positions
@@ -233,6 +236,7 @@ class Scene:
         ear_distance/2 along ``ear_axis``)."""
         import jax.numpy as jnp
         world_pos = np.asarray(world_pos, np.float64)
+        self._last_world_listener = world_pos.copy()
         if self.binaural:
             ear = np.asarray(ear_axis, np.float64)
             ear = ear / np.linalg.norm(ear) * (self.ear_distance / 2)
@@ -251,6 +255,32 @@ class Scene:
             # leave stale 1/r factors for the old listener position
             self.session.gains = jnp.asarray(self._base_gains,
                                              self.session.gains.dtype)
+
+    def move_object(self, index: int, world_pos: np.ndarray) -> None:
+        """Move logical object ``index`` to a new world position LIVE
+        (the reference has no notion of object motion at all; offline
+        motion is render_moving's object_paths). The listener-relative
+        transfer rows recompute from the remembered world listener, so
+        the next block hears the object at its new place. For streaming
+        use, call between blocks (or via an engine-side closure); pair
+        with DopplerPostMix.positions updates for live object Doppler.
+        """
+        ll = self.num_listeners
+        pos = np.asarray(world_pos, np.float64)
+        if ll > 1 and not self.shared_state:
+            # replicated layout: logical object i owns rows i*L..i*L+L-1
+            n_logical = len(self.instances) // ll
+            if not 0 <= index < n_logical:
+                raise IndexError(f"object {index} out of range "
+                                 f"[0, {n_logical})")
+            self.positions[ll * index: ll * (index + 1)] = pos
+        else:
+            if not 0 <= index < len(self.positions):
+                raise IndexError(f"object {index} out of range "
+                                 f"[0, {len(self.positions)})")
+            self.positions[index] = pos
+        if getattr(self, "_last_world_listener", None) is not None:
+            self.set_listener(self._last_world_listener)
 
     def step(self):
         return self.session.step()
@@ -310,9 +340,8 @@ class Scene:
                        **kw) -> np.ndarray:
         """render_moving + physical propagation delay r(t)/c per object
         (session.render_doppler): moving listeners AND moving objects get
-        true Doppler shift from their radial velocities."""
-        if self.num_listeners > 1:
-            raise ValueError("render_doppler supports single-listener "
-                             "scenes")
+        true Doppler shift from their radial velocities. Multi-listener
+        scenes return one Doppler-delayed channel per listener (each
+        offset ear/listener follows its own distance trajectory)."""
         rel = self._relative_path(listener_path, object_paths)
         return self.session.render_doppler(rel, **kw)

@@ -967,7 +967,10 @@ class ModalSession:
         (ops/doppler.py).
 
         ``positions``: [T, 3] (shared) or [T, O, 3] listener positions
-        *relative to each object* (the FFAT map frame), row t = block t.
+        *relative to each object* (the FFAT map frame), row t = block t;
+        multi-listener sessions accept [T, 3] / [T, L, 3] / [T, L, O, 3]
+        and return one Doppler-delayed channel per listener (each
+        listener's delay follows ITS OWN distance trajectory).
         Returns [T * S, C] float32. Samples whose emission time precedes
         the render start are silent (the wavefront has not arrived yet).
         """
@@ -975,10 +978,6 @@ class ModalSession:
         from ..ops.doppler import (delay_indices, delay_resample,
                                    sample_distances)
         from .solver import step_multi_transfers_sound
-        if self.num_listeners > 1:
-            raise ValueError("render_doppler supports single-listener "
-                             "sessions (per-listener delays would need "
-                             "[L, O, N] gathers)")
         self._maybe_rebase()
         if smooth is None:
             smooth = self.config.smooth_transfer
@@ -987,13 +986,31 @@ class ModalSession:
         positions = np.asarray(positions, np.float64)
         t_total = positions.shape[0]
         o = self.bank.num_objects
-        if positions.ndim == 2:
+        nl = self.num_listeners
+        if nl > 1:
+            if positions.ndim == 2:
+                positions = np.broadcast_to(positions[:, None, :],
+                                            (t_total, nl, 3))
+            if positions.ndim == 3:
+                if positions.shape[1] != nl:
+                    raise ValueError(
+                        f"expected [T, {nl}, 3] listener path, got "
+                        f"{positions.shape}")
+                positions = np.broadcast_to(positions[:, :, None, :],
+                                            (t_total, nl, o, 3))
+        elif positions.ndim == 2:
             positions = np.broadcast_to(positions[:, None, :],
                                         (t_total, o, 3))
         if self.ffat is not None and self.use_transfer:
-            rows = jax.vmap(lambda p: compute_transfer(
-                self.ffat, p, compressed=self.use_compressed))(
-                jnp.asarray(positions, self._dtype)).astype(self._dtype)
+            if nl > 1:
+                rows = jax.vmap(jax.vmap(lambda p: compute_transfer(
+                    self.ffat, p, compressed=self.use_compressed)))(
+                    jnp.asarray(positions, self._dtype))   # [T, L, O, M]
+            else:
+                rows = jax.vmap(lambda p: compute_transfer(
+                    self.ffat, p, compressed=self.use_compressed))(
+                    jnp.asarray(positions, self._dtype))
+            rows = rows.astype(self._dtype)
         else:
             rows = jnp.broadcast_to(
                 self.state.transfer,
@@ -1015,7 +1032,22 @@ class ModalSession:
             self._clock += n * self.config.block_size
             sounds.append(np.asarray(snd))
             done += n
-        sound = np.concatenate(sounds, axis=-1)            # [O, N]
+        sound = np.concatenate(sounds, axis=-1)      # [(L,) O, N]
+        if nl > 1:
+            # per-listener delay trajectories: listener l resamples ITS
+            # transfer-weighted sound by ITS distances (host loop over L —
+            # L is small; [L, O, N] gathers stay chunked per listener)
+            cols = []
+            for li in range(nl):
+                dist = sample_distances(positions[:, li],
+                                        self.config.block_size)
+                i0, frac = delay_indices(dist, c)
+                cols.append(np.asarray(delay_resample(
+                    jnp.asarray(sound[li], self._dtype),
+                    jnp.asarray(i0), jnp.asarray(frac),
+                    self.gains[:, li: li + 1])))
+            self._last_listener = positions[-1]
+            return np.concatenate(cols, axis=-1)     # [N, L]
         dist = sample_distances(positions, self.config.block_size)
         i0, frac = delay_indices(dist, c)   # float64 host split
         mix = delay_resample(jnp.asarray(sound, self._dtype),

@@ -337,7 +337,9 @@ def step_multi_transfers_sound(
     num_slots: int | None = None,
 ) -> tuple[SolverState, jax.Array]:
     """step_multi_transfers returning the raw per-object sound instead of
-    the mix: (state', sound [O, n_blocks*S]).
+    the mix: (state', sound [O, n_blocks*S]), or — with multi-listener
+    row stacks ``transfers`` [n_blocks, L, O, M] — the per-listener
+    weighted sounds ([L, O, n_blocks*S]).
 
     Used by the Doppler renderer (session.render_doppler), which must
     delay-resample each object's signal BEFORE the channel mixdown."""
@@ -354,9 +356,9 @@ def step_multi_transfers_sound(
 
     (state, _), sounds = jax.lax.scan(body, (state, state.transfer),
                                       transfers)
-    # [n_blocks, O, S] -> [O, n_blocks * S]
-    sound = jnp.moveaxis(sounds, 0, 1).reshape(
-        state.z_re.shape[0], n_blocks * block_size)
+    # [n_blocks, (L,) O, S] -> [(L,) O, n_blocks * S]
+    sound = jnp.moveaxis(sounds, 0, -2).reshape(
+        sounds.shape[1:-1] + (n_blocks * block_size,))
     return state, sound
 
 

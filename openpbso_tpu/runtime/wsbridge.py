@@ -667,15 +667,21 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
         # per-client sink without its own pacing: the shared fan-out hub
         # paces the stream once for everyone
         sink = _WSSink(conn, pace_lead=None)
-        sink.send_json({"hello": "openpbso-tpu",
-                        "sample_rate": SAMPLE_RATE,
-                        "channels": int(session.gains.shape[-1]),
-                        "block_size": session.config.block_size,
-                        "modes": int(session.bank.num_modes),
-                        "objects": int(session.bank.num_objects),
-                        "has_positions":
-                            self._positions is not None})
-        client = _ClientStream(sink, depth=self._client_depth)
+        slot = self._alloc_listener_slot()
+        hello = {"hello": "openpbso-tpu",
+                 "sample_rate": SAMPLE_RATE,
+                 "channels": (2 if self._pcl
+                              else int(session.gains.shape[-1])),
+                 "block_size": session.config.block_size,
+                 "modes": int(session.bank.num_modes),
+                 "objects": int(session.bank.num_objects),
+                 "has_positions": self._positions is not None}
+        if self._pcl:
+            hello["listener_slot"] = slot   # None = sharing slot 0's view
+        sink.send_json(hello)
+        client = _ClientStream(sink, depth=self._client_depth,
+                               channel=(slot if slot is not None else
+                                        (0 if self._pcl else None)))
         self._fanout.register(client)
         reader = _FrameReader(conn)
         try:
@@ -698,9 +704,27 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
                     if engine is None or not engine.healthy:
                         sink.send_json({"error": "engine restarting"})
                         continue
+                    if self._pcl:
+                        # per-client listener routing (see the raw
+                        # transport's _serve_client)
+                        try:
+                            msg = json.loads(payload)
+                        except json.JSONDecodeError:
+                            msg = None
+                        if msg and msg.get("cmd") == "listener":
+                            try:
+                                if slot is None:
+                                    raise ValueError(
+                                        "no per-client listener slot")
+                                self._move_client_listener(
+                                    engine, slot, msg["pos"])
+                            except (KeyError, ValueError, TypeError) as e:
+                                sink.send_json({"error": str(e)})
+                            continue
                     if self._dispatch(engine, sink, payload):
                         break
         finally:
+            self._free_listener_slot(slot)
             self._fanout.unregister(client)
             sink.closed = True
             client.join()

@@ -206,7 +206,10 @@ def test_doppler_arrival_delay_and_static_parity():
                                rtol=0, atol=1e-7)
 
 
-def test_doppler_rejects_multi_listener():
+def test_doppler_multi_listener_path_validation():
+    """Multi-listener render_doppler accepts [T, 3]/[T, L, 3]/[T, L, O, 3]
+    paths (round-3; the single-listener-only restriction is gone) and
+    rejects mismatched listener counts."""
     import jax.numpy as jnp
     md = synth_mode_data(8, 8, seed=3)
     bank = bank_from_material(CERAMIC.density, md.omega_squared,
@@ -215,8 +218,10 @@ def test_doppler_rejects_multi_listener():
                               dtype=jnp.float32)
     sess = ModalSession(bank, config=SolverConfig(block_size=128),
                         num_listeners=2)
-    with pytest.raises(ValueError, match="single-listener"):
-        sess.render_doppler(np.zeros((4, 3)))
+    with pytest.raises(ValueError, match="listener path"):
+        sess.render_doppler(np.ones((4, 3, 3)))    # 3 != L=2
+    out = sess.render_doppler(np.ones((4, 3)) * 2.0)   # shared path
+    assert out.shape == (4 * 128, 2) and np.isfinite(out).all()
 
 
 # ------------------------------------------------- live Doppler (engine)
@@ -328,3 +333,68 @@ def test_live_doppler_frequency_shift_in_engine():
     assert abs(cycles - expected) < 5.0, (cycles, expected, static)
     assert abs(expected - static) > 15.0   # the effect is measurable
     assert abs(cycles - static) > 10.0     # and measured
+
+
+def test_render_doppler_multi_listener(scene_model_doppler_fixtureless=None):
+    """Multi-listener render_doppler (round-3): each listener's channel is
+    delayed by ITS OWN distance trajectory — channel parity with a
+    single-listener session on the same path, and a true broadband
+    interaural lag for offset ears."""
+    import jax.numpy as jnp
+
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+    from openpbso_tpu.ops.coeffs import (bank_from_material,
+                                         lambda_from_modes)
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+    from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
+
+    s = 128
+    md = synth_mode_data(10, 8, seed=5)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+
+    def build(nl):
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=1, block_size=s,
+                                  dtype=jnp.float32)
+        sess = ModalSession(bank, config=SolverConfig(block_size=s),
+                            num_listeners=nl, lam64=lam64)
+        sess.hit(0, np.linspace(0.3, 1.0, 10), kind="gaussian",
+                 width_us=300.0)
+        return sess
+
+    t_blocks = 24
+    # ear offsets along x, object at origin; listeners approach along +x
+    base = np.stack([np.linspace(6.0, 3.0, t_blocks),
+                     np.zeros(t_blocks), np.zeros(t_blocks)], axis=1)
+    d_ear = 1.2     # exaggerated ear separation for a clear sample lag
+    path2 = np.stack([base + [d_ear / 2, 0, 0],
+                      base - [d_ear / 2, 0, 0]], axis=1)  # [T, 2, 3]
+
+    m2 = build(2)
+    out2 = m2.render_doppler(path2, blocks_per_dispatch=8)
+    assert out2.shape == (t_blocks * s, 2)
+
+    # channel 1 (near ear path = base - d/2... check) vs single-listener
+    m1 = build(1)
+    out1 = m1.render_doppler(path2[:, 1], blocks_per_dispatch=8)
+    a, b = out2[:, 1], out1[:, 0]
+    ref = np.abs(b).max()
+    assert ref > 0
+    assert np.abs(a - b).max() / ref < 1e-4
+
+    # interaural lag: the +x ear is FARTHER (object at origin, path on
+    # +x), so channel 0 lags channel 1 by d/c — contracted by the
+    # approach's Doppler factor: the received lag between two copies a
+    # constant emission-distance d apart satisfies
+    # delta (1 + v/c) = d/c (both ears sample the same compressed
+    # emission clock). v here: 3 m over 24 blocks.
+    l0, l1 = out2[:, 0], out2[:, 1]
+    xc = np.correlate(l0[s:], l1[s:], mode="full")
+    lag = int(np.argmax(xc)) - (len(l0[s:]) - 1)
+    v = 3.0 / (t_blocks * s / SAMPLE_RATE)
+    expected = (d_ear / SOUND_SPEED * SAMPLE_RATE
+                / (1.0 + v / SOUND_SPEED))          # ~137 samples
+    assert abs(lag - expected) <= 2, (lag, expected)

@@ -445,3 +445,80 @@ def test_ws_scene_multi_object_payloads(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_ws_per_client_listeners():
+    """Per-client listeners over the WS transport: each browser gets a
+    slot in the hello, a stereo stream of its OWN mix column, and its
+    listener commands move only its row (round-3)."""
+    import time as _time
+
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.runtime.wsbridge import BroadcastWebSocketAudioServer
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    md = synth_mode_data(6, 8, seed=4)
+    maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=8)
+            for i in range(6)}
+
+    def make_session():
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32)
+        ffat = build_ffat(maps, bank.num_modes)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"),
+                            num_listeners=2, lam64=lam64)
+        sess.set_listener(np.asarray([[0.9, 0.2, 0.1], [0.9, 0.2, 0.1]]))
+        sess.step()
+        return sess
+
+    srv = BroadcastWebSocketAudioServer(make_session, pace_lead=0.05,
+                                        per_client_listeners=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = _WSClient(*srv.address)
+        b = _WSClient(*srv.address)
+
+        def next_json(c, tries=400):
+            for _ in range(tries):
+                op, payload = c.read_frame()
+                if op == OP_TEXT:
+                    return json.loads(payload)
+            raise AssertionError("no JSON frame")
+
+        hellos = [next_json(a), next_json(b)]
+        assert {h["listener_slot"] for h in hellos} == {0, 1}
+        assert all(h["channels"] == 2 for h in hellos)
+        a.send_json(cmd="listener", pos=[0.45, 0.0, 0.0])   # near
+        b.send_json(cmd="listener", pos=[1.8, 0.0, 0.0])    # far
+        _time.sleep(0.8)
+        a.send_json(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+                    kind="gaussian", width_us=2000.0)
+
+        def energy(c, tries=250):
+            e = 0.0
+            got = 0
+            for _ in range(tries):
+                op, payload = c.read_frame()
+                if op == OP_BINARY:
+                    pcm = np.frombuffer(payload, "<f4")
+                    e += float((pcm ** 2).sum())
+                    got += 1
+                    if got >= 40 and e > 0:
+                        break
+            return e
+
+        ea = energy(a)
+        eb = energy(b)
+        assert ea > 0 and eb > 0
+        assert ea > 2.0 * eb, (ea, eb)
+        a.close(); b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
