@@ -230,29 +230,46 @@ def main():
     explicit_mode = any(f in sys.argv
                         for f in ("--multi", "--pipelined", "--span"))
     if not explicit_mode:
-        # Default: the chunked-span dispatch (ops/span.py, 64
+        # Default: the chunked-span dispatch (ops/span.py, 512
         # blocks/dispatch — the best measured mode for BOTH shared and
-        # heterogeneous banks, docs/PERF.md round-2 tables), in a guarded
-        # child process: compiles can take unbounded time when the box is
-        # loaded (XLA compiles on this shared single core). Fall back to
-        # the robust single-compile pipelined measurement on timeout.
+        # heterogeneous banks, docs/PERF.md), in guarded child processes:
+        # compiles can take unbounded time when the box is loaded (XLA
+        # compiles on this shared single core). The ladder RETRIES the
+        # headline span once (the compile server caches executables
+        # across processes, so a retry after a lost race usually finds
+        # the now-finished compile), then falls back to a small-compile
+        # nb=64 span (RTF ~40-70) — never straight to the per-block
+        # pipelined path (RTF ~8), which is the measurement of last
+        # resort below.
         import subprocess
         child_args = [a for a in sys.argv[1:]]
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--span",
-                 "--skip-single"] + child_args,
-                capture_output=True, text=True, timeout=420)
+        ladder = [([], 540, ""),
+                  ([], 420, "retry: "),
+                  (["--nblocks=64"], 300, "partial (nb=64 fallback): ")]
+        for extra, budget, label in ladder:
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--span",
+                     "--skip-single"] + child_args + extra,
+                    capture_output=True, text=True, timeout=budget)
+            except subprocess.TimeoutExpired:
+                print(f"span child timed out ({budget}s"
+                      f"{' ' + extra[0] if extra else ''}); next rung",
+                      file=sys.stderr, flush=True)
+                continue
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
+                    if label:
+                        print(f"{label}full-span headline lost the "
+                              f"compile race", file=sys.stderr, flush=True)
                     print(line, flush=True)
                     if not hetero and not sustained:
                         _hetero_stderr_line()
                         _sustained_stderr_line()
                     return
-        except subprocess.TimeoutExpired:
-            pass
         # fall through to in-process pipelined measurement
+        print("all span rungs lost the compile race; pipelined fallback",
+              file=sys.stderr, flush=True)
 
     if "--span" in sys.argv:
         nb = (nblocks if any(a.startswith("--nblocks=") for a in sys.argv)
@@ -342,21 +359,27 @@ def _hetero_stderr_line():
 def _sustained_stderr_line():
     """Track the sustained-drag span rate per round (round-2 VERDICT
     item 2: the AR(2) channel is span-formed; its RTF should sit within
-    ~2x of the impact headline). One guarded child, stderr only."""
+    ~2x of the impact headline). Guarded children with one retry (the
+    retry usually finds the first attempt's now-cached compile), stderr
+    only."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--span",
-             "--skip-single", "--sustained", "--nblocks=512"],
-            capture_output=True, text=True, timeout=330)
+    for budget, label in ((480, ""), (420, "retry: ")):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--span",
+                 "--skip-single", "--sustained", "--nblocks=512"],
+                capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired:
+            print(f"sustained: attempt timed out ({budget}s)",
+                  file=sys.stderr, flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
-                print(f"sustained: {line}", file=sys.stderr, flush=True)
+                print(f"sustained: {label}{line}", file=sys.stderr,
+                      flush=True)
                 return
-        print("sustained: no result", file=sys.stderr, flush=True)
-    except subprocess.TimeoutExpired:
-        print("sustained: timed out (compile race lost)", file=sys.stderr,
-              flush=True)
+    print("sustained: no result (compile race lost twice)",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

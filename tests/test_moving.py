@@ -335,7 +335,7 @@ def test_live_doppler_frequency_shift_in_engine():
     assert abs(cycles - static) > 10.0     # and measured
 
 
-def test_render_doppler_multi_listener(scene_model_doppler_fixtureless=None):
+def test_render_doppler_multi_listener():
     """Multi-listener render_doppler (round-3): each listener's channel is
     delayed by ITS OWN distance trajectory — channel parity with a
     single-listener session on the same path, and a true broadband

@@ -6,6 +6,7 @@ transfer, no sustained channel — and track the float64 oracle at <= -60 dB.
 """
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -303,7 +304,7 @@ def test_superchunk_hierarchy_matches_single_level(layout, dberr):
     # ring-down too (decay_span takes the carry-only hierarchy)
     idle = dataclasses.replace(
         state,
-        slots=__import__('jax').tree.map(jnp.zeros_like, state.slots),
+        slots=jax.tree.map(jnp.zeros_like, state.slots),
         sustained=dataclasses.replace(
             state.sustained, active=jnp.zeros_like(sus.active)),
         z_re=jnp.asarray(
