@@ -229,9 +229,8 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
     obj-sharded) — the sustained AR(2) channel is entirely per-object
     (keys, history, profile), so it shards with no extra communication.
     """
-    from ..ops.forces import force_span, sustained_span
     from ..ops.span import decay_span, integrate_span
-    from ..runtime.solver import _mixdown_span
+    from ..runtime.solver import _mixdown_span, _span_channels
     n = n_blocks * block_size
 
     def local_span(state, bank, tables, gains, ar_g=None):
@@ -240,21 +239,9 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
                 state.z_re, state.z_im, bank, tables, state.transfer,
                 transfer_im=state.transfer_im)
         else:
-            slots = state.slots
-            if num_slots is not None and num_slots < slots.ftype.shape[1]:
-                slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
-            f_k, space_k = force_span(slots, state.block_start, n,
-                                      block_size)
-            sus = state.sustained
-            if with_sustained:
-                sus, prof, space_sus = sustained_span(
-                    state.sustained, ar_g, n_blocks, block_size)
-                gate = sus.active[:, None].astype(f_k.dtype)
-                f_k = jnp.concatenate(
-                    [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
-                space_k = jnp.concatenate(
-                    [space_k * (1 - gate)[..., None],
-                     space_sus[:, None, :]], axis=1)
+            sus, f_k, space_k = _span_channels(
+                state, n_blocks, block_size, num_slots, with_sustained,
+                ar_g)
             z_re, z_im, sound = integrate_span(
                 state.z_re, state.z_im, bank, tables, space_k, f_k,
                 state.transfer, transfer_im=state.transfer_im)

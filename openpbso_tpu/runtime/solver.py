@@ -362,6 +362,33 @@ def step_multi_transfers_sound(
     return state, sound
 
 
+def _span_channels(state, n_blocks, block_size, num_slots, with_sustained,
+                   ar_g):
+    """The span's excitation channels: slot-table forces (statically
+    sliced to ``num_slots``) plus, with ``with_sustained``, the AR(2)
+    channel as ONE extra slot under the reference's replace-semantics
+    gating (modal_solver.h:195-204). Shared by step_span,
+    step_span_sound, and the SPMD span (parallel/sharding.py).
+    Returns (sustained_state', f_k [O, K(+1), N], space_k)."""
+    from ..ops.forces import force_span, sustained_span
+    n = n_blocks * block_size
+    slots = state.slots
+    if num_slots is not None and num_slots < slots.num_slots:
+        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
+    f_k, space_k = force_span(slots, state.block_start, n, block_size)
+    sus = state.sustained
+    if with_sustained:
+        sus, prof, space_sus = sustained_span(
+            state.sustained, ar_g, n_blocks, block_size)
+        gate = sus.active[:, None].astype(f_k.dtype)       # [O, 1]
+        f_k = jnp.concatenate(
+            [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
+        space_k = jnp.concatenate(
+            [space_k * (1 - gate)[..., None], space_sus[:, None, :]],
+            axis=1)
+    return sus, f_k, space_k
+
+
 @partial(jax.jit, static_argnames=("n_blocks", "block_size", "num_slots",
                                    "with_sustained"))
 def step_span(
@@ -400,22 +427,10 @@ def step_span(
     block-constant transfer held over a lookahead batch.
     Returns (state', mix [N, C]).
     """
-    from ..ops.forces import force_span, sustained_span
     from ..ops.span import integrate_span
     n = n_blocks * block_size
-    slots = state.slots
-    if num_slots is not None and num_slots < slots.num_slots:
-        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
-    f_k, space_k = force_span(slots, state.block_start, n, block_size)
-    sus = state.sustained
-    if with_sustained:
-        sus, prof, space_sus = sustained_span(
-            state.sustained, ar_g, n_blocks, block_size)
-        gate = sus.active[:, None].astype(f_k.dtype)       # [O, 1]
-        f_k = jnp.concatenate(
-            [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
-        space_k = jnp.concatenate(
-            [space_k * (1 - gate)[..., None], space_sus[:, None, :]], axis=1)
+    sus, f_k, space_k = _span_channels(state, n_blocks, block_size,
+                                       num_slots, with_sustained, ar_g)
     z_re, z_im, sound = integrate_span(
         state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer,
         transfer_im=state.transfer_im)
@@ -448,7 +463,6 @@ def step_span_sound(
     (ops/hrtf.py::hrtf_mix_span), so broadband-binaural streams ride the
     span dispatch instead of paying per-block rates (round-2 VERDICT
     item 4). ``idle=True`` is the ring-down fast path (decay_span)."""
-    from ..ops.forces import force_span, sustained_span
     from ..ops.span import decay_span, integrate_span
     n = n_blocks * block_size
     if idle:
@@ -459,19 +473,8 @@ def step_span_sound(
             state, z_re=z_re, z_im=z_im,
             block_start=state.block_start + n)
         return new_state, sound
-    slots = state.slots
-    if num_slots is not None and num_slots < slots.num_slots:
-        slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
-    f_k, space_k = force_span(slots, state.block_start, n, block_size)
-    sus = state.sustained
-    if with_sustained:
-        sus, prof, space_sus = sustained_span(
-            state.sustained, ar_g, n_blocks, block_size)
-        gate = sus.active[:, None].astype(f_k.dtype)
-        f_k = jnp.concatenate(
-            [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)
-        space_k = jnp.concatenate(
-            [space_k * (1 - gate)[..., None], space_sus[:, None, :]], axis=1)
+    sus, f_k, space_k = _span_channels(state, n_blocks, block_size,
+                                       num_slots, with_sustained, ar_g)
     z_re, z_im, sound = integrate_span(
         state.z_re, state.z_im, bank, tables, space_k, f_k, state.transfer,
         transfer_im=state.transfer_im)
