@@ -311,3 +311,43 @@ def test_sharded_sustained_span(dberr):
     a2 = np.concatenate([np.asarray(sh.step()[1]) for _ in range(2)])
     b2 = np.concatenate([np.asarray(ref.step()[1]) for _ in range(2)])
     assert dberr(a2, b2) <= -60
+
+
+def test_sharded_session_hrtf_span_engine():
+    """A span-capable post-mix (HRTF) on a MESH session: the engine's
+    span dispatch runs the base step_span_sound jit on sharded state
+    (auto-partitioned) and streams binaural audio."""
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    sh, _ref, m = _pair((4, 2))
+    pm = HRTFPostMix(np.random.default_rng(0).standard_normal(
+        (sh.bank.num_objects, 3)), block_size=S, n_taps=96)
+
+    class Sink:
+        def __init__(self):
+            self.frames = []
+
+        def write(self, mix):
+            self.frames.append(np.asarray(mix))
+            return True
+
+        def close(self):
+            pass
+
+    sink = Sink()
+    eng = StreamingEngine(sh, sink, post_mix=pm, lookahead=4)
+    eng.start()
+    try:
+        eng.hit(0, np.ones(m), kind="gaussian", width_us=400.0)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if sink.frames and np.abs(
+                    np.concatenate(sink.frames)).max() > 0:
+                break
+            time.sleep(0.1)
+    finally:
+        eng.stop()
+    assert eng.error is None
+    audio = np.concatenate(sink.frames)
+    assert audio.shape[1] == 2 and np.abs(audio).max() > 0

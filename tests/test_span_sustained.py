@@ -234,3 +234,32 @@ def test_session_sustained_rides_span(dberr):
     out_c2 = np.concatenate([np.asarray(sess_c.step()[1])
                              for _ in range(4)], axis=0)
     assert dberr(out_a2, out_c2) <= -60.0
+
+
+def test_sustained_span_with_complex_rows(dberr):
+    """Sustained channel + COMPLEX transfer rows on the span (edge of the
+    feature matrix): parity with per-block stepping."""
+    bank, lam64, state = _scene()
+    rng = np.random.default_rng(9)
+    m = bank.num_modes
+    t = (rng.uniform(0.5, 2.0, (bank.num_objects, m))
+         * np.exp(1j * rng.uniform(-np.pi, np.pi, (bank.num_objects, m))))
+    state = dataclasses.replace(
+        state,
+        transfer=jnp.asarray(t.real, jnp.float32),
+        transfer_im=jnp.asarray(t.imag, jnp.float32))
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), S), jnp.float32)
+
+    st = state
+    ref = []
+    for _ in range(6):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=S,
+                                   backend="blocked", with_sustained=True)
+        ref.append(np.asarray(mix))
+    ref = np.concatenate(ref, axis=0)
+    tables = build_span_tables(lam64, 6 * S, num_modes=bank.num_modes)
+    _, mix2 = step_span(state, bank, tables, gains, n_blocks=6,
+                        block_size=S, with_sustained=True, ar_g=ar_g)
+    assert np.abs(ref).max() > 0
+    assert dberr(np.asarray(mix2), ref) <= -60.0
