@@ -333,24 +333,39 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
             [jnp.stack([g[:, s], a2 * g[:, s - 1]], -1),
              jnp.stack([g[:, s - 1], a2 * gp[:, s - 1]], -1)], 1)  # [O,2,2]
 
-    def body(carry, _):
-        key, h = carry
+    # 1) key chain: X sequential splits of the [O, 2] key block (tiny
+    # scan), emitting each block's noise keys — the expensive parts
+    # (threefry draws, injection matmuls) hoist OUT of the scan below,
+    # so the only remaining serial work is elementwise [O, 2] updates
+    def key_body(key, _):
         keys = jax.vmap(jax.random.wrap_key_data)(key)
         next_keys, noise_keys = jax.vmap(
             lambda k: tuple(jax.random.split(k)))(keys)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, (s,), dtype))(noise_keys)
-        if shared:
-            inj = sigma * jnp.matmul(noise, g2[0])        # [O, 2]
-            h_next = jnp.matmul(h, a_s.T) + inj
-        else:
-            inj = sigma * jnp.einsum("os,ost->ot", noise, g2)
-            h_next = jnp.einsum("oij,oj->oi", a_s, h) + inj
         new_key = jax.vmap(jax.random.key_data)(next_keys).astype(jnp.uint32)
-        return (new_key, h_next), (noise, h)
+        return new_key, jax.vmap(jax.random.key_data)(noise_keys)
 
-    (key_f, _h_f), (noise, hs) = jax.lax.scan(
-        body, (state.key, state.ar_hist), None, length=x)
+    key_f, noise_key_data = jax.lax.scan(
+        key_body, state.key, None, length=x)      # [X, O, 2] uint32
+
+    # 2) one batched draw (bitwise the per-block stream: same keys, same
+    # per-key shapes) + one batched injection contraction
+    noise = jax.vmap(jax.vmap(
+        lambda kd: jax.random.normal(jax.random.wrap_key_data(kd),
+                                     (s,), dtype)))(noise_key_data)
+    if shared:
+        inj = sigma[None] * jnp.einsum("xos,st->xot", noise, g2[0])
+    else:
+        inj = sigma[None] * jnp.einsum("xos,ost->xot", noise, g2)
+
+    # 3) companion-state scan: X tiny [O, 2] multiply-adds
+    def h_body(h, inj_x):
+        if shared:
+            h_next = jnp.matmul(h, a_s.T) + inj_x
+        else:
+            h_next = jnp.einsum("oij,oj->oi", a_s, h) + inj_x
+        return h_next, h
+
+    _h_f, hs = jax.lax.scan(h_body, state.ar_hist, inj)
     # noise [X, O, S], hs [X, O, 2] (start-of-block companion states)
 
     # within-block homogeneous part: g[k+1] h0 + a2 g[k] h1
