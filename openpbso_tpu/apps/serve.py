@@ -56,19 +56,26 @@ def main(argv=None) -> int:
                    help="broadcast ONE synthesis stream to many concurrent "
                         "clients (shared world/listener) instead of one "
                         "engine per connection")
-    p.add_argument("--per-client-listeners", type=int, default=0,
-                   metavar="L",
+    p.add_argument("--per-client-listeners", default="0", metavar="L",
                    help="with --multi-client: give each of up to L "
                         "concurrent clients its OWN listener (shared-state "
                         "multi-listener solver rows; each client hears its "
-                        "own mix column). Raw protocol or --web.")
+                        "own mix column). A comma list '2,4,8' makes L "
+                        "DYNAMIC (the server grows to the next bucket when "
+                        "full). Raw protocol or --web.")
     args = p.parse_args(argv)
+    if "," in str(args.per_client_listeners):
+        args.per_client_listeners = tuple(
+            int(v) for v in str(args.per_client_listeners).split(","))
+    else:
+        args.per_client_listeners = int(args.per_client_listeners)
     if args.per_client_listeners:
         if not args.multi_client or args.scene:
             raise SystemExit("--per-client-listeners needs --multi-client "
                              "(single-model serving; --scene manages its "
                              "own listener rows)")
-        args.num_listeners = args.per_client_listeners
+        pcl = args.per_client_listeners
+        args.num_listeners = (min(pcl) if isinstance(pcl, tuple) else pcl)
     if args.platform:
         import jax
         try:
@@ -135,9 +142,15 @@ def main(argv=None) -> int:
         first_session.step()  # compile the step BEFORE accepting clients
         sessions = [first_session]
 
-        def make():
+        def make(num_listeners=None):
+            # dynamic per-client-listener buckets rebuild with a bigger L
+            if num_listeners is not None:
+                args.num_listeners = num_listeners
             if sessions:
-                return sessions.pop()
+                cached = sessions.pop()
+                if (num_listeners is None
+                        or cached.num_listeners == num_listeners):
+                    return cached
             _, sess = make_session(args)
             return sess
 

@@ -650,13 +650,26 @@ class BroadcastAudioServer(AudioServer):
         one [L, 3] latest-wins event), and its PCM stream is its own mix
         column duplicated to stereo. Beyond L concurrent clients, extra
         connections share slot 0's view (announced in-band). L is a
-        static shape: pick a small power of two, like slot_buckets."""
+        static shape: pick a small power of two, like slot_buckets.
+
+        A TUPLE of buckets, e.g. ``per_client_listeners=(2, 4, 8)``,
+        makes L DYNAMIC: the server starts at the smallest bucket and,
+        when a connect finds no free slot, hot-swaps the engine to the
+        next bucket (``make_session`` must accept a ``num_listeners``
+        keyword). The swap drops the in-flight ring-down like the
+        reference's LoadNewModel; existing clients keep their slots,
+        channels, and listener positions. Grow-only (no shrink)."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
                          qnorm_every=qnorm_every, positions=positions)
         self._client_depth = client_queue_depth
         self._fanout = _FanoutSink(pace_lead=pace_lead)
-        self._pcl = int(per_client_listeners)
+        if isinstance(per_client_listeners, (tuple, list)):
+            self._pcl_buckets = sorted(int(b) for b in per_client_listeners)
+            self._pcl = self._pcl_buckets[0] if self._pcl_buckets else 0
+        else:
+            self._pcl_buckets = []
+            self._pcl = int(per_client_listeners)
         self._slot_lock = threading.Lock()
         self._slots_free = list(range(self._pcl))
         self._listener_pos = (np.tile(np.asarray([[1.0, 0.5, 0.5]]),
@@ -698,11 +711,18 @@ class BroadcastAudioServer(AudioServer):
 
         self._make_session = make
 
+    def _build_session(self):
+        """make_session, passing the CURRENT listener bucket when L is
+        dynamic (the factory must accept a num_listeners keyword then)."""
+        if self._pcl_buckets:
+            return self._make_session(num_listeners=self._pcl)
+        return self._make_session()
+
     def _ensure_engine(self):
         from .engine import StreamingEngine
         with self._engine_lock:
             if self._engine is None:
-                session = self._make_session()
+                session = self._build_session()
                 if self._pcl and session.num_listeners != self._pcl:
                     raise ValueError(
                         f"per_client_listeners={self._pcl} needs a "
@@ -790,6 +810,50 @@ class BroadcastAudioServer(AudioServer):
     def _alloc_listener_slot(self) -> int | None:
         if not self._pcl:
             return None
+        with self._slot_lock:
+            if self._slots_free:
+                return self._slots_free.pop(0)
+        if self._pcl_buckets:
+            return self._grow_listener_slots()
+        return None
+
+    def _grow_listener_slots(self) -> int | None:
+        """Dynamic L: hot-swap the engine to the next listener bucket and
+        return a freshly freed slot (None when already at the top bucket
+        or the rebuild fails). Existing clients keep their slots/rows;
+        like the reference's LoadNewModel, the in-flight ring-down is
+        dropped across the swap."""
+        from .checkpoint import swap_model
+        with self._engine_lock:
+            nxt = [b for b in self._pcl_buckets if b > self._pcl]
+            engine = self._engine
+            if not nxt or engine is None:
+                return None
+            new_l = nxt[0]
+            self._begin_swap()
+            try:
+                sess = self._make_session(num_listeners=new_l)
+                if sess.num_listeners != new_l:
+                    raise ValueError(
+                        f"make_session ignored num_listeners={new_l}")
+                sess.step()   # compile before parking the live stream
+                swap_model(engine, sess)
+                with self._slot_lock:
+                    old = self._pcl
+                    self._pcl = new_l
+                    pad = np.tile(np.asarray([[1.0, 0.5, 0.5]]),
+                                  (new_l - old, 1))
+                    self._listener_pos = np.concatenate(
+                        [self._listener_pos, pad])
+                    self._slots_free.extend(range(old, new_l))
+                    # restore every existing client's view on the new rows
+                    engine.set_listener(self._listener_pos.copy())
+            except Exception as e:  # noqa: BLE001 — a failed grow must
+                self._fanout.broadcast_json(   # not kill the server
+                    {"error": f"listener-bucket grow failed: {e!r}"})
+                return None
+            finally:
+                self._end_swap()
         with self._slot_lock:
             return self._slots_free.pop(0) if self._slots_free else None
 

@@ -686,3 +686,70 @@ def test_per_client_listeners_broadcast():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_per_client_listeners_dynamic_growth():
+    """Dynamic L buckets (2, 4): a third client finds no free slot, the
+    server hot-swaps to the next bucket mid-stream, existing clients keep
+    their slots/streams, and the newcomer gets its own listener row."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    md = synth_mode_data(6, 8, seed=3)
+    maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=7)
+            for i in range(6)}
+
+    def make_session(num_listeners=2):
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32,
+                                  num_objects=1)
+        ffat = build_ffat(maps, bank.num_modes)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"),
+                            num_listeners=num_listeners, lam64=lam64)
+        sess.set_listener(np.broadcast_to(
+            np.asarray([0.9, 0.2, 0.1]), (num_listeners, 3)).copy())
+        sess.step()
+        return sess
+
+    srv = BroadcastAudioServer(make_session, pace_lead=0.05,
+                               per_client_listeners=(2, 4))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def hello_slot(c, deadline_s=30.0):
+            t0 = time.time()
+            while not c.messages and time.time() - t0 < deadline_s:
+                c.read_block()
+            assert c.messages, "no slot announcement"
+            return c.messages[0].get("listener_slot")
+
+        a = AudioClient(*srv.address)
+        b = AudioClient(*srv.address)
+        assert {hello_slot(a), hello_slot(b)} == {0, 1}
+        assert srv._pcl == 2
+        # third client triggers the grow to bucket 4
+        c = AudioClient(*srv.address, timeout=90)
+        slot_c = hello_slot(c, deadline_s=60.0)
+        assert slot_c == 2, slot_c
+        assert srv._pcl == 4
+        # everyone still streams after the swap
+        c.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+               kind="gaussian", width_us=2000.0)
+        for cl in (a, b, c):
+            peak = 0.0
+            deadline = time.time() + 30
+            while peak == 0.0 and time.time() < deadline:
+                peak = float(np.abs(cl.read_block()).max())
+            assert peak > 0.0, "client lost its stream across the grow"
+        for cl in (a, b, c):
+            cl.send(cmd="quit")
+            cl.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
