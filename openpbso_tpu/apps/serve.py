@@ -127,6 +127,7 @@ def main(argv=None) -> int:
               f"{first.session.gains.shape[-1]} channels")
         model = [i.model for i in first.instances]
         positions = [list(map(float, i.position)) for i in first.instances]
+        scene_obj = first       # enables the object_pos live-motion cmd
         first.session.step()
         sessions = [first.session]
 
@@ -138,6 +139,7 @@ def main(argv=None) -> int:
         load_from_meta = None
     else:
         positions = None
+        scene_obj = None
         model, first_session = make_session(args)
         first_session.step()  # compile the step BEFORE accepting clients
         sessions = [first_session]
@@ -178,7 +180,8 @@ def main(argv=None) -> int:
         extra["per_client_listeners"] = args.per_client_listeners
     srv = cls(make, model=model, host=args.host, port=args.port,
               lookahead=args.lookahead, session_loader=load_from_meta,
-              qnorm_every=qnorm_every, positions=positions, **extra)
+              qnorm_every=qnorm_every, positions=positions,
+              scene=scene_obj, **extra)
     kind = "http/websocket" if args.web else "pbso protocol"
     print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)

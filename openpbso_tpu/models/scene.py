@@ -256,15 +256,11 @@ class Scene:
             self.session.gains = jnp.asarray(self._base_gains,
                                              self.session.gains.dtype)
 
-    def move_object(self, index: int, world_pos: np.ndarray) -> None:
-        """Move logical object ``index`` to a new world position LIVE
-        (the reference has no notion of object motion at all; offline
-        motion is render_moving's object_paths). The listener-relative
-        transfer rows recompute from the remembered world listener, so
-        the next block hears the object at its new place. For streaming
-        use, call between blocks (or via an engine-side closure); pair
-        with DopplerPostMix.positions updates for live object Doppler.
-        """
+    def set_object_position(self, index: int, world_pos: np.ndarray) -> None:
+        """Host-only position update (no transfer recompute): safe to call
+        from any thread; the next listener (re)apply — e.g. an
+        engine-queued refresh, which runs on the synthesis thread — picks
+        the new position up through the installed listener_frame."""
         ll = self.num_listeners
         pos = np.asarray(world_pos, np.float64)
         if ll > 1 and not self.shared_state:
@@ -279,6 +275,19 @@ class Scene:
                 raise IndexError(f"object {index} out of range "
                                  f"[0, {len(self.positions)})")
             self.positions[index] = pos
+
+    def move_object(self, index: int, world_pos: np.ndarray) -> None:
+        """Move logical object ``index`` to a new world position LIVE
+        (the reference has no notion of object motion at all; offline
+        motion is render_moving's object_paths). The listener-relative
+        transfer rows recompute from the remembered world listener, so
+        the next block hears the object at its new place. For streaming
+        use, the server's ``object_pos`` command routes the refresh
+        through the engine's event queue instead (set_object_position +
+        a queued listener re-apply); pair with DopplerPostMix.positions
+        updates for live object Doppler.
+        """
+        self.set_object_position(index, world_pos)
         if getattr(self, "_last_world_listener", None) is not None:
             self.set_listener(self._last_world_listener)
 

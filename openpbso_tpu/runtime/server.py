@@ -126,7 +126,7 @@ class AudioServer:
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
-                 qnorm_every: int = 0, positions=None):
+                 qnorm_every: int = 0, positions=None, scene=None):
         """``make_session()`` -> a fresh ModalSession per connection;
         ``model`` (optional) enables vertex/face-addressed hits and the
         scene/mode-shape viewer commands — pass a LIST of per-object-row
@@ -136,12 +136,15 @@ class AudioServer:
         (model, session) enables the ``load_model`` hot-swap command (off
         by default: it opens server-side files named by the client);
         ``qnorm_every`` > 0 streams per-mode energy telemetry (the
-        transfer-ball HUD feed) every that many blocks."""
+        transfer-ball HUD feed) every that many blocks; ``scene`` (the
+        models.scene.Scene behind the served session) enables the
+        ``object_pos`` live object-motion command."""
         self._make_session = make_session
         self._model = model
         # per-object-row world positions (scene serving): lets the browser
         # draw each object where it stands
         self._positions = positions
+        self._scene = scene
         self._session_loader = session_loader
         self._lookahead = lookahead
         self._qnorm_every = qnorm_every
@@ -378,6 +381,28 @@ class AudioServer:
                            amp=float(msg.get("amp", 1.0)))
             elif cmd == "listener":
                 engine.set_listener(np.asarray(msg["pos"], np.float64))
+            elif cmd == "object_pos":
+                # live object motion (scene serving): the position update
+                # is host-only; the transfer refresh rides the engine's
+                # latest-wins listener event, so the recompute happens on
+                # the synthesis thread with the NEW position (no state
+                # race with the streaming loop). Beyond-reference: the
+                # reference's one object never moves.
+                if self._scene is None:
+                    sink.send_json({"error": "object_pos needs scene "
+                                             "serving (pass scene=...)"})
+                else:
+                    i = int(msg.get("obj", 0))
+                    pos = np.asarray(msg["pos"], np.float64).reshape(3)
+                    self._scene.set_object_position(i, pos)
+                    if self._positions is not None \
+                            and i < len(self._positions):
+                        self._positions[i] = [float(v) for v in pos]
+                    lw = getattr(self._scene, "_last_world_listener", None)
+                    if lw is not None:
+                        engine.set_listener(np.asarray(lw, np.float64))
+                    sink.send_json({"object_pos": {"obj": i,
+                                                   "pos": pos.tolist()}})
             elif cmd == "sustain":
                 engine.sustained_start(int(msg.get("obj", 0)),
                                        self._space_for(msg))

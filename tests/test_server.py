@@ -753,3 +753,74 @@ def test_per_client_listeners_dynamic_growth():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_object_pos_live_motion_over_wire(tmp_path):
+    """{"cmd": "object_pos"}: live object motion in scene serving — the
+    position update is host-only and the transfer refresh rides the
+    engine's listener event (no state race); the viewer payload reports
+    the new position; audio level tracks the new distance."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=30)
+    model = load_model(resolve_model_dir(str(root), "m"))
+    scenes = []
+
+    def make_session():
+        sc = Scene([SceneInstance(model, np.zeros(3))],
+                   block_size=BLOCK, backend="blocked", dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.8, 0.2, 0.1]))
+        sc.session.step()
+        scenes.append(sc)
+        return sc.session
+
+    srv = AudioServer(make_session, model=[model],
+                      positions=[[0.0, 0.0, 0.0]])
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        srv._scene = scenes[-1]   # serve.py wires this for --scene runs
+
+        def energy_after_hit():
+            c.send(cmd="hit", obj=0, vertex=3, kind="gaussian",
+                   width_us=800.0)
+            e = 0.0
+            t0 = time.time()
+            while e == 0.0 and time.time() - t0 < 20:
+                e += float((c.read_block() ** 2).sum())
+            for _ in range(30):
+                e += float((c.read_block() ** 2).sum())
+            return e
+
+        e_near = energy_after_hit()
+        # move the object far away; reply echoes the new position
+        c.messages.clear()
+        c.send(cmd="object_pos", obj=0, pos=[6.0, 0.0, 0.0])
+        t0 = time.time()
+        while not c.messages and time.time() - t0 < 20:
+            c.read_block()
+        assert c.messages[-1]["object_pos"]["pos"][0] == 6.0
+        # let the queued listener refresh + ring-down settle
+        for _ in range(40):
+            c.read_block()
+        e_far = energy_after_hit()
+        assert e_near > 3.0 * e_far, (e_near, e_far)
+        # viewer payload reports the moved position
+        c.messages.clear()
+        c.send(cmd="scene", obj=0)
+        t0 = time.time()
+        while not c.messages and time.time() - t0 < 20:
+            c.read_block()
+        assert c.messages[-1]["scene"]["position"][0] == 6.0
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
