@@ -306,8 +306,8 @@ DEMO_PAGE = """<!doctype html>
 </style></head><body>
 <h3>openpbso-tpu &mdash; live modal synthesis</h3>
 <div id="help">shift-click: strike &middot; shift-drag: sustained contact
- &middot; drag: orbit (moves listener) &middot; keys 1/2/3: point/gaussian/AR
- &middot; d: repeat hit</div>
+ &middot; drag: orbit (moves listener) &middot; alt-drag: move object
+ &middot; keys 1/2/3: point/gaussian/AR &middot; d: repeat hit</div>
 <button id="start">connect + start audio</button>
 <span id="ftype">force: gaussian</span>
 <div id="row">
@@ -333,6 +333,7 @@ let ws=null,actx=null,info=null,t=0;
 let scenes=[],ball=null,ballColors=null,modeShape=null;
 let yaw=0.9,pitch=0.4,dist=3.2,center=[0,0,0],radius=1;
 let forceKind='gaussian',lastHit=null,dragging=false,orbiting=false;
+let movingObj=null;   // alt-drag object motion (server cmd object_pos)
 const S={blocks:0,peak:0,connected:false,lastPick:null,health:1};
 window.state=S;
 const $=id=>document.getElementById(id);
@@ -574,7 +575,16 @@ view.onpointerdown=e=>{
   const r=view.getBoundingClientRect();
   const x=e.clientX-r.left,y=e.clientY-r.top;
   lastXY=[x,y];
-  if(e.shiftKey){
+  if(e.altKey){
+    // alt-drag: move the picked object in its camera-depth plane
+    const hit=pick(x,y);
+    if(hit&&scenes[hit.obj]){
+      const c=camera(view.width,view.height);
+      const r2=pixelRay(c,x,y);
+      const hp=add(r2.o,mul(r2.d,hit.t));
+      movingObj={obj:hit.obj,depth:hit.t,off:sub(scenes[hit.obj].pos,hp)};
+    }
+  } else if(e.shiftKey){
     const hit=pick(x,y);S.lastPick=hit;
     if(hit){
       if(forceKind==='ar'){dragging=true;
@@ -592,6 +602,17 @@ view.onpointermove=e=>{
     yaw+=(x-lastXY[0])*0.01;
     pitch=Math.max(-1.4,Math.min(1.4,pitch+(y-lastXY[1])*0.01));
     sendListener();
+  } else if(movingObj){
+    const now=performance.now();
+    if(now-lastDragT>66){
+      lastDragT=now;
+      const c=camera(view.width,view.height);
+      const r2=pixelRay(c,x,y);
+      const p=add(add(r2.o,mul(r2.d,movingObj.depth)),movingObj.off);
+      const sc=scenes[movingObj.obj];
+      if(sc)sc.pos=p;            // draw at the new spot immediately
+      send({cmd:'object_pos',obj:movingObj.obj,pos:p});
+    }
   } else if(dragging&&lastXY){
     const now=performance.now();
     if(now-lastDragT>33){
@@ -610,7 +631,7 @@ view.onpointermove=e=>{
 view.onpointerup=e=>{
   if(dragging)send({cmd:'release',
                     obj:S.lastPick?S.lastPick.obj:0});
-  dragging=false;orbiting=false;lastXY=null;
+  dragging=false;orbiting=false;movingObj=null;lastXY=null;
 };
 window.onkeydown=e=>{
   if(e.key==='1')forceKind='point';
