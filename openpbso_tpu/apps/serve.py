@@ -56,6 +56,11 @@ def main(argv=None) -> int:
                    help="broadcast ONE synthesis stream to many concurrent "
                         "clients (shared world/listener) instead of one "
                         "engine per connection")
+    p.add_argument("--live-doppler", action="store_true",
+                   help="apply LIVE physical Doppler to the stream (a "
+                        "per-object fractional delay-line fed by listener "
+                        "moves, ops/doppler.py; rides the span dispatch). "
+                        "Incompatible with --per-client-listeners.")
     p.add_argument("--per-client-listeners", default="0", metavar="L",
                    help="with --multi-client: give each of up to L "
                         "concurrent clients its OWN listener (shared-state "
@@ -76,6 +81,10 @@ def main(argv=None) -> int:
                              "own listener rows)")
         pcl = args.per_client_listeners
         args.num_listeners = (min(pcl) if isinstance(pcl, tuple) else pcl)
+        if args.live_doppler:
+            raise SystemExit("--live-doppler needs the per-object sound "
+                             "path (stereo mixdown); it cannot combine "
+                             "with --per-client-listeners")
     if args.platform:
         import jax
         try:
@@ -178,6 +187,19 @@ def main(argv=None) -> int:
     extra = {}
     if args.per_client_listeners:
         extra["per_client_listeners"] = args.per_client_listeners
+    if args.live_doppler:
+        import numpy as np
+
+        from ..ops.doppler import DopplerPostMix
+        n_rows = (len(positions) if positions is not None
+                  else args.instances)
+        pos0 = (np.asarray(positions, np.float64)
+                if positions is not None else np.zeros((n_rows, 3)))
+
+        def post_mix_factory():
+            return DopplerPostMix(pos0.copy())
+
+        extra["post_mix_factory"] = post_mix_factory
     srv = cls(make, model=model, host=args.host, port=args.port,
               lookahead=args.lookahead, session_loader=load_from_meta,
               qnorm_every=qnorm_every, positions=positions,

@@ -145,9 +145,17 @@ class DopplerPostMix:
         self._d_cur = self._d_tgt.copy()   # start settled (no initial chirp)
 
     def on_listener(self, pos: np.ndarray) -> None:
-        r = np.linalg.norm(self.positions - np.asarray(pos, np.float64),
-                           axis=-1)
+        self._last_listener = np.asarray(pos, np.float64)
+        r = np.linalg.norm(self.positions - self._last_listener, axis=-1)
         self._d_tgt = np.minimum(r * self._scale, self._h_max)
+
+    def set_position(self, obj: int, world_pos: np.ndarray) -> None:
+        """Move ONE object (live object motion, Scene.move_object /
+        the server's object_pos command): retargets that object's delay
+        from the remembered listener, so the next dispatch's ramp carries
+        the object's own Doppler shift."""
+        self.positions[obj] = np.asarray(world_pos, np.float64)
+        self.on_listener(self._last_listener)
 
     def reset(self) -> None:
         self._hist = jnp.zeros_like(self._hist)

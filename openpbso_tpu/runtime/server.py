@@ -126,7 +126,8 @@ class AudioServer:
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
-                 qnorm_every: int = 0, positions=None, scene=None):
+                 qnorm_every: int = 0, positions=None, scene=None,
+                 post_mix_factory=None):
         """``make_session()`` -> a fresh ModalSession per connection;
         ``model`` (optional) enables vertex/face-addressed hits and the
         scene/mode-shape viewer commands — pass a LIST of per-object-row
@@ -145,6 +146,7 @@ class AudioServer:
         # draw each object where it stands
         self._positions = positions
         self._scene = scene
+        self._post_mix_factory = post_mix_factory
         self._session_loader = session_loader
         self._lookahead = lookahead
         self._qnorm_every = qnorm_every
@@ -185,8 +187,11 @@ class AudioServer:
         block = session.config.block_size
         sink = _SocketSink(conn, block,
                            channels=int(session.gains.shape[-1]))
-        engine = StreamingEngine(session, sink, lookahead=self._lookahead,
-                                 qnorm_every=self._qnorm_every)
+        engine = StreamingEngine(
+            session, sink, lookahead=self._lookahead,
+            qnorm_every=self._qnorm_every,
+            post_mix=(self._post_mix_factory()
+                      if self._post_mix_factory else None))
         engine.start()
         try:
             buf = b""
@@ -398,6 +403,9 @@ class AudioServer:
                     if self._positions is not None \
                             and i < len(self._positions):
                         self._positions[i] = [float(v) for v in pos]
+                    pm = getattr(engine, "_post_mix", None)
+                    if pm is not None and hasattr(pm, "set_position"):
+                        pm.set_position(i, pos)   # object Doppler retarget
                     lw = getattr(self._scene, "_last_world_listener", None)
                     if lw is not None:
                         engine.set_listener(np.asarray(lw, np.float64))
@@ -755,7 +763,9 @@ class BroadcastAudioServer(AudioServer):
                         f"(got {session.num_listeners})")
                 self._engine = StreamingEngine(
                     session, self._fanout, lookahead=self._lookahead,
-                    qnorm_every=self._qnorm_every)
+                    qnorm_every=self._qnorm_every,
+                    post_mix=(self._post_mix_factory()
+                              if self._post_mix_factory else None))
                 self._engine.start()
                 if self._pcl:
                     # (re)apply every slot's listener — an engine rebuild

@@ -307,7 +307,7 @@ DEMO_PAGE = """<!doctype html>
 <h3>openpbso-tpu &mdash; live modal synthesis</h3>
 <div id="help">shift-click: strike &middot; shift-drag: sustained contact
  &middot; drag: orbit (moves listener) &middot; alt-drag: move object
- &middot; keys 1/2/3: point/gaussian/AR &middot; d: repeat hit</div>
+ &middot; keys 1/2/3/4: point/gaussian/AR/hertz &middot; d: repeat hit</div>
 <button id="start">connect + start audio</button>
 <span id="ftype">force: gaussian</span>
 <div id="row">
@@ -637,6 +637,7 @@ window.onkeydown=e=>{
   if(e.key==='1')forceKind='point';
   else if(e.key==='2')forceKind='gaussian';
   else if(e.key==='3')forceKind='ar';
+  else if(e.key==='4')forceKind='hertz';
   else if(e.key==='d'&&lastHit)send(lastHit);
   $('ftype').textContent='force: '+forceKind;
 };

@@ -824,3 +824,57 @@ def test_object_pos_live_motion_over_wire(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_live_doppler_post_mix_server():
+    """AudioServer(post_mix_factory=DopplerPostMix): streams through the
+    live Doppler delay-line; an object_pos move retargets the delay."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+
+    md = synth_mode_data(8, 8, seed=6)
+
+    def make_session():
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32,
+                                  num_objects=1)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"),
+                            lam64=lam64)
+        sess.step()
+        return sess
+
+    pms = []
+
+    def factory():
+        pm = DopplerPostMix(np.zeros((1, 3)), max_distance=15.0)
+        pms.append(pm)
+        return pm
+
+    srv = AudioServer(make_session, post_mix_factory=factory)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        c.send(cmd="listener", pos=[3.0, 0.0, 0.0])
+        c.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+               kind="gaussian", width_us=2000.0)
+        peak = 0.0
+        deadline = time.time() + 30
+        while peak == 0.0 and time.time() < deadline:
+            peak = float(np.abs(c.read_block()).max())
+        assert peak > 0.0
+        assert pms, "factory not used"
+        # listener move retargeted the delay (3 m = ~386 samples)
+        from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+        want = 3.0 / SOUND_SPEED * SAMPLE_RATE
+        assert abs(pms[-1]._d_tgt[0] - want) < 1.0
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
