@@ -337,6 +337,7 @@ def _hetero_stderr_line():
     import subprocess
     ladder = [
         (["--span", "--nblocks=1024"], 390, ""),
+        (["--span", "--nblocks=1024"], 360, "retry: "),
         (["--span", "--nblocks=512"], 330, "partial (nb=512 fallback): "),
         (["--span", "--nblocks=64"], 240, "partial (nb=64 fallback): "),
     ]
