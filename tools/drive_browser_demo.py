@@ -139,6 +139,25 @@ def main() -> int:
     print(f"mode 2: {got['mode_shape']['freq_hz']:.1f} Hz; "
           f"ball transfer: {got['ball']['has_transfer']}")
 
+    # round-3 HUD surface: per-mode transfer histogram + the
+    # compressed-Psi toggle (the page's checkbox sends the same commands)
+    c.send_json(cmd="transfer_hist")
+    drain(30, until="transfer_hist")
+    hist_raw = np.asarray(got["transfer_hist"]["values"], np.float64)
+    c.send_json(cmd="transfer", compressed=True)
+    drain(60, until="compressed")
+    comp_ok = bool(got.get("compressed"))
+    c.send_json(cmd="transfer_hist")
+    got.pop("transfer_hist", None)
+    drain(30, until="transfer_hist")
+    hist_comp = np.asarray(got["transfer_hist"]["values"], np.float64)
+    got.pop("compressed", None)
+    c.send_json(cmd="transfer", compressed=False)
+    drain(30, until="compressed")
+    hist_differs = bool(np.abs(hist_raw - hist_comp).max() > 0)
+    print(f"transfer_hist: {hist_raw.size} modes; compressed toggle ok: "
+          f"{comp_ok}; histogram tracks the toggle: {hist_differs}")
+
     t_end = time.monotonic() + args.seconds
     yaw, pitch, dist = 0.9, 0.4, 3.2
     n_hits = 0
@@ -187,7 +206,7 @@ def main() -> int:
         proc.wait(timeout=30)
 
     ok = picked_peak > 0 and health is not None and health >= 0.95 \
-        and "ball_colors" in got
+        and "ball_colors" in got and comp_ok and hist_differs
     print(f"hits: {n_hits}, peak from picked hits: {picked_peak:.4g}, "
           f"health: {health}, ball_colors streamed: "
           f"{'ball_colors' in got}")
