@@ -263,3 +263,33 @@ def test_sustained_span_with_complex_rows(dberr):
                         block_size=S, with_sustained=True, ar_g=ar_g)
     assert np.abs(ref).max() > 0
     assert dberr(np.asarray(mix2), ref) <= -60.0
+
+
+@pytest.mark.slow
+def test_sustained_span_ten_seconds_accuracy(dberr):
+    """Long-horizon: ~10 s of chained sustained spans stays within the
+    span contract vs per-block stepping (f32 drift does not accumulate
+    beyond the reduction-order floor; the AR noise chain is bitwise, so
+    the comparison isolates the factored evaluation)."""
+    bank, lam64, state = _scene()
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), S), jnp.float32)
+    n_blocks = 32
+    spans = 216                     # 216 * 32 * 64 / 44100 ~= 10 s
+    tables = build_span_tables(lam64, n_blocks * S,
+                               num_modes=bank.num_modes)
+    st_span = st_blk = state
+    worst = -np.inf
+    for _ in range(spans):
+        st_span, mix_s = step_span(st_span, bank, tables, gains,
+                                   n_blocks=n_blocks, block_size=S,
+                                   with_sustained=True, ar_g=ar_g)
+        ref = []
+        for _ in range(n_blocks):
+            st_blk, _, mix_b, _ = step_block(
+                st_blk, bank, gains, block_size=S, backend="blocked",
+                with_sustained=True)
+            ref.append(np.asarray(mix_b))
+        worst = max(worst, dberr(np.asarray(mix_s),
+                                 np.concatenate(ref, axis=0)))
+    assert worst <= -60.0, f"worst span {worst:.1f} dB"
