@@ -364,7 +364,7 @@ def _sustained_stderr_line():
     retry usually finds the first attempt's now-cached compile), stderr
     only."""
     import subprocess
-    for budget, label in ((480, ""), (420, "retry: ")):
+    for budget, label in ((540, ""), (480, "retry: ")):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--span",
