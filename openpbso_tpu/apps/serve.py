@@ -75,11 +75,13 @@ def main(argv=None) -> int:
     else:
         args.per_client_listeners = int(args.per_client_listeners)
     if args.per_client_listeners:
-        if not args.multi_client or args.scene:
-            raise SystemExit("--per-client-listeners needs --multi-client "
-                             "(single-model serving; --scene manages its "
-                             "own listener rows)")
+        if not args.multi_client:
+            raise SystemExit("--per-client-listeners needs --multi-client")
         pcl = args.per_client_listeners
+        if args.scene and isinstance(pcl, tuple):
+            raise SystemExit("--scene supports a STATIC listener count "
+                             "(dynamic buckets rebuild the session, which "
+                             "scene serving does not plumb)")
         args.num_listeners = (min(pcl) if isinstance(pcl, tuple) else pcl)
         if args.live_doppler:
             raise SystemExit("--live-doppler needs the per-object sound "
@@ -120,10 +122,21 @@ def main(argv=None) -> int:
                                np.float64),
                     gain=float(inst.get("gain", 1.0)),
                     pan=float(inst.get("pan", 0.0))))
+            offsets = desc.get("listener_offsets")
+            binaural = bool(desc.get("binaural", False))
+            if args.per_client_listeners:
+                # per-client listeners: L independent world listeners
+                # (zero offsets; the scene frame maps [L, 3] world rows
+                # straight to per-object relative positions)
+                if offsets is not None or binaural:
+                    raise SystemExit("--per-client-listeners replaces the "
+                                     "scene's own listener_offsets/"
+                                     "binaural rows")
+                offsets = [[0.0, 0.0, 0.0]] * int(args.num_listeners)
             sc = Scene(
                 insts, block_size=args.block, backend=args.backend,
-                binaural=bool(desc.get("binaural", False)),
-                listener_offsets=desc.get("listener_offsets"),
+                binaural=binaural,
+                listener_offsets=offsets,
                 use_ffat=not args.no_transfer,
                 smooth_transfer=args.smooth_transfer)
             sc.set_listener(np.asarray(

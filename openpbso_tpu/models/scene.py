@@ -188,13 +188,21 @@ class Scene:
         self._last_world_listener = None
 
     def _listener_frame(self, pos: np.ndarray) -> np.ndarray:
-        """World [3] listener -> the session's relative frame; positions
-        that already carry per-object (or per-listener) rows pass
-        through unchanged."""
+        """World listener(s) -> the session's relative frame.
+
+        [3]: one world listener, expanded through the scene's offsets
+        (binaural ears / listener_offsets). [L, 3] on a shared-state
+        multi-listener scene: L INDEPENDENT world listeners (per-client
+        serving) — each row maps to per-object relative positions
+        directly, bypassing the single-head offsets. Anything else
+        passes through unchanged (already-relative rows)."""
         pos = np.asarray(pos, np.float64)
-        if pos.ndim != 1:
-            return pos
-        return self._relative_rows(pos)
+        if pos.ndim == 1:
+            return self._relative_rows(pos)
+        if (pos.ndim == 2 and self.shared_state
+                and pos.shape == (self.num_listeners, 3)):
+            return pos[:, None, :] - self.positions[None, :, :]
+        return pos
 
     def _relative_rows(self, world_pos: np.ndarray) -> np.ndarray:
         """One world position -> per-object relative rows ([O, 3], or

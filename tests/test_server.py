@@ -878,3 +878,61 @@ def test_live_doppler_post_mix_server():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_per_client_listeners_scene_serving(tmp_path):
+    """Personal listeners in a multi-model SCENE broadcast: each client's
+    world listener maps through the scene frame to its own [O] relative
+    rows — a client standing at object A hears A's hit louder than a
+    client standing at object B, from ONE shared engine."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=31)
+    model = load_model(resolve_model_dir(str(root), "m"))
+
+    def make_session():
+        sc = Scene([SceneInstance(model, np.zeros(3)),
+                    SceneInstance(model, np.asarray([6.0, 0.0, 0.0]))],
+                   block_size=BLOCK, backend="blocked",
+                   listener_offsets=[[0.0, 0.0, 0.0]] * 2,
+                   dtype=jnp.float32)
+        sc.set_listener(np.asarray([1.0, 0.4, 0.2]))
+        sc.session.step()
+        return sc.session
+
+    srv = BroadcastAudioServer(make_session, model=[model, model],
+                               pace_lead=0.05, per_client_listeners=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = AudioClient(*srv.address)
+        b = AudioClient(*srv.address)
+        for c in (a, b):
+            deadline = time.time() + 30
+            while not c.messages and time.time() < deadline:
+                c.read_block()
+            assert c.messages
+        # A stands by object 0 (origin), B by object 1 (x=6)
+        a.send(cmd="listener", pos=[0.7, 0.2, 0.1])
+        b.send(cmd="listener", pos=[6.7, 0.2, 0.1])
+        time.sleep(0.8)
+        a.send(cmd="hit", obj=0, vertex=3, kind="gaussian", width_us=2000.0)
+        ea = eb = 0.0
+        deadline = time.time() + 30
+        while time.time() < deadline and (ea == 0 or eb == 0):
+            ea += float((a.read_block() ** 2).sum())
+            eb += float((b.read_block() ** 2).sum())
+        for _ in range(30):
+            ea += float((a.read_block() ** 2).sum())
+            eb += float((b.read_block() ** 2).sum())
+        assert ea > 2.0 * eb, (ea, eb)   # A is next to the struck object
+        a.send(cmd="quit"); b.send(cmd="quit")
+        a.close(); b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
