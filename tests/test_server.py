@@ -936,3 +936,70 @@ def test_per_client_listeners_scene_serving(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_per_client_listener_rows_survive_engine_restart():
+    """Elastic recovery with personal listeners: the rebuilt engine
+    reapplies every slot's listener row (no client silently reset to the
+    default view)."""
+    from openpbso_tpu.ops.coeffs import lambda_from_modes
+    from openpbso_tpu.ops.ffat import build_ffat
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    md = synth_mode_data(6, 8, seed=2)
+    maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=6)
+            for i in range(6)}
+    sessions = []
+
+    def make_session():
+        lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                        CERAMIC.alpha, CERAMIC.beta)
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32,
+                                  num_objects=1)
+        ffat = build_ffat(maps, bank.num_modes)
+        sess = ModalSession(bank, ffat=ffat,
+                            config=SolverConfig(block_size=BLOCK,
+                                                backend="blocked"),
+                            num_listeners=2, lam64=lam64)
+        sess.set_listener(np.asarray([[0.9, 0.2, 0.1], [0.9, 0.2, 0.1]]))
+        sess.step()
+        sessions.append(sess)
+        return sess
+
+    srv = BroadcastAudioServer(make_session, pace_lead=0.05,
+                               per_client_listeners=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = AudioClient(*srv.address)
+        deadline = time.time() + 30
+        while not a.messages and time.time() < deadline:
+            a.read_block()
+        a.send(cmd="listener", pos=[0.45, 0.0, 0.0])
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            a.read_block()
+            if np.allclose(srv._listener_pos[0], [0.45, 0.0, 0.0]):
+                break
+        row_before = np.asarray(sessions[-1].state.transfer[0, 0]).copy()
+        # kill the engine like a synthesis failure
+        engine = srv._engine
+        engine.error = RuntimeError("injected failure")
+        engine._stop.set()
+        deadline = time.time() + 60
+        restarted = False
+        while time.time() < deadline and not restarted:
+            a.read_block()
+            restarted = any("restarted" in m for m in a.messages)
+        assert restarted, a.messages
+        # the NEW session's slot-0 row matches the client's moved view,
+        # not the default listener
+        row_after = np.asarray(sessions[-1].state.transfer[0, 0])
+        np.testing.assert_allclose(row_after, row_before, rtol=1e-6)
+        a.send(cmd="quit")
+        a.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
