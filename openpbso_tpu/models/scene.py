@@ -70,8 +70,9 @@ class Scene:
         differences from the ear geometry on every listener move
         (complex transfer rows; narrowband-exact — the FFAT magnitudes
         already give the level differences, this adds the timing cue the
-        reference lacks entirely). Needs shared_state and is incompatible
-        with smooth_transfer (the xfade ramp is real-valued).
+        reference lacks entirely). Needs shared_state; composes with
+        smooth_transfer since round 3 (the xfade ramps both complex
+        channels, ops/integrator._xfade_rows).
 
         ``mesh``: a jax.sharding.Mesh ('obj', 'mode') makes the scene
         multi-chip — the session becomes a ShardedSession
