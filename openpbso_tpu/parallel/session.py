@@ -26,9 +26,9 @@ from jax.sharding import Mesh
 from ..ops.coeffs import ModalBank
 from ..runtime.session import ModalSession
 from .sharding import (make_sharded_decay_step, make_sharded_multi,
-                       make_sharded_span, make_sharded_step,
-                       make_sharded_xfade_step, shard_bank,
-                       shard_span_tables, shard_state)
+                       make_sharded_span, make_sharded_span_sound,
+                       make_sharded_step, make_sharded_xfade_step,
+                       shard_bank, shard_span_tables, shard_state)
 
 
 class ShardedSession(ModalSession):
@@ -82,6 +82,12 @@ class ShardedSession(ModalSession):
                 tables = self._span_tables_sharded(nb)
                 fn = make_sharded_span(self.mesh, self.bank, tables,
                                        block_size=block, n_blocks=nb, **kw)
+            elif kind == "span_sound":
+                nb = kw.pop("n_blocks")
+                tables = self._span_tables_sharded(nb)
+                fn = make_sharded_span_sound(self.mesh, self.bank, tables,
+                                             block_size=block, n_blocks=nb,
+                                             **kw)
             else:  # pragma: no cover
                 raise KeyError(kind)
             self._fns[key] = fn
@@ -197,6 +203,41 @@ class ShardedSession(ModalSession):
                                  self.gains)
         self._clock += n_blocks * self.config.block_size
         return mix
+
+    def _step_span_sound(self, n_blocks: int, num_slots="auto", idle=None,
+                         with_sustained=None):
+        """Mesh variant of the span-shaped post-mix feed: one explicit
+        shard_map program (obj-sharded [O, N] sound out) instead of the
+        base class's single-device jit auto-partitioning."""
+        self._maybe_rebase()
+        if idle is None:
+            idle = self._idle() and self.config.decay_fast_path
+        if with_sustained is None:
+            with_sustained = self._with_sustained()
+        if idle:
+            fn = self._fn("span_sound", n_blocks=n_blocks, decay=True)
+            self.state, sound = fn(self.state, self.bank,
+                                   self._span_tables_sharded(n_blocks))
+        elif with_sustained:
+            k_eff = (self._slot_bucket(ignore_sustained=True)
+                     if num_slots == "auto" else num_slots)
+            ar_g = self.ar_span_table()
+            fn = self._fn("span_sound", n_blocks=n_blocks,
+                          num_slots=k_eff, decay=False,
+                          with_sustained=True,
+                          ar_g_shared=ar_g.shape[0] == 1)
+            self.state, sound = fn(self.state, self.bank,
+                                   self._span_tables_sharded(n_blocks),
+                                   ar_g)
+        else:
+            k_eff = (self._slot_bucket() if num_slots == "auto"
+                     else num_slots)
+            fn = self._fn("span_sound", n_blocks=n_blocks,
+                          num_slots=k_eff, decay=False)
+            self.state, sound = fn(self.state, self.bank,
+                                   self._span_tables_sharded(n_blocks))
+        self._clock += n_blocks * self.config.block_size
+        return sound
 
     def render_multi(self, num_blocks: int,
                      blocks_per_dispatch: int = 16) -> np.ndarray:

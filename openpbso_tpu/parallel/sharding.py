@@ -271,6 +271,57 @@ def make_sharded_span(mesh: Mesh, bank: ModalBank, tables, *,
     return jax.jit(sharded)
 
 
+def make_sharded_span_sound(mesh: Mesh, bank: ModalBank, tables, *,
+                            n_blocks: int,
+                            block_size: int = DEFAULT_BLOCK,
+                            num_slots: int | None = None,
+                            decay: bool = False,
+                            complex_rows: bool = False,
+                            with_sustained: bool = False,
+                            ar_g_shared: bool = True,
+                            num_listeners: int = 1):
+    """SPMD span returning the RAW per-object sound (the span-shaped
+    post-mix feed, solver.step_span_sound): the [O, N] sound gathers the
+    mode-axis partials with one psum and stays obj-sharded — the
+    post-mix (HRTF/Doppler frequency-domain mixes) then runs under jit
+    on the obj-sharded sound. Returns ``step(state, bank, tables[,
+    ar_g]) -> (state', sound [O, N])``."""
+    from ..ops.span import decay_span, integrate_span
+    from ..runtime.solver import _span_channels
+    n = n_blocks * block_size
+
+    def local_span(state, bank, tables, ar_g=None):
+        if decay:
+            z_re, z_im, sound = decay_span(
+                state.z_re, state.z_im, bank, tables, state.transfer,
+                transfer_im=state.transfer_im)
+        else:
+            sus, f_k, space_k = _span_channels(
+                state, n_blocks, block_size, num_slots, with_sustained,
+                ar_g)
+            z_re, z_im, sound = integrate_span(
+                state.z_re, state.z_im, bank, tables, space_k, f_k,
+                state.transfer, transfer_im=state.transfer_im)
+            state = dataclasses.replace(state, sustained=sus)
+        sound = jax.lax.psum(sound, "mode")   # mode-partial transfer dot
+        new_state = dataclasses.replace(
+            state, z_re=z_re, z_im=z_im,
+            block_start=state.block_start + n)
+        return new_state, sound
+
+    specs_in = (state_specs(num_listeners, complex_rows), bank_specs(bank),
+                span_table_specs(tables))
+    if with_sustained:
+        specs_in = specs_in + (
+            P(None, None) if ar_g_shared else P("obj", None),)
+    sound_spec = (P("obj", None) if num_listeners <= 1
+                  else P("obj", None, None))     # span layout [O, L, N]
+    specs_out = (state_specs(num_listeners, complex_rows), sound_spec)
+    sharded = jax.shard_map(local_span, mesh=mesh, in_specs=specs_in,
+                            out_specs=specs_out, check_vma=False)
+    return jax.jit(sharded)
+
+
 def shard_span_tables(mesh: Mesh, tables):
     specs = span_table_specs(tables)
     return jax.tree.map(lambda x, s: _put(mesh, x, s), tables, specs,

@@ -351,3 +351,29 @@ def test_sharded_session_hrtf_span_engine():
     assert eng.error is None
     audio = np.concatenate(sink.frames)
     assert audio.shape[1] == 2 and np.abs(audio).max() > 0
+
+
+def test_sharded_span_sound_parity(dberr):
+    """The explicit shard_map sound-span (post-mix feed) matches the
+    single-device step_span_sound: excitation, sustained, and decay."""
+    sh, ref, m = _pair((4, 2))
+    space = np.linspace(0.2, 1.0, m)
+    for s in (sh, ref):
+        s.hit(1, space, kind="gaussian", width_us=300.0)
+        s.sustained_start(3, -space)
+    a = np.asarray(sh._step_span_sound(4))
+    b = np.asarray(ref._step_span_sound(4))
+    assert a.shape == b.shape and np.abs(b).max() > 0
+    assert dberr(a, b) <= -60        # sustained: f32 evaluation order
+    for s in (sh, ref):
+        s.sustained_end(3)
+    a = np.asarray(sh._step_span_sound(4))
+    b = np.asarray(ref._step_span_sound(4))
+    assert dberr(a, b) <= -100
+    # ring-down (idle) span sound
+    sh._expiry[...] = 0
+    ref._expiry[...] = 0
+    a = np.asarray(sh._step_span_sound(4))
+    b = np.asarray(ref._step_span_sound(4))
+    assert sh._idle() and ref._idle()
+    assert dberr(a, b) <= -100
