@@ -872,6 +872,7 @@ class BroadcastAudioServer(AudioServer):
                     raise ValueError(
                         f"make_session ignored num_listeners={new_l}")
                 sess.step()   # compile before parking the live stream
+                self._carry_state_across_grow(engine.session, sess)
                 swap_model(engine, sess)
                 with self._slot_lock:
                     old = self._pcl
@@ -909,6 +910,35 @@ class BroadcastAudioServer(AudioServer):
         with self._slot_lock:
             self._listener_pos[slot] = pos
             engine.set_listener(self._listener_pos.copy())
+
+    @staticmethod
+    def _carry_state_across_grow(old, new) -> None:
+        """Carry the oscillator/force state from the old session into the
+        grown one so the listener-bucket swap is CLICK-FREE (the ring-down
+        continues; only the transfer rows — recomputed right after from
+        the merged listener positions — depend on L). Shape mismatches
+        (different model/slot config) silently fall back to fresh state,
+        which is the reference's LoadNewModel behavior anyway."""
+        import dataclasses as _dc
+        try:
+            if (old.state.z_re.shape != new.state.z_re.shape
+                    or old.state.slots.ftype.shape
+                    != new.state.slots.ftype.shape):
+                return
+            new.state = _dc.replace(
+                new.state,
+                z_re=old.state.z_re, z_im=old.state.z_im,
+                slots=old.state.slots, sustained=old.state.sustained,
+                block_start=old.state.block_start)
+            new._clock = old._clock
+            new._clock_base = old._clock_base
+            new._expiry[...] = old._expiry
+            new._t0[...] = old._t0
+            new._sus_active[...] = old._sus_active
+            new._ar_host[...] = old._ar_host
+            new._ar_g = None
+        except Exception:  # noqa: BLE001 — a failed carry must not block
+            pass           # the grow; fresh state is always safe
 
     def _serve_client(self, conn: socket.socket) -> None:
         engine = self._ensure_engine()

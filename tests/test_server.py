@@ -700,6 +700,8 @@ def test_per_client_listeners_dynamic_growth():
     maps = {i: synth_fatcube(i, 200.0 * (i + 1), n=10, seed=7)
             for i in range(6)}
 
+    sessions = []
+
     def make_session(num_listeners=2):
         lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
                                         CERAMIC.alpha, CERAMIC.beta)
@@ -715,6 +717,7 @@ def test_per_client_listeners_dynamic_growth():
         sess.set_listener(np.broadcast_to(
             np.asarray([0.9, 0.2, 0.1]), (num_listeners, 3)).copy())
         sess.step()
+        sessions.append(sess)
         return sess
 
     srv = BroadcastAudioServer(make_session, pace_lead=0.05,
@@ -733,11 +736,33 @@ def test_per_client_listeners_dynamic_growth():
         b = AudioClient(*srv.address)
         assert {hello_slot(a), hello_slot(b)} == {0, 1}
         assert srv._pcl == 2
+        # ring a long excitation BEFORE the grow: the state carry must
+        # keep it sounding across the bucket swap (click-free grow)
+        a.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
+               kind="gaussian", width_us=50000.0)
+        peak = 0.0
+        deadline = time.time() + 30
+        while peak == 0.0 and time.time() < deadline:
+            peak = float(np.abs(a.read_block()).max())
+        assert peak > 0.0
         # third client triggers the grow to bucket 4
         c = AudioClient(*srv.address, timeout=90)
         slot_c = hello_slot(c, deadline_s=60.0)
         assert slot_c == 2, slot_c
         assert srv._pcl == 4
+        # the pre-grow excitation continues on the GROWN session with NO
+        # new hit (state carried across the swap): its oscillators must
+        # pick up energy from the carried force slots. (Client-side PCM
+        # cannot discriminate here — the fan-out backlog still holds
+        # pre-grow blocks.)
+        grown = sessions[-1]
+        assert grown.num_listeners == 4
+        z_energy = 0.0
+        deadline = time.time() + 30
+        while z_energy == 0.0 and time.time() < deadline:
+            a.read_block()
+            z_energy = float(np.abs(np.asarray(grown.state.z_re)).max())
+        assert z_energy > 0.0, "grow dropped the carried excitation"
         # everyone still streams after the swap
         c.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
                kind="gaussian", width_us=2000.0)
