@@ -668,7 +668,8 @@ class BroadcastAudioServer(AudioServer):
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, client_queue_depth: int = 8,
                  pace_lead: float | None = 0.3, max_restarts: int = 3,
-                 positions=None, per_client_listeners: int = 0):
+                 positions=None, per_client_listeners: int = 0,
+                 scene=None, post_mix_factory=None):
         """``max_restarts``: consecutive engine-rebuild attempts after a
         synthesis failure before the server gives up (a successful rebuild
         resets the count) — elastic recovery the reference lacks entirely
@@ -694,7 +695,8 @@ class BroadcastAudioServer(AudioServer):
         channels, and listener positions. Grow-only (no shrink)."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
-                         qnorm_every=qnorm_every, positions=positions)
+                         qnorm_every=qnorm_every, positions=positions,
+                         scene=scene, post_mix_factory=post_mix_factory)
         self._client_depth = client_queue_depth
         self._fanout = _FanoutSink(pace_lead=pace_lead)
         if isinstance(per_client_listeners, (tuple, list)):

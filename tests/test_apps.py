@@ -238,3 +238,56 @@ def test_transfer_hist_payload():
     import pytest as _pytest
     with _pytest.raises(IndexError):
         srv._transfer_hist_payload(FakeEngine(), {"obj": 9})
+
+
+def test_serve_scene_committed_assets_broadcast(tmp_path):
+    """pbso-serve --scene assets/demo/scene.json --multi-client works out
+    of the box (regression: BroadcastAudioServer must forward the
+    scene/post_mix_factory kwargs; the committed scene must load)."""
+    import socket
+    import time
+
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = 0
+    # pick a free port up front (serve has no --port 0 echo)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "openpbso_tpu.apps.serve",
+         "--scene", "assets/demo/scene.json", "--multi-client",
+         "--platform", "cpu", "--port", str(port)],
+        cwd=root, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 120
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                break
+            assert proc.poll() is None, "server died during startup"
+        assert "serving" in line
+        sys.path.insert(0, root)
+        from openpbso_tpu.runtime.server import AudioClient
+        c = AudioClient("127.0.0.1", port)
+        c.send(cmd="hit", obj=1, vertex=3, kind="gaussian", width_us=800.0)
+        peak = 0.0
+        t0 = time.time()
+        while peak == 0.0 and time.time() - t0 < 30:
+            peak = float(np.abs(c.read_block()).max())
+        assert peak > 0.0
+        c.send(cmd="object_pos", obj=2, pos=[3.0, 0.0, 0.0])
+        t0 = time.time()
+        while not c.messages and time.time() - t0 < 20:
+            c.read_block()
+        assert c.messages and "object_pos" in c.messages[-1]
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=20)
