@@ -233,8 +233,11 @@ class WebSocketAudioServer(AudioServer):
                         "objects": int(session.bank.num_objects),
                         "has_positions":
                             self._positions is not None})
-        engine = StreamingEngine(session, sink, lookahead=self._lookahead,
-                                 qnorm_every=self._qnorm_every)
+        engine = StreamingEngine(
+            session, sink, lookahead=self._lookahead,
+            qnorm_every=self._qnorm_every,
+            post_mix=(self._post_mix_factory()
+                      if self._post_mix_factory else None))
         engine.start()
         reader = _FrameReader(conn)
         pusher = None
