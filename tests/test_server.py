@@ -1002,13 +1002,20 @@ def test_per_client_listener_rows_survive_engine_restart():
         deadline = time.time() + 30
         while not a.messages and time.time() < deadline:
             a.read_block()
+        default_row = np.asarray(sessions[-1].state.transfer[0, 0]).copy()
         a.send(cmd="listener", pos=[0.45, 0.0, 0.0])
+        # wait until the synth thread has APPLIED the move (the host
+        # mirror updates immediately; the transfer row only on the next
+        # event application) — capturing earlier raced the apply
         deadline = time.time() + 20
+        row_before = default_row
         while time.time() < deadline:
             a.read_block()
-            if np.allclose(srv._listener_pos[0], [0.45, 0.0, 0.0]):
+            row = np.asarray(sessions[-1].state.transfer[0, 0])
+            if not np.allclose(row, default_row):
+                row_before = row.copy()
                 break
-        row_before = np.asarray(sessions[-1].state.transfer[0, 0]).copy()
+        assert not np.allclose(row_before, default_row), "move not applied"
         # kill the engine like a synthesis failure
         engine = srv._engine
         engine.error = RuntimeError("injected failure")
