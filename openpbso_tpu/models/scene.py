@@ -285,6 +285,24 @@ class Scene:
                                  f"[0, {len(self.positions)})")
             self.positions[index] = pos
 
+    def object_position(self, index: int) -> np.ndarray:
+        """Current world position of logical object ``index`` (a copy).
+
+        Mirrors set_object_position's indexing: in the replicated
+        multi-listener layout, logical object i owns rows i*L..i*L+L-1
+        and all share one world position."""
+        ll = self.num_listeners
+        if ll > 1 and not self.shared_state:
+            n_logical = len(self.instances) // ll
+            if not 0 <= index < n_logical:
+                raise IndexError(f"object {index} out of range "
+                                 f"[0, {n_logical})")
+            return self.positions[ll * index].copy()
+        if not 0 <= index < len(self.positions):
+            raise IndexError(f"object {index} out of range "
+                             f"[0, {len(self.positions)})")
+        return self.positions[index].copy()
+
     def move_object(self, index: int, world_pos: np.ndarray) -> None:
         """Move logical object ``index`` to a new world position LIVE
         (the reference has no notion of object motion at all; offline

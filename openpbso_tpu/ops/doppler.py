@@ -133,10 +133,18 @@ class DopplerPostMix:
         ``max_distance`` bounds the delay line (meters)."""
         self.positions = np.asarray(positions, np.float64)
         o = self.positions.shape[0]
+        self._sr = float(sample_rate)
         self._scale = sample_rate / float(c)
         h = int(np.ceil(max_distance * self._scale)) + 2
         self._hist = jnp.zeros((o, h), dtype)
         self._h_max = float(h - 2)
+        # per-object world velocities (object_vel events): integrated on
+        # the AUDIO clock, one position step per dispatch, so a constant
+        # radial velocity yields an exactly constant delay ramp rate —
+        # i.e. a constant Doppler factor 1 + v/c — independent of
+        # wall-clock jitter in the synth thread. Written from the network
+        # thread, read on the synth thread (latest-wins, like positions).
+        self.velocities = np.zeros((o, 3))
         self.gains = (jnp.ones((o, 2), dtype) if gains is None
                       else jnp.asarray(gains, dtype))
         self._d_cur = np.zeros(o)
@@ -148,6 +156,15 @@ class DopplerPostMix:
         self._last_listener = np.asarray(pos, np.float64)
         r = np.linalg.norm(self.positions - self._last_listener, axis=-1)
         self._d_tgt = np.minimum(r * self._scale, self._h_max)
+
+    def set_velocity(self, obj: int, vel: np.ndarray) -> None:
+        """Give ONE object a constant world velocity (the server's
+        ``object_vel`` command). Every subsequent dispatch advances that
+        object's position by v * (N / sample_rate) BEFORE retargeting its
+        delay, so the per-dispatch delay ramp carries the motion's exact
+        Doppler shift without any per-frame client traffic. Zero velocity
+        stops the motion (position stays where it integrated to)."""
+        self.velocities[int(obj)] = np.asarray(vel, np.float64).reshape(3)
 
     def set_position(self, obj: int, world_pos: np.ndarray) -> None:
         """Move ONE object (live object motion, Scene.move_object /
@@ -162,6 +179,12 @@ class DopplerPostMix:
         self._d_cur = self._d_tgt.copy()
 
     def _run(self, sound):
+        if self.velocities.any():
+            # audio-clock kinematics: this dispatch covers N samples of
+            # stream time; move first, then retarget, so the delay ramps
+            # from r(t)/c to r(t + N/SR)/c across exactly those samples
+            self.positions += self.velocities * (sound.shape[-1] / self._sr)
+            self.on_listener(self._last_listener)
         d0 = jnp.asarray(self._d_cur, sound.dtype)
         d1 = jnp.asarray(self._d_tgt, sound.dtype)
         mix, self._hist = _doppler_mix(self._hist, sound, d0, d1,

@@ -15,6 +15,11 @@ streams the engine's output over TCP:
     {"cmd": "arparam", "obj": 0, "a": [a1, a2], "sigma": s, "mu": m}
     {"cmd": "clear"} / {"cmd": "stats"} / {"cmd": "quit"}
     {"cmd": "load_model", "meta": "path/to/model.meta"}   (hot swap)
+    {"cmd": "object_pos", "obj": i, "pos": [x, y, z]}     (scene serving)
+    {"cmd": "object_vel", "obj": i, "vel": [vx, vy, vz]}  (continuous
+        object motion: the server integrates the position — the Doppler
+        post-mix on the audio clock, the scene's transfer refresh on a
+        slow wall-clock ticker — until a zero-velocity event stops it)
 
   load_model resolves a server-side .meta descriptor and hot-swaps the
   live stream to the new model (the reference's LoadNewModel over the
@@ -121,13 +126,93 @@ class _SocketSink:
             pass
 
 
+class _MotionTicker(threading.Thread):
+    """Server-side kinematics for ``object_vel`` (continuous object motion).
+
+    The perceptually dominant term of a moving object — the Doppler delay
+    ramp — is integrated by DopplerPostMix itself on the AUDIO clock (one
+    position step per dispatch, ops/doppler.py). This thread handles the
+    slower term: the scene's transfer-amplitude refresh, by re-applying
+    ``_apply_object_pos`` at a modest wall-clock rate (default 4 Hz — the
+    same order as a human drag, and each tick costs one latest-wins
+    listener event exactly like a mouse move). When a Doppler post-mix is
+    present the tick reads the position IT integrated (audio clock is the
+    source of truth — no double integration, no fighting); without one it
+    integrates on the wall clock itself.
+
+    Beyond-reference: the reference's single object never moves
+    (real_time_modal_sound.cpp keeps one static mesh); object kinematics
+    exist only here.
+    """
+
+    def __init__(self, server, get_engine, rate_hz: float = 4.0):
+        super().__init__(daemon=True, name="pbso-motion")
+        self._server = server
+        self._get_engine = get_engine   # callable: survives engine restarts
+        self._period = 1.0 / float(rate_hz)
+        self._stop_evt = threading.Event()
+        self._vel: dict[int, np.ndarray] = {}
+        self._lock = threading.Lock()
+
+    def set_velocity(self, obj: int, vel) -> None:
+        vel = np.asarray(vel, np.float64).reshape(3)
+        with self._lock:
+            if vel.any():
+                self._vel[int(obj)] = vel
+            else:
+                self._vel.pop(int(obj), None)
+
+    @property
+    def moving(self) -> list[int]:
+        with self._lock:
+            return sorted(self._vel)
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+
+    def run(self) -> None:
+        last = time.monotonic()
+        while not self._stop_evt.wait(self._period):
+            now = time.monotonic()
+            dt, last = now - last, now
+            with self._lock:
+                items = list(self._vel.items())
+            if not items:
+                continue
+            engine = self._get_engine()
+            srv = self._server
+            if engine is None or srv._scene is None:
+                continue
+            pm = getattr(engine, "_post_mix", None)
+            pm_integrates = pm is not None and hasattr(pm, "velocities")
+            try:
+                for obj, vel in items:
+                    if pm_integrates:
+                        if not np.array_equal(pm.velocities[obj], vel):
+                            # re-push after an engine restart rebuilt the
+                            # post-mix (elastic recovery / bucket grow)
+                            pm.set_velocity(obj, vel)
+                        pos = np.asarray(pm.positions[obj], np.float64)
+                    else:
+                        pos = srv._scene.object_position(obj) + vel * dt
+                    srv._apply_object_pos(engine, obj, pos,
+                                          retarget_pm=not pm_integrates)
+            except Exception:  # noqa: BLE001 — engine mid-restart etc.
+                continue       # next tick retries against the new engine
+
+
 class AudioServer:
     """Serve one engine over TCP. Use serve_forever() or serve_one()."""
+
+    # single-client servers run one _MotionTicker per connection (stopped
+    # when the connection ends); broadcast servers keep ONE for the shared
+    # engine's lifetime (see _stop_motion_ticker)
+    _motion_persistent = False
 
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, positions=None, scene=None,
-                 post_mix_factory=None):
+                 post_mix_factory=None, motion_rate_hz: float = 4.0):
         """``make_session()`` -> a fresh ModalSession per connection;
         ``model`` (optional) enables vertex/face-addressed hits and the
         scene/mode-shape viewer commands — pass a LIST of per-object-row
@@ -139,7 +224,9 @@ class AudioServer:
         ``qnorm_every`` > 0 streams per-mode energy telemetry (the
         transfer-ball HUD feed) every that many blocks; ``scene`` (the
         models.scene.Scene behind the served session) enables the
-        ``object_pos`` live object-motion command."""
+        ``object_pos`` live object-motion command; ``motion_rate_hz`` is
+        the wall-clock rate of the ``object_vel`` transfer-refresh ticker
+        (the Doppler delay itself integrates per dispatch, not here)."""
         self._make_session = make_session
         self._model = model
         # per-object-row world positions (scene serving): lets the browser
@@ -147,6 +234,8 @@ class AudioServer:
         self._positions = positions
         self._scene = scene
         self._post_mix_factory = post_mix_factory
+        self._motion_rate = float(motion_rate_hz)
+        self._motion: _MotionTicker | None = None
         self._session_loader = session_loader
         self._lookahead = lookahead
         self._qnorm_every = qnorm_every
@@ -177,6 +266,7 @@ class AudioServer:
                 continue
 
     def close(self) -> None:
+        self._stop_motion_ticker(force=True)
         self._sock.close()
 
     # ------------------------------------------------------------------
@@ -222,7 +312,48 @@ class AudioServer:
                 sink.send_json({"error": f"synthesis failed: "
                                          f"{engine.error!r}"})
         finally:
+            self._stop_motion_ticker()   # per-connection kinematics
             engine.stop()
+
+    def _ensure_motion_ticker(self, engine) -> _MotionTicker:
+        """The object_vel kinematics thread (lazily started). Single-client
+        servers bind it to THIS connection's engine; BroadcastAudioServer
+        overrides the getter to track its persistent/restartable engine."""
+        if self._motion is None or not self._motion.is_alive():
+            self._motion = _MotionTicker(self, lambda: engine,
+                                         rate_hz=self._motion_rate)
+            self._motion.start()
+        return self._motion
+
+    def _stop_motion_ticker(self, force: bool = False) -> None:
+        """Connection teardown: stop a per-connection ticker. Persistent
+        (broadcast) tickers survive client churn; only close() forces
+        them down."""
+        if self._motion is not None and (force or not
+                                         self._motion_persistent):
+            self._motion.stop()
+            self._motion = None
+
+    def _apply_object_pos(self, engine, i: int, pos, *,
+                          retarget_pm: bool = True) -> list:
+        """Move scene object ``i``: host position update + Doppler delay
+        retarget + a queued listener re-apply so the transfer rows
+        recompute ON THE SYNTH THREAD with the new position (no state race
+        with the streaming loop). Shared by the object_pos command and the
+        _MotionTicker. ``retarget_pm=False`` skips the post-mix when it is
+        integrating the motion itself (audio-clock source of truth)."""
+        pos = np.asarray(pos, np.float64).reshape(3)
+        self._scene.set_object_position(i, pos)
+        if self._positions is not None and i < len(self._positions):
+            self._positions[i] = [float(v) for v in pos]
+        if retarget_pm:
+            pm = getattr(engine, "_post_mix", None)
+            if pm is not None and hasattr(pm, "set_position"):
+                pm.set_position(i, pos)   # object Doppler retarget
+        lw = getattr(self._scene, "_last_world_listener", None)
+        if lw is not None:
+            engine.set_listener(np.asarray(lw, np.float64))
+        return pos.tolist()
 
     def _model_for(self, obj: int):
         """The mesh/modes model behind session object row ``obj``."""
@@ -398,19 +529,41 @@ class AudioServer:
                                              "serving (pass scene=...)"})
                 else:
                     i = int(msg.get("obj", 0))
-                    pos = np.asarray(msg["pos"], np.float64).reshape(3)
-                    self._scene.set_object_position(i, pos)
-                    if self._positions is not None \
-                            and i < len(self._positions):
-                        self._positions[i] = [float(v) for v in pos]
+                    pos = self._apply_object_pos(engine, i, msg["pos"])
+                    sink.send_json({"object_pos": {"obj": i, "pos": pos}})
+            elif cmd == "object_vel":
+                # continuous object motion: one event sets a world
+                # velocity; the server integrates from there (Doppler
+                # delay on the audio clock in DopplerPostMix, transfer
+                # refresh on the _MotionTicker). vel [0,0,0] stops.
+                # Beyond-reference: the reference has no object
+                # kinematics at all (its one mesh is static).
+                if self._scene is None:
+                    sink.send_json({"error": "object_vel needs scene "
+                                             "serving (pass scene=...)"})
+                else:
+                    i = int(msg.get("obj", 0))
+                    self._scene.object_position(i)   # bounds check NOW —
+                    #   the ticker thread must never see a bad index
+                    vel = np.asarray(msg.get("vel", (0.0, 0.0, 0.0)),
+                                     np.float64).reshape(3)
+                    if "pos" in msg:   # optional teleport-then-move
+                        self._apply_object_pos(engine, i, msg["pos"])
                     pm = getattr(engine, "_post_mix", None)
-                    if pm is not None and hasattr(pm, "set_position"):
-                        pm.set_position(i, pos)   # object Doppler retarget
-                    lw = getattr(self._scene, "_last_world_listener", None)
-                    if lw is not None:
-                        engine.set_listener(np.asarray(lw, np.float64))
-                    sink.send_json({"object_pos": {"obj": i,
-                                                   "pos": pos.tolist()}})
+                    if pm is not None and hasattr(pm, "set_velocity"):
+                        pm.set_velocity(i, vel)
+                    self._ensure_motion_ticker(engine).set_velocity(i, vel)
+                    if not vel.any():
+                        # final resync so the stopped position is exact
+                        # (the ticker may have been mid-period)
+                        src = (np.asarray(pm.positions[i], np.float64)
+                               if pm is not None
+                               and hasattr(pm, "positions")
+                               else self._scene.object_position(i))
+                        self._apply_object_pos(engine, i, src,
+                                               retarget_pm=False)
+                    sink.send_json({"object_vel": {"obj": i,
+                                                   "vel": vel.tolist()}})
             elif cmd == "sustain":
                 engine.sustained_start(int(msg.get("obj", 0)),
                                        self._space_for(msg))
@@ -664,6 +817,10 @@ class BroadcastAudioServer(AudioServer):
     guard as AudioServer).
     """
 
+    # object_vel kinematics are WORLD state like hits: one ticker for the
+    # shared engine's lifetime, surviving client churn and engine restarts
+    _motion_persistent = True
+
     def __init__(self, make_session, model=None, host: str = "127.0.0.1",
                  port: int = 0, lookahead: int = 1, session_loader=None,
                  qnorm_every: int = 0, client_queue_depth: int = 8,
@@ -723,6 +880,15 @@ class BroadcastAudioServer(AudioServer):
 
     def _after_engine_start(self, engine) -> None:
         """Hook for subclasses (e.g. the WS telemetry pusher)."""
+
+    def _ensure_motion_ticker(self, engine) -> _MotionTicker:
+        # track the CURRENT engine through restarts/grows, not the one
+        # that happened to receive the first object_vel command
+        if self._motion is None or not self._motion.is_alive():
+            self._motion = _MotionTicker(self, lambda: self._engine,
+                                         rate_hz=self._motion_rate)
+            self._motion.start()
+        return self._motion
 
     def _begin_swap(self) -> None:
         self._swapping = True
@@ -1023,7 +1189,7 @@ class BroadcastAudioServer(AudioServer):
         # building an engine that nobody would ever stop (close racing
         # the accept loop)
         self._closed = True
-        super().close()
+        super().close()   # also force-stops the persistent motion ticker
         with self._engine_lock:
             engine, self._engine = self._engine, None
         if engine is not None:

@@ -270,6 +270,7 @@ class WebSocketAudioServer(AudioServer):
             if pusher is not None:
                 pusher[1].set()
                 pusher[0].join(timeout=5.0)
+            self._stop_motion_ticker()   # per-connection kinematics
             # stop synthesis FIRST so no PCM frame follows the CLOSE frame
             engine.stop()
             sink.close()

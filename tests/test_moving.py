@@ -398,3 +398,60 @@ def test_render_doppler_multi_listener():
     expected = (d_ear / SOUND_SPEED * SAMPLE_RATE
                 / (1.0 + v / SOUND_SPEED))          # ~137 samples
     assert abs(lag - expected) <= 2, (lag, expected)
+
+
+def test_doppler_postmix_object_velocity():
+    """DopplerPostMix.set_velocity (the server's object_vel): the post-mix
+    integrates the object position on the AUDIO clock — exactly
+    v * N / SR per dispatch — and the resulting constant delay ramp
+    shifts a tone's received cycle count by the full Doppler
+    accumulation (d_i - d_f) * f0 / SR. Zero velocity freezes the
+    position where it integrated to."""
+    import jax.numpy as jnp
+
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+
+    f0, n, spans = 900.0, 2048, 8
+    pm = DopplerPostMix(np.asarray([[10.0, 0.0, 0.0]]), max_distance=12.0)
+    pm.on_listener(np.zeros(3))
+    pm._d_cur = pm._d_tgt.copy()      # settled before motion starts
+    v = 20.0   # m/s approach (7.4 m over the stream — stays this side)
+    pm.set_velocity(0, [-v, 0.0, 0.0])
+
+    t = np.arange(spans * n) / SAMPLE_RATE
+    tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)[None, :]
+    d_i = float(pm._d_cur[0])
+    out = np.concatenate(
+        [np.asarray(pm.process_span(jnp.asarray(tone[:, i*n:(i+1)*n])))
+         for i in range(spans)], axis=0)[:, 0]
+    d_f = float(pm._d_cur[0])
+
+    # audio-clock kinematics: position advanced by exactly v * T_stream
+    moved = v * spans * n / SAMPLE_RATE
+    np.testing.assert_allclose(pm.positions[0], [10.0 - moved, 0.0, 0.0],
+                               atol=1e-9)
+    np.testing.assert_allclose(d_f, (10.0 - moved) / SOUND_SPEED
+                               * SAMPLE_RATE, atol=1e-9)
+
+    # received cycles follow the emission clock at the retarded time:
+    # the delay ramps down at v/c per sample, so even the ARRIVAL is
+    # Doppler-advanced — n_a solves n = d(n) -> d_i / (1 + v/c) — and
+    # the received emission window runs from n_a - d(n_a) = 0 to
+    # n_tot - d_f: cycles = f0/SR * (n_tot - d_f), vs the static count
+    # f0/SR * (n_tot - n_a); the surplus is the Doppler accumulation
+    n_a = int(np.argmax(out != 0.0))
+    assert abs(n_a - d_i / (1.0 + v / SOUND_SPEED)) <= 3.0
+    crossings = int(np.sum(np.abs(np.diff(np.signbit(out[n_a:])))))
+    cycles = crossings / 2.0
+    expected = f0 / SAMPLE_RATE * (spans * n - d_f)
+    static = f0 / SAMPLE_RATE * (spans * n - n_a)
+    assert abs(cycles - expected) < 3.0, (cycles, expected, static)
+    assert abs(expected - static) > 10.0   # effect is measurable
+    assert abs(cycles - static) > 8.0      # and measured
+
+    # zero velocity stops the integration where it is
+    pm.set_velocity(0, np.zeros(3))
+    frozen = pm.positions.copy()
+    pm.process_span(jnp.asarray(tone[:, :n]))
+    np.testing.assert_array_equal(pm.positions, frozen)

@@ -1035,3 +1035,149 @@ def test_per_client_listener_rows_survive_engine_restart():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def _scene_server(tmp_path, *, post_mix_factory=None, motion_rate_hz=4.0):
+    """Scene-serving AudioServer on a tiny synth model (object_vel tests)."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=31)
+    model = load_model(resolve_model_dir(str(root), "m"))
+    scenes = []
+
+    def make_session():
+        sc = Scene([SceneInstance(model, np.zeros(3))],
+                   block_size=BLOCK, backend="blocked", dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.5, 0.2, 0.1]))
+        sc.session.step()
+        scenes.append(sc)
+        return sc.session
+
+    srv = AudioServer(make_session, model=[model],
+                      positions=[[0.0, 0.0, 0.0]],
+                      post_mix_factory=post_mix_factory,
+                      motion_rate_hz=motion_rate_hz)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    return srv, t, scenes
+
+
+def _poll_scene_pos(c, deadline_s=20.0):
+    c.messages.clear()
+    c.send(cmd="scene", obj=0)
+    t0 = time.time()
+    while not any("scene" in m for m in c.messages) \
+            and time.time() - t0 < deadline_s:
+        c.read_block()
+    return [m for m in c.messages if "scene" in m][-1]["scene"]["position"]
+
+
+def test_object_vel_wall_clock_ticker(tmp_path):
+    """{"cmd": "object_vel"} without a Doppler post-mix: the server's
+    _MotionTicker integrates the position on the wall clock; zero
+    velocity stops the motion and freezes the position."""
+    srv, t, scenes = _scene_server(tmp_path, motion_rate_hz=25.0)
+    try:
+        c = AudioClient(*srv.address)
+        srv._scene = scenes[-1]   # serve.py wires this for --scene runs
+
+        c.messages.clear()
+        c.send(cmd="object_vel", obj=0, vel=[2.0, 0.0, 0.0])
+        t0 = time.time()
+        while not any("object_vel" in m for m in c.messages) \
+                and time.time() - t0 < 20:
+            c.read_block()
+        assert any(m.get("object_vel", {}).get("vel") == [2.0, 0.0, 0.0]
+                   for m in c.messages)
+
+        # the ticker integrates: position grows past 0.2 m within seconds
+        t0 = time.time()
+        x = 0.0
+        while x < 0.2 and time.time() - t0 < 20:
+            x = _poll_scene_pos(c)[0]
+        assert x >= 0.2, x
+
+        # stop: position freezes where it integrated to
+        c.send(cmd="object_vel", obj=0, vel=[0.0, 0.0, 0.0])
+        for _ in range(10):
+            c.read_block()
+        x_stop = _poll_scene_pos(c)[0]
+        time.sleep(0.3)
+        for _ in range(5):
+            c.read_block()
+        x_after = _poll_scene_pos(c)[0]
+        assert x_after == x_stop, (x_stop, x_after)
+        assert 0 not in srv._motion.moving if srv._motion else True
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
+
+
+def test_object_vel_doppler_audio_clock(tmp_path):
+    """object_vel WITH a live Doppler post-mix: DopplerPostMix integrates
+    the position per dispatch (audio clock — the source of truth) and the
+    ticker mirrors it into the scene's transfer refresh. The optional
+    "pos" teleport seeds the start point."""
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+
+    pms = []
+
+    def factory():
+        pm = DopplerPostMix(np.zeros((1, 3)), max_distance=15.0)
+        pms.append(pm)
+        return pm
+
+    srv, t, scenes = _scene_server(tmp_path, post_mix_factory=factory,
+                                   motion_rate_hz=25.0)
+    try:
+        c = AudioClient(*srv.address)
+        srv._scene = scenes[-1]
+
+        c.messages.clear()
+        c.send(cmd="object_vel", obj=0, vel=[3.0, 0.0, 0.0],
+               pos=[1.0, 0.0, 0.0])
+        t0 = time.time()
+        while not any("object_vel" in m for m in c.messages) \
+                and time.time() - t0 < 20:
+            c.read_block()
+        assert pms, "post_mix_factory unused"
+        pm = pms[-1]
+        np.testing.assert_allclose(pm.velocities[0], [3.0, 0.0, 0.0])
+
+        # audio-clock integration moves pm.positions; the ticker mirrors
+        # it into the scene (x grows from the 1.0 teleport)
+        t0 = time.time()
+        x = 1.0
+        while x < 1.2 and time.time() - t0 < 20:
+            c.read_block()                # keep the stream flowing
+            x = float(pm.positions[0, 0])
+        assert x >= 1.2, x
+        t0 = time.time()
+        sx = 0.0
+        while sx < 1.1 and time.time() - t0 < 20:
+            sx = _poll_scene_pos(c)[0]
+        assert sx >= 1.1, sx
+
+        # stop resyncs the exact integrated position into the scene
+        c.messages.clear()
+        c.send(cmd="object_vel", obj=0, vel=[0.0, 0.0, 0.0])
+        t0 = time.time()
+        while not any("object_vel" in m for m in c.messages) \
+                and time.time() - t0 < 20:
+            c.read_block()
+        assert not pm.velocities.any()
+        np.testing.assert_allclose(
+            scenes[-1].object_position(0), pm.positions[0], atol=1e-12)
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
