@@ -14,7 +14,7 @@ import argparse
 from ..config import DEFAULT_BLOCK, FILE_NOT_EXIST
 
 
-def main(argv=None) -> int:
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-d", dest="data_dir", default=FILE_NOT_EXIST)
     p.add_argument("-name", dest="obj_name", default=FILE_NOT_EXIST)
@@ -94,7 +94,13 @@ def main(argv=None) -> int:
                               "cpu" if args.platform == "cpu" else "")
         except Exception:
             pass
+    return args
 
+
+def build_server(args):
+    """Construct the configured AudioServer (split from main so tests can
+    drive the full CLI wiring — scene rebuild carry-over, live-Doppler
+    factory — without a subprocess)."""
     from .real_time_modal_sound import make_session
     from ..runtime.server import AudioServer
 
@@ -152,14 +158,33 @@ def main(argv=None) -> int:
         scene_obj = first       # enables the object_pos live-motion cmd
         first.session.step()
         sessions = [first.session]
+        # live world state shared with rebuilt engines: the server keeps
+        # ``positions`` current (object_pos/object_vel), and after an
+        # elastic restart the fresh scene must come back with THOSE
+        # positions — not the JSON's initial layout — and the server's
+        # _scene must rebind to it (the old scene's listener_frame died
+        # with its session)
+        scene_state = {"srv": None, "scene": first}
 
         def make():
             if sessions:
                 return sessions.pop()
-            return build_scene().session
+            sc = build_scene()
+            sc.positions[:] = np.asarray(positions, np.float64)
+            prev = scene_state["scene"]
+            lw = getattr(prev, "_last_world_listener", None)
+            if lw is None:
+                lw = np.asarray(
+                    [float(v) for v in args.listener.split(",")])
+            sc.set_listener(lw)   # relative rows from the LIVE positions
+            scene_state["scene"] = sc
+            if scene_state["srv"] is not None:
+                scene_state["srv"]._scene = sc
+            return sc.session
 
         load_from_meta = None
     else:
+        scene_state = None
         positions = None
         scene_obj = None
         model, first_session = make_session(args)
@@ -206,17 +231,29 @@ def main(argv=None) -> int:
         from ..ops.doppler import DopplerPostMix
         n_rows = (len(positions) if positions is not None
                   else args.instances)
-        pos0 = (np.asarray(positions, np.float64)
-                if positions is not None else np.zeros((n_rows, 3)))
 
         def post_mix_factory():
-            return DopplerPostMix(pos0.copy())
+            # read the LIVE per-row positions at build time: an elastic
+            # engine restart mid-motion must come back with the moved
+            # world, not the startup layout (the _MotionTicker re-pushes
+            # velocities into the fresh post-mix on its next tick)
+            if positions is not None:
+                return DopplerPostMix(np.asarray(positions, np.float64))
+            return DopplerPostMix(np.zeros((n_rows, 3)))
 
         extra["post_mix_factory"] = post_mix_factory
     srv = cls(make, model=model, host=args.host, port=args.port,
               lookahead=args.lookahead, session_loader=load_from_meta,
               qnorm_every=qnorm_every, positions=positions,
               scene=scene_obj, **extra)
+    if scene_state is not None:
+        scene_state["srv"] = srv   # rebind target for scene rebuilds
+    return srv
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    srv = build_server(args)
     kind = "http/websocket" if args.web else "pbso protocol"
     print(f"serving {kind} on {srv.address[0]}:{srv.address[1]} "
           f"(block {args.block}, backend {args.backend})", flush=True)

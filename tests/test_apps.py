@@ -291,3 +291,80 @@ def test_serve_scene_committed_assets_broadcast(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=20)
+
+
+def test_serve_scene_restart_carries_world_state(tmp_path):
+    """An elastic engine restart on a --scene --live-doppler serve must
+    come back with the LIVE world: positions moved by object_vel (not
+    the JSON's initial layout), srv._scene rebound to the fresh scene,
+    the fresh Doppler post-mix built at the moved positions, and the
+    velocity re-pushed so the motion continues through the swap."""
+    import json
+    import threading
+    import time
+
+    import numpy as np
+
+    from openpbso_tpu.apps import serve
+    from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+    from openpbso_tpu.runtime.server import AudioClient
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=8, subdivisions=1,
+                    ffat_n=8, seed=32)
+    meta = tmp_path / "m.meta"
+    write_meta(str(meta), resolve_model_dir(str(root), "m"))
+    sj = tmp_path / "scene.json"
+    sj.write_text(json.dumps({"instances": [
+        {"meta": str(meta), "position": [0.0, 0.0, 0.0]},
+        {"meta": str(meta), "position": [1.0, 0.0, 0.0]},
+    ]}))
+
+    args = serve.parse_args(["--scene", str(sj), "--multi-client",
+                             "--live-doppler", "--platform", "cpu",
+                             "--port", "0", "--block", "256"])
+    srv = serve.build_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        first_scene = srv._scene
+        c = AudioClient(*srv.address)
+        c.send(cmd="object_vel", obj=1, vel=[1.0, 0.0, 0.0])
+        # let the motion integrate well past the JSON layout (x0 = 1.0)
+        t0 = time.time()
+        while srv._scene.object_position(1)[0] < 1.5 \
+                and time.time() - t0 < 40:
+            c.read_block()
+        x_before = srv._scene.object_position(1)[0]
+        assert x_before >= 1.5, x_before
+
+        # kill the engine exactly as a synthesis failure does
+        engine = srv._engine
+        engine.error = RuntimeError("injected failure")
+        engine._stop.set()
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(
+                "restarted" in m for m in c.messages):
+            c.read_block()
+        assert any("restarted" in m for m in c.messages), c.messages
+
+        # the server rebound to a FRESH scene carrying the moved world
+        assert srv._scene is not first_scene
+        assert srv._scene.object_position(1)[0] >= x_before - 0.3
+        pm = srv._engine._post_mix
+        assert pm is not None
+        assert pm.positions[1, 0] >= x_before - 0.3, pm.positions
+
+        # and the motion continues through the swap (velocity re-pushed)
+        t0 = time.time()
+        while (srv._scene.object_position(1)[0] < x_before + 0.3
+               and time.time() - t0 < 40):
+            c.read_block()
+        assert srv._scene.object_position(1)[0] >= x_before + 0.3
+        np.testing.assert_allclose(pm.velocities[1], [1.0, 0.0, 0.0])
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
