@@ -311,6 +311,8 @@ DEMO_PAGE = """<!doctype html>
 <h3>openpbso-tpu &mdash; live modal synthesis</h3>
 <div id="help">shift-click: strike &middot; shift-drag: sustained contact
  &middot; drag: orbit (moves listener) &middot; alt-drag: move object
+ (release fast to THROW &mdash; the server integrates the flight;
+ alt-grab catches it)
  &middot; keys 1/2/3/4: point/gaussian/AR/hertz &middot; d: repeat hit</div>
 <button id="start">connect + start audio</button>
 <span id="ftype">force: gaussian</span>
@@ -337,7 +339,8 @@ let ws=null,actx=null,info=null,t=0;
 let scenes=[],ball=null,ballColors=null,modeShape=null;
 let yaw=0.9,pitch=0.4,dist=3.2,center=[0,0,0],radius=1;
 let forceKind='gaussian',lastHit=null,dragging=false,orbiting=false;
-let movingObj=null;   // alt-drag object motion (server cmd object_pos)
+let movingObj=null;   // alt-drag object motion (server cmds object_pos
+                      // while held, object_vel on a fast release: fling)
 const S={blocks:0,peak:0,connected:false,lastPick:null,health:1};
 window.state=S;
 const $=id=>document.getElementById(id);
@@ -586,7 +589,10 @@ view.onpointerdown=e=>{
       const c=camera(view.width,view.height);
       const r2=pixelRay(c,x,y);
       const hp=add(r2.o,mul(r2.d,hit.t));
-      movingObj={obj:hit.obj,depth:hit.t,off:sub(scenes[hit.obj].pos,hp)};
+      movingObj={obj:hit.obj,depth:hit.t,off:sub(scenes[hit.obj].pos,hp),
+                 hist:[]};
+      // grabbing CATCHES a flying object (server-integrated object_vel)
+      send({cmd:'object_vel',obj:hit.obj,vel:[0,0,0]});
     }
   } else if(e.shiftKey){
     const hit=pick(x,y);S.lastPick=hit;
@@ -616,6 +622,8 @@ view.onpointermove=e=>{
       const sc=scenes[movingObj.obj];
       if(sc)sc.pos=p;            // draw at the new spot immediately
       send({cmd:'object_pos',obj:movingObj.obj,pos:p});
+      movingObj.hist.push([now,p]);          // fling velocity window
+      if(movingObj.hist.length>4)movingObj.hist.shift();
     }
   } else if(dragging&&lastXY){
     const now=performance.now();
@@ -635,6 +643,20 @@ view.onpointermove=e=>{
 view.onpointerup=e=>{
   if(dragging)send({cmd:'release',
                     obj:S.lastPick?S.lastPick.obj:0});
+  if(movingObj&&movingObj.hist.length>=2){
+    // fast release = THROW: the server integrates the flight from here
+    // (object_vel; Doppler rides the audio clock, transfer the ticker)
+    const h=movingObj.hist,a=h[0],b=h[h.length-1];
+    const dt=(b[0]-a[0])/1000;
+    if(dt>0.02){
+      let v=mul(sub(b[1],a[1]),1/dt);
+      const sp=Math.hypot(v[0],v[1],v[2]);
+      if(sp>0.5){
+        if(sp>8)v=mul(v,8/sp);     // clamp to a sane room-scale speed
+        send({cmd:'object_vel',obj:movingObj.obj,vel:v});
+      }
+    }
+  }
   dragging=false;orbiting=false;movingObj=null;lastXY=null;
 };
 window.onkeydown=e=>{

@@ -522,3 +522,62 @@ def test_ws_per_client_listeners():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_demo_page_script_well_formed():
+    """No JS runtime exists in this image, so pin the failure modes a bad
+    edit to the inline demo script WOULD produce: unbalanced delimiters
+    (string/comment-aware scan), unterminated strings, and the command
+    surface the page must speak (fling/catch added with object_vel)."""
+    import re
+
+    from openpbso_tpu.runtime.wsbridge import DEMO_PAGE
+
+    scripts = re.findall(r"<script>(.*?)</script>", DEMO_PAGE, re.S)
+    assert scripts, "demo page lost its inline script"
+    src = "\n".join(scripts)
+    for cmd in ("object_pos", "object_vel", "sustain", "release",
+                "transfer_hist"):
+        assert cmd in src, f"page no longer sends {cmd}"
+
+    # string/comment-aware delimiter balance
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    i, n = 0, len(src)
+    state = None          # None | "'" | '"' | "`" | "//" | "/*"
+    while i < n:
+        ch = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if state in ("'", '"', "`"):
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == state:
+                state = None
+            elif state in ("'", '"') and ch == "\n":
+                raise AssertionError(f"unterminated string near {i}")
+        elif state == "//":
+            if ch == "\n":
+                state = None
+        elif state == "/*":
+            if ch == "*" and nxt == "/":
+                state = None
+                i += 1
+        else:
+            if ch in ("'", '"', "`"):
+                state = ch
+            elif ch == "/" and nxt == "/":
+                state = "//"
+                i += 1
+            elif ch == "/" and nxt == "*":
+                state = "/*"
+                i += 1
+            elif ch in "([{":
+                stack.append(ch)
+            elif ch in ")]}":
+                assert stack and stack[-1] == pairs[ch], \
+                    f"unbalanced {ch!r} near {i}: ...{src[max(0,i-60):i+1]}"
+                stack.pop()
+        i += 1
+    assert not stack, f"unclosed {stack}"
+    assert state is None, f"unterminated {state}"

@@ -205,13 +205,81 @@ def main() -> int:
     if proc is not None:
         proc.wait(timeout=30)
 
+    # the page's alt-drag THROW needs scene serving — drive it against a
+    # second server on the committed demo scene (self-served runs only)
+    fling_ok = True if args.port else fling_drive(port + 1)
+
     ok = picked_peak > 0 and health is not None and health >= 0.95 \
-        and "ball_colors" in got and comp_ok and hist_differs
+        and "ball_colors" in got and comp_ok and hist_differs \
+        and fling_ok
     print(f"hits: {n_hits}, peak from picked hits: {picked_peak:.4g}, "
           f"health: {health}, ball_colors streamed: "
           f"{'ball_colors' in got}")
     print("DRIVE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def fling_drive(port: int) -> bool:
+    """Round-3 kinematics surface over the wire: what the page's alt-drag
+    does — object_pos while held, object_vel on a fast release (THROW),
+    vel 0 on alt-grab (CATCH) — against `--scene assets/demo/scene.json
+    --live-doppler --web`."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "openpbso_tpu.apps.serve",
+         "--scene", "assets/demo/scene.json", "--live-doppler", "--web",
+         "--platform", "cpu", "--one-shot", "--port", str(port)],
+        cwd=root, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    while "serving" not in (proc.stdout.readline() or "serving"):
+        pass
+    time.sleep(0.5)
+
+    from test_wsbridge import _WSClient
+    c = _WSClient("127.0.0.1", port)
+    got: dict = {}
+
+    def drain(seconds=0.0, until=None):
+        deadline = time.monotonic() + max(seconds, 0.05)
+        while time.monotonic() < deadline:
+            op, payload = c.read_frame()
+            if op == 0x1:
+                got.update(json.loads(payload))
+            if until and until in got:
+                return
+
+    def obj_x():
+        got.pop("scene", None)
+        c.send_json(cmd="scene", obj=1)
+        drain(30, until="scene")
+        return float(got["scene"]["position"][0])
+
+    drain(until="hello")
+    c.send_json(cmd="object_pos", obj=1, pos=[1.2, 0.0, 0.3])
+    drain(30, until="object_pos")
+    x0 = obj_x()
+    c.send_json(cmd="object_vel", obj=1, vel=[1.5, 0.0, 0.0])
+    drain(30, until="object_vel")
+    t_fly = time.monotonic() + 15
+    x = x0
+    while time.monotonic() < t_fly and x < x0 + 0.4:
+        drain(0.3)
+        x = obj_x()
+    got.pop("object_vel", None)
+    c.send_json(cmd="object_vel", obj=1, vel=[0.0, 0.0, 0.0])
+    drain(30, until="object_vel")
+    x_stop = obj_x()
+    drain(0.6)
+    ok = x >= x0 + 0.4 and obj_x() == x_stop
+    print(f"fling: flew {x - x0:.2f} m, caught at x={x_stop:.2f}, "
+          f"ok: {ok}")
+    c.send_json(cmd="quit")
+    try:
+        c.close()
+    except OSError:
+        pass
+    proc.wait(timeout=30)
+    return ok
 
 
 if __name__ == "__main__":
