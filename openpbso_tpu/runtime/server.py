@@ -826,7 +826,8 @@ class BroadcastAudioServer(AudioServer):
                  qnorm_every: int = 0, client_queue_depth: int = 8,
                  pace_lead: float | None = 0.3, max_restarts: int = 3,
                  positions=None, per_client_listeners: int = 0,
-                 scene=None, post_mix_factory=None):
+                 scene=None, post_mix_factory=None,
+                 motion_rate_hz: float = 4.0):
         """``max_restarts``: consecutive engine-rebuild attempts after a
         synthesis failure before the server gives up (a successful rebuild
         resets the count) — elastic recovery the reference lacks entirely
@@ -853,7 +854,8 @@ class BroadcastAudioServer(AudioServer):
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
                          qnorm_every=qnorm_every, positions=positions,
-                         scene=scene, post_mix_factory=post_mix_factory)
+                         scene=scene, post_mix_factory=post_mix_factory,
+                         motion_rate_hz=motion_rate_hz)
         self._client_depth = client_queue_depth
         self._fanout = _FanoutSink(pace_lead=pace_lead)
         if isinstance(per_client_listeners, (tuple, list)):

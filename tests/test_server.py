@@ -1181,3 +1181,74 @@ def test_object_vel_doppler_audio_clock(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_object_vel_survives_client_churn_broadcast(tmp_path):
+    """Broadcast serving: object velocity is WORLD state — the persistent
+    _MotionTicker keeps integrating after the client that set it
+    disconnects (no clients at all), a later client can catch the
+    object, and only close() tears the ticker down."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=33)
+    model = load_model(resolve_model_dir(str(root), "m"))
+    scenes = []
+
+    def make_session():
+        sc = Scene([SceneInstance(model, np.zeros(3))],
+                   block_size=BLOCK, backend="blocked", dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.5, 0.2, 0.1]))
+        sc.session.step()
+        scenes.append(sc)
+        return sc.session
+
+    srv = BroadcastAudioServer(make_session, model=[model],
+                               positions=[[0.0, 0.0, 0.0]],
+                               pace_lead=0.05, motion_rate_hz=25.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        t0 = time.time()
+        while not scenes and time.time() - t0 < 60:
+            time.sleep(0.05)   # broadcast builds its engine on serve start
+        srv._scene = scenes[-1]   # serve.py wires this for --scene runs
+        a = AudioClient(*srv.address)
+        a.send(cmd="object_vel", obj=0, vel=[1.0, 0.0, 0.0])
+        t0 = time.time()
+        while srv._scene.object_position(0)[0] < 0.1 \
+                and time.time() - t0 < 20:
+            a.read_block()
+        assert srv._scene.object_position(0)[0] >= 0.1
+        a.send(cmd="quit")
+        a.close()
+
+        # no clients connected: the world keeps moving
+        x1 = srv._scene.object_position(0)[0]
+        t0 = time.time()
+        while srv._scene.object_position(0)[0] < x1 + 0.2 \
+                and time.time() - t0 < 20:
+            time.sleep(0.05)
+        assert srv._scene.object_position(0)[0] >= x1 + 0.2
+        assert srv._motion is not None and srv._motion.is_alive()
+
+        # a later client catches the object
+        b = AudioClient(*srv.address)
+        b.send(cmd="object_vel", obj=0, vel=[0.0, 0.0, 0.0])
+        t0 = time.time()
+        while not any("object_vel" in m for m in b.messages) \
+                and time.time() - t0 < 20:
+            b.read_block()
+        x_stop = srv._scene.object_position(0)[0]
+        time.sleep(0.4)
+        assert srv._scene.object_position(0)[0] == x_stop
+        b.send(cmd="quit")
+        b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
+    assert srv._motion is None or not srv._motion.is_alive()
