@@ -60,7 +60,8 @@ def parse_args(argv=None):
                    help="apply LIVE physical Doppler to the stream (a "
                         "per-object fractional delay-line fed by listener "
                         "moves, ops/doppler.py; rides the span dispatch). "
-                        "Incompatible with --per-client-listeners.")
+                        "Composes with a STATIC --per-client-listeners L "
+                        "(one delay line per object-listener pair).")
     p.add_argument("--per-client-listeners", default="0", metavar="L",
                    help="with --multi-client: give each of up to L "
                         "concurrent clients its OWN listener (shared-state "
@@ -83,10 +84,14 @@ def parse_args(argv=None):
                              "(dynamic buckets rebuild the session, which "
                              "scene serving does not plumb)")
         args.num_listeners = (min(pcl) if isinstance(pcl, tuple) else pcl)
-        if args.live_doppler:
-            raise SystemExit("--live-doppler needs the per-object sound "
-                             "path (stereo mixdown); it cannot combine "
-                             "with --per-client-listeners")
+        if args.live_doppler and isinstance(pcl, tuple):
+            # static L composes (per-(object, listener) delay lines,
+            # ops/doppler.py::_doppler_mix_multi); dynamic buckets would
+            # rebuild the post-mix at a NEW L mid-stream, which the
+            # factory cannot see — keep that combination out
+            raise SystemExit("--live-doppler needs a STATIC "
+                             "--per-client-listeners count (dynamic "
+                             "buckets rebuild at a new L)")
     if args.platform:
         import jax
         try:
@@ -231,15 +236,23 @@ def build_server(args):
         from ..ops.doppler import DopplerPostMix
         n_rows = (len(positions) if positions is not None
                   else args.instances)
+        nl = int(getattr(args, "num_listeners", 0) or 1)
 
         def post_mix_factory():
             # read the LIVE per-row positions at build time: an elastic
             # engine restart mid-motion must come back with the moved
             # world, not the startup layout (the _MotionTicker re-pushes
-            # velocities into the fresh post-mix on its next tick)
-            if positions is not None:
-                return DopplerPostMix(np.asarray(positions, np.float64))
-            return DopplerPostMix(np.zeros((n_rows, 3)))
+            # velocities into the fresh post-mix on its next tick).
+            # Scene runs keep the session's per-object gains (instance
+            # gain/pan columns) since the post-mix REPLACES the session
+            # mixdown; per-client runs (nl > 1) get one delay line per
+            # (object, listener) and a [N, L] per-client mix.
+            pos = (np.asarray(positions, np.float64)
+                   if positions is not None else np.zeros((n_rows, 3)))
+            gains = None
+            if scene_state is not None:
+                gains = np.asarray(scene_state["scene"].session.gains)
+            return DopplerPostMix(pos, num_listeners=nl, gains=gains)
 
         extra["post_mix_factory"] = post_mix_factory
     srv = cls(make, model=model, host=args.host, port=args.port,

@@ -81,6 +81,33 @@ def delay_indices(dist, c: float = SOUND_SPEED,
 
 
 @jax.jit
+def _doppler_mix_multi(hist, sound, d0, d1, gains):
+    """Per-listener live delay lines (per-client serving + live Doppler).
+
+    ``hist`` [O, L, H], ``sound`` [O, L, N] — the chunked span's
+    multi-listener layout (ops/span.py::_integrate_span_chunked: listener
+    axis INSIDE, what the MXU produces contiguously). Listener l's
+    channel gathers each object's signal AS HEARD BY l (the sound row
+    already carries l's transfer amplitude) at l's own retarded time;
+    delays ramp d0 -> d1 per (object, listener). Returns
+    (mix [N, L] — one mono column per listener, the per-client layout —
+    and the new hist)."""
+    o, l, n = sound.shape
+    h = hist.shape[-1]
+    buf = jnp.concatenate([hist, sound], axis=-1)        # [O, L, H+N]
+    t = jnp.arange(n, dtype=sound.dtype)
+    d = d0[..., None] + (d1 - d0)[..., None] * ((t + 1.0) / n)
+    idx = h + t[None, None, :] - d                       # [O, L, N]
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = (idx - i0.astype(idx.dtype)).astype(sound.dtype)
+    take = lambda i: jnp.take_along_axis(  # noqa: E731
+        buf, jnp.clip(i, 0, h + n - 1), axis=-1)
+    y = take(i0) * (1.0 - frac) + take(i0 + 1) * frac
+    mix = jnp.einsum("oln,ol->nl", y, gains, precision=PRECISION)
+    return (mix / OUTPUT_SCALE).astype(jnp.float32), buf[..., -h:]
+
+
+@jax.jit
 def _doppler_mix(hist, sound, d0, d1, gains):
     """One dispatch of the LIVE fractional delay-line (DopplerPostMix).
 
@@ -128,15 +155,26 @@ class DopplerPostMix:
 
     def __init__(self, positions: np.ndarray, *, gains=None,
                  c: float = SOUND_SPEED, max_distance: float = 20.0,
-                 sample_rate: int = SAMPLE_RATE, dtype=jnp.float32):
+                 sample_rate: int = SAMPLE_RATE, dtype=jnp.float32,
+                 num_listeners: int = 1):
         """``positions``: [O, 3] object centers (world frame);
-        ``max_distance`` bounds the delay line (meters)."""
+        ``max_distance`` bounds the delay line (meters).
+
+        ``num_listeners`` = L > 1 is the per-client-listener serving
+        mode: the span feeds per-listener sound [O, L, N] and each
+        (object, listener) pair gets its OWN delay line — listener
+        events carry [L, 3] world rows (the server's merged latest-wins
+        per-client moves), the mix is [N, L] per-client columns, and
+        ``gains`` is [O, L]."""
         self.positions = np.asarray(positions, np.float64)
         o = self.positions.shape[0]
+        ll = int(num_listeners)
+        self._nl = ll
         self._sr = float(sample_rate)
         self._scale = sample_rate / float(c)
         h = int(np.ceil(max_distance * self._scale)) + 2
-        self._hist = jnp.zeros((o, h), dtype)
+        self._hist = (jnp.zeros((o, h), dtype) if ll == 1
+                      else jnp.zeros((o, ll, h), dtype))
         self._h_max = float(h - 2)
         # per-object world velocities (object_vel events): integrated on
         # the AUDIO clock, one position step per dispatch, so a constant
@@ -145,16 +183,29 @@ class DopplerPostMix:
         # wall-clock jitter in the synth thread. Written from the network
         # thread, read on the synth thread (latest-wins, like positions).
         self.velocities = np.zeros((o, 3))
-        self.gains = (jnp.ones((o, 2), dtype) if gains is None
-                      else jnp.asarray(gains, dtype))
-        self._d_cur = np.zeros(o)
-        self._d_tgt = np.zeros(o)
-        self.on_listener(np.zeros(3))
+        if gains is not None:
+            self.gains = jnp.asarray(gains, dtype)
+        else:
+            self.gains = (jnp.ones((o, 2), dtype) if ll == 1
+                          else jnp.ones((o, ll), dtype))
+        self._d_cur = np.zeros(o if ll == 1 else (o, ll))
+        self._d_tgt = np.zeros_like(self._d_cur)
+        self.on_listener(np.zeros(3) if ll == 1 else np.zeros((ll, 3)))
         self._d_cur = self._d_tgt.copy()   # start settled (no initial chirp)
 
     def on_listener(self, pos: np.ndarray) -> None:
-        self._last_listener = np.asarray(pos, np.float64)
-        r = np.linalg.norm(self.positions - self._last_listener, axis=-1)
+        """One world listener [3], or — per-client mode — the merged
+        [L, 3] per-client rows (a [3] event moves ALL listeners there)."""
+        pos = np.asarray(pos, np.float64)
+        if self._nl > 1 and pos.ndim == 1:
+            pos = np.broadcast_to(pos, (self._nl, 3))
+        self._last_listener = pos.copy()
+        if self._nl > 1:
+            # [O, L] per-(object, listener) propagation delays
+            r = np.linalg.norm(self.positions[:, None, :]
+                               - pos[None, :, :], axis=-1)
+        else:
+            r = np.linalg.norm(self.positions - pos, axis=-1)
         self._d_tgt = np.minimum(r * self._scale, self._h_max)
 
     def set_velocity(self, obj: int, vel: np.ndarray) -> None:
@@ -187,12 +238,27 @@ class DopplerPostMix:
             self.on_listener(self._last_listener)
         d0 = jnp.asarray(self._d_cur, sound.dtype)
         d1 = jnp.asarray(self._d_tgt, sound.dtype)
-        mix, self._hist = _doppler_mix(self._hist, sound, d0, d1,
-                                       self.gains)
+        if self._nl > 1:
+            if sound.ndim != 3:
+                raise ValueError(
+                    f"per-client Doppler needs multi-listener per-object "
+                    f"sound ([O, L, N] span / [L, O, S] block), got "
+                    f"{sound.shape}")
+            mix, self._hist = _doppler_mix_multi(self._hist, sound, d0, d1,
+                                                 self.gains)
+        else:
+            mix, self._hist = _doppler_mix(self._hist, sound, d0, d1,
+                                           self.gains)
         self._d_cur = self._d_tgt.copy()
         return mix
 
     def __call__(self, sound, mix):
+        # per-BLOCK entry: the multi-listener block step emits [L, O, S]
+        # (listener axis OUTSIDE — solver.step_block* vmap layout), vs the
+        # span's [O, L, N]; normalize to the span layout the delay lines
+        # carry
+        if self._nl > 1 and sound.ndim == 3:
+            sound = jnp.swapaxes(sound, 0, 1)
         return self._run(sound)
 
     def process_span(self, sound):

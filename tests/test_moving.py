@@ -455,3 +455,65 @@ def test_doppler_postmix_object_velocity():
     frozen = pm.positions.copy()
     pm.process_span(jnp.asarray(tone[:, :n]))
     np.testing.assert_array_equal(pm.positions, frozen)
+
+
+def test_doppler_postmix_per_listener_parity():
+    """Per-client live Doppler (num_listeners=L): each (object, listener)
+    pair gets its own delay line over the span's [O, L, N] sound; column
+    l must equal a single-listener post-mix run on listener l's rows.
+    Velocity integration (object_vel) retargets every listener's delay."""
+    import jax.numpy as jnp
+
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+
+    rng = np.random.default_rng(7)
+    o, ll, s, nb = 2, 2, 128, 6
+    n = nb * s
+    positions = np.asarray([[2.0, 0.0, 0.0], [0.0, 3.0, 0.0]])
+    rows = np.asarray([[0.5, 0.0, 0.0], [-1.0, 0.5, 0.0]])   # [L, 3]
+    gains = rng.uniform(0.5, 1.5, (o, ll))
+    sound = rng.standard_normal((o, ll, n)).astype(np.float32)
+
+    multi = DopplerPostMix(positions, num_listeners=ll, gains=gains,
+                           max_distance=10.0)
+    multi.on_listener(rows)
+    got = np.concatenate(
+        [np.asarray(multi.process_span(jnp.asarray(sound[..., :3*s]))),
+         np.asarray(multi.process_span(jnp.asarray(sound[..., 3*s:])))],
+        axis=0)                                               # [N, L]
+    assert got.shape == (n, ll)
+
+    for l in range(ll):
+        single = DopplerPostMix(positions, gains=gains[:, l:l+1],
+                                max_distance=10.0)
+        single.on_listener(rows[l])
+        ref = np.concatenate(
+            [np.asarray(single.process_span(jnp.asarray(sound[:, l, :3*s]))),
+             np.asarray(single.process_span(jnp.asarray(sound[:, l, 3*s:])))],
+            axis=0)[:, 0]
+        np.testing.assert_allclose(got[:, l], ref, atol=1e-6)
+        np.testing.assert_allclose(multi._d_tgt[:, l], single._d_tgt,
+                                   atol=1e-12)
+
+    # per-BLOCK entry parity: the block step emits [L, O, S] (listener
+    # axis outside); __call__ normalizes it to the span layout, so
+    # chained blocks equal the spans bit-for-bit-ish (same delay lines)
+    pm_b = DopplerPostMix(positions, num_listeners=ll, gains=gains,
+                          max_distance=10.0)
+    pm_b.on_listener(rows)
+    got_b = np.concatenate(
+        [np.asarray(pm_b(jnp.asarray(
+            np.swapaxes(sound[..., i*s:(i+1)*s], 0, 1)), None))
+         for i in range(nb)], axis=0)
+    np.testing.assert_allclose(got_b, got, atol=1e-6)
+
+    # a [3] listener event moves ALL rows there; velocities retarget
+    # per-listener delays on the audio clock
+    multi.on_listener(np.zeros(3))
+    assert multi._d_tgt.shape == (o, ll)
+    np.testing.assert_allclose(multi._d_tgt[:, 0], multi._d_tgt[:, 1])
+    multi.set_velocity(0, [10.0, 0.0, 0.0])
+    d_before = multi._d_tgt.copy()
+    multi.process_span(jnp.asarray(sound[..., :3*s]))
+    assert (multi._d_tgt[0] > d_before[0]).all()     # receding: delay grew
+    np.testing.assert_array_equal(multi._d_tgt[1], d_before[1])

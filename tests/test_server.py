@@ -1252,3 +1252,70 @@ def test_object_vel_survives_client_churn_broadcast(tmp_path):
         srv.close()
         t.join(timeout=10)
     assert srv._motion is None or not srv._motion.is_alive()
+
+
+def test_per_client_listeners_live_doppler():
+    """--per-client-listeners composes with --live-doppler (closing the
+    last documented serving-matrix exclusion): per-(object, listener)
+    delay lines over the span's [O, L, N] sound. Each client's column
+    carries its own transfer amplitude (near client hears more) AND its
+    own propagation delay (the post-mix's per-listener delay targets
+    match each client's distance)."""
+    from openpbso_tpu.apps import serve
+    from openpbso_tpu.config import SAMPLE_RATE, SOUND_SPEED
+
+    args = serve.parse_args(["--demo-synth", "--multi-client",
+                             "--per-client-listeners", "2",
+                             "--live-doppler", "--platform", "cpu",
+                             "--port", "0", "--block", str(BLOCK)])
+    srv = serve.build_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = AudioClient(*srv.address)
+        b = AudioClient(*srv.address)
+        for c in (a, b):
+            t0 = time.time()
+            while not c.messages and time.time() - t0 < 60:
+                c.read_block()
+        slot_a = a.messages[0]["listener_slot"]
+        slot_b = b.messages[0]["listener_slot"]
+        assert {slot_a, slot_b} == {0, 1}
+        pm = srv._engine._post_mix
+        assert pm is not None and pm._nl == 2
+
+        a.send(cmd="listener", pos=[0.45, 0.0, 0.0])       # near
+        b.send(cmd="listener", pos=[2.5, 0.0, 0.0])        # far
+        # per-listener delay targets converge to each client's distance
+        want_a = 0.45 / SOUND_SPEED * SAMPLE_RATE
+        want_b = 2.5 / SOUND_SPEED * SAMPLE_RATE
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            d = pm._d_tgt[0]
+            if abs(d[slot_a] - want_a) < 2 and abs(d[slot_b] - want_b) < 2:
+                break
+            a.read_block()
+            b.read_block()
+        d = pm._d_tgt[0]
+        assert abs(d[slot_a] - want_a) < 2.0, d
+        assert abs(d[slot_b] - want_b) < 2.0, d
+
+        # near client's column carries more energy through the delay lines
+        a.send(cmd="hit", obj=0, vertex=3, kind="gaussian", width_us=2000.0)
+        ea = eb = 0.0
+        deadline = time.time() + 30
+        while time.time() < deadline and (ea == 0 or eb == 0):
+            ea += float((a.read_block() ** 2).sum())
+            eb += float((b.read_block() ** 2).sum())
+        for _ in range(30):
+            ea += float((a.read_block() ** 2).sum())
+            eb += float((b.read_block() ** 2).sum())
+        assert ea > 0 and eb > 0
+        assert ea > 2.0 * eb, (ea, eb)
+        a.send(cmd="quit")
+        b.send(cmd="quit")
+        a.close()
+        b.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
