@@ -79,10 +79,6 @@ def parse_args(argv=None):
         if not args.multi_client:
             raise SystemExit("--per-client-listeners needs --multi-client")
         pcl = args.per_client_listeners
-        if args.scene and isinstance(pcl, tuple):
-            raise SystemExit("--scene supports a STATIC listener count "
-                             "(dynamic buckets rebuild the session, which "
-                             "scene serving does not plumb)")
         args.num_listeners = (min(pcl) if isinstance(pcl, tuple) else pcl)
         if args.live_doppler and isinstance(pcl, tuple):
             # static L composes (per-(object, listener) delay lines,
@@ -171,8 +167,15 @@ def build_server(args):
         # with its session)
         scene_state = {"srv": None, "scene": first}
 
-        def make():
-            if sessions:
+        def make(num_listeners=None):
+            # dynamic per-client-listener buckets rebuild the scene with
+            # a bigger L (the broadcast grow passes num_listeners); the
+            # oscillator/force state transplant across the swap happens
+            # at the session level in _grow_listener_slots
+            if num_listeners is not None:
+                args.num_listeners = num_listeners
+            if sessions and (num_listeners is None or
+                             sessions[-1].num_listeners == num_listeners):
                 return sessions.pop()
             sc = build_scene()
             sc.positions[:] = np.asarray(positions, np.float64)

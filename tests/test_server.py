@@ -1319,3 +1319,77 @@ def test_per_client_listeners_live_doppler():
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_scene_dynamic_listener_buckets(tmp_path):
+    """--scene composes with DYNAMIC --per-client-listeners buckets
+    (previously a documented exclusion): a third client grows the scene
+    session to the next bucket mid-stream; the rebuilt scene carries the
+    LIVE world (a pre-grow object_pos move), existing clients keep their
+    slots and streams."""
+    import json as _json
+
+    from openpbso_tpu.apps import serve
+    from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=8, subdivisions=1,
+                    ffat_n=8, seed=34)
+    meta = tmp_path / "m.meta"
+    write_meta(str(meta), resolve_model_dir(str(root), "m"))
+    sj = tmp_path / "scene.json"
+    sj.write_text(_json.dumps({"instances": [
+        {"meta": str(meta), "position": [0.0, 0.0, 0.0]},
+        {"meta": str(meta), "position": [1.0, 0.0, 0.0]},
+    ]}))
+    args = serve.parse_args(["--scene", str(sj), "--multi-client",
+                             "--per-client-listeners", "2,4",
+                             "--platform", "cpu", "--port", "0",
+                             "--block", str(BLOCK)])
+    srv = serve.build_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def hello_slot(c, deadline_s=60.0):
+            t0 = time.time()
+            while not c.messages and time.time() - t0 < deadline_s:
+                c.read_block()
+            assert c.messages, "no slot announcement"
+            return c.messages[0].get("listener_slot")
+
+        a = AudioClient(*srv.address)
+        b = AudioClient(*srv.address)
+        assert {hello_slot(a), hello_slot(b)} == {0, 1}
+        assert srv._pcl == 2
+        first_scene = srv._scene
+        # move an object BEFORE the grow; the rebuilt scene must carry it
+        a.messages.clear()
+        a.send(cmd="object_pos", obj=1, pos=[3.0, 0.0, 0.0])
+        t0 = time.time()
+        while not any("object_pos" in m for m in a.messages) \
+                and time.time() - t0 < 30:
+            a.read_block()
+        # third client triggers the grow to bucket 4
+        c = AudioClient(*srv.address, timeout=120)
+        slot_c = hello_slot(c, deadline_s=90.0)
+        assert slot_c == 2, slot_c
+        assert srv._pcl == 4
+        assert srv._scene is not first_scene
+        assert srv._scene.session.num_listeners == 4
+        np.testing.assert_allclose(srv._scene.object_position(1),
+                                   [3.0, 0.0, 0.0])
+        # everyone still streams on the grown scene
+        c.send(cmd="hit", obj=1, vertex=3, kind="gaussian", width_us=2000.0)
+        for cl in (a, b, c):
+            peak = 0.0
+            deadline = time.time() + 30
+            while peak == 0.0 and time.time() < deadline:
+                peak = float(np.abs(cl.read_block()).max())
+            assert peak > 0.0, "client lost its stream across the grow"
+        for cl in (a, b, c):
+            cl.send(cmd="quit")
+            cl.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
