@@ -184,7 +184,17 @@ def build_server(args):
             if lw is None:
                 lw = np.asarray(
                     [float(v) for v in args.listener.split(",")])
-            sc.set_listener(lw)   # relative rows from the LIVE positions
+            lw = np.asarray(lw, np.float64)
+            if lw.ndim == 2 and lw.shape[0] == sc.session.num_listeners:
+                # per-client rows survive the rebuild (same bucket)
+                sc.session.set_listener(lw)
+            elif lw.ndim == 2:
+                # bucket size changed across the rebuild: keep row 0's
+                # world position for everyone; the broadcast server
+                # re-pushes its merged [L, 3] rows right after
+                sc.set_listener(lw[0])
+            else:
+                sc.set_listener(lw)  # relative rows from LIVE positions
             scene_state["scene"] = sc
             if scene_state["srv"] is not None:
                 scene_state["srv"]._scene = sc
@@ -253,9 +263,18 @@ def build_server(args):
             pos = (np.asarray(positions, np.float64)
                    if positions is not None else np.zeros((n_rows, 3)))
             gains = None
+            nl_now = nl
             if scene_state is not None:
-                gains = np.asarray(scene_state["scene"].session.gains)
-            return DopplerPostMix(pos, num_listeners=nl, gains=gains)
+                sess = scene_state["scene"].session
+                # the SESSION's listener count is authoritative: a scene
+                # JSON with binaural/listener_offsets makes an L>1
+                # shared-state session even without --per-client-listeners,
+                # and the span feeds [O, L, N] — a single-listener post-mix
+                # would rank-mismatch at the first dispatch. L>1 here gives
+                # each (object, listener/ear) pair its own delay line.
+                nl_now = sess.num_listeners
+                gains = np.asarray(sess.gains)
+            return DopplerPostMix(pos, num_listeners=nl_now, gains=gains)
 
         extra["post_mix_factory"] = post_mix_factory
     srv = cls(make, model=model, host=args.host, port=args.port,

@@ -199,9 +199,16 @@ class Scene:
         passes through unchanged (already-relative rows)."""
         pos = np.asarray(pos, np.float64)
         if pos.ndim == 1:
+            # record the freshest WORLD listener here too: wire listener
+            # moves reach the scene only through this frame (on the synth
+            # thread), and object moves recompute rows from the remembered
+            # value — without this, an object_pos after a streamed
+            # listener move would snap the listener back to startup
+            self._last_world_listener = pos.copy()
             return self._relative_rows(pos)
         if (pos.ndim == 2 and self.shared_state
                 and pos.shape == (self.num_listeners, 3)):
+            self._last_world_listener = pos.copy()
             return pos[:, None, :] - self.positions[None, :, :]
         return pos
 
@@ -315,8 +322,14 @@ class Scene:
         updates for live object Doppler.
         """
         self.set_object_position(index, world_pos)
-        if getattr(self, "_last_world_listener", None) is not None:
-            self.set_listener(self._last_world_listener)
+        lw = getattr(self, "_last_world_listener", None)
+        if lw is not None:
+            if np.asarray(lw).ndim == 2:
+                # per-client serving recorded [L, 3] world rows; reapply
+                # through the frame (Scene.set_listener is single-head)
+                self.session.set_listener(lw)
+            else:
+                self.set_listener(lw)
 
     def step(self):
         return self.session.step()

@@ -1030,6 +1030,13 @@ class BroadcastAudioServer(AudioServer):
         dropped across the swap."""
         from .checkpoint import swap_model
         with self._engine_lock:
+            # re-check under the lock: a concurrent connect may have just
+            # grown the bucket (freeing slots) while we waited — without
+            # this, the loser of the race would either double-grow
+            # (a second minutes-long hot-swap) or deny a now-free slot
+            with self._slot_lock:
+                if self._slots_free:
+                    return self._slots_free.pop(0)
             nxt = [b for b in self._pcl_buckets if b > self._pcl]
             engine = self._engine
             if not nxt or engine is None:

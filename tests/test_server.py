@@ -89,19 +89,18 @@ def test_stream_hit_and_audio(server):
         if peak > 0:
             break
     assert peak > 0.0
-    # stats round trip
+    # stats round trip (deadline-based: under cold-cache host load the
+    # reply can lag more than a fixed block count)
     c.send(cmd="stats")
-    for _ in range(50):
+    deadline = time.time() + 20
+    while not c.messages and time.time() < deadline:
         c.read_block()
-        if c.messages:
-            break
     assert c.messages and "health" in c.messages[0]
     # malformed command -> error reply, stream stays alive
     c._conn.sendall(b"this is not json\n")
-    for _ in range(50):
+    deadline = time.time() + 20
+    while len(c.messages) < 2 and time.time() < deadline:
         c.read_block()
-        if len(c.messages) >= 2:
-            break
     assert "error" in c.messages[-1]
     c.send(cmd="quit")
     c.close()
@@ -1393,3 +1392,154 @@ def test_scene_dynamic_listener_buckets(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_object_pos_keeps_streamed_listener(tmp_path):
+    """A wire listener move must survive a later object_pos: the scene
+    frame records the freshest WORLD listener on the synth thread, so the
+    object-move transfer refresh recomputes from the MOVED listener — not
+    the startup one (regression: _apply_object_pos used to re-push the
+    launch position, snapping every streamed listener back)."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=31)
+    model = load_model(resolve_model_dir(str(root), "m"))
+    scenes = []
+
+    def make_session():
+        sc = Scene([SceneInstance(model, np.zeros(3))],
+                   block_size=BLOCK, backend="blocked", dtype=jnp.float32)
+        sc.set_listener(np.asarray([0.8, 0.2, 0.1]))
+        sc.session.step()
+        scenes.append(sc)
+        return sc.session
+
+    srv = AudioServer(make_session, model=[model],
+                      positions=[[0.0, 0.0, 0.0]])
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 30},
+                         daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        srv._scene = scenes[-1]   # serve.py wires this for --scene runs
+        c.send(cmd="listener", pos=[0.0, 2.0, 0.0])
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            c.read_block()
+            lw = getattr(scenes[-1], "_last_world_listener", None)
+            if lw is not None and abs(float(np.ravel(lw)[1]) - 2.0) < 1e-9:
+                break
+        np.testing.assert_allclose(
+            np.ravel(scenes[-1]._last_world_listener), [0.0, 2.0, 0.0])
+        c.messages.clear()
+        c.send(cmd="object_pos", obj=0, pos=[3.0, 0.0, 0.0])
+        deadline = time.time() + 20
+        while not c.messages and time.time() < deadline:
+            c.read_block()
+        # let the queued listener refresh apply on the synth thread
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            c.read_block()
+            rel = scenes[-1].session._last_listener
+            if rel is not None and abs(float(rel[0][0]) + 3.0) < 1e-9:
+                break
+        # refresh used the STREAMED listener relative to the MOVED object
+        np.testing.assert_allclose(
+            np.asarray(scenes[-1].session._last_listener)[0],
+            [-3.0, 2.0, 0.0])
+        np.testing.assert_allclose(
+            np.ravel(scenes[-1]._last_world_listener), [0.0, 2.0, 0.0])
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
+
+
+def test_scene_binaural_live_doppler(tmp_path):
+    """--scene with "binaural": true composes with --live-doppler: the
+    session is shared-state L=2 (two ears), the span feeds [O, 2, N], and
+    the Doppler post-mix must size itself from the SESSION's listener
+    count (regression: it used args.num_listeners -> a rank mismatch at
+    the first dispatch killed synthesis)."""
+    import json as _json
+
+    from openpbso_tpu.apps import serve
+    from openpbso_tpu.io.meta import resolve_model_dir, write_meta
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=8, subdivisions=1,
+                    ffat_n=8, seed=35)
+    meta = tmp_path / "m.meta"
+    write_meta(str(meta), resolve_model_dir(str(root), "m"))
+    sj = tmp_path / "scene.json"
+    sj.write_text(_json.dumps({
+        "binaural": True,
+        "instances": [{"meta": str(meta), "position": [0.0, 0.0, 0.0]}],
+    }))
+    args = serve.parse_args(["--scene", str(sj), "--live-doppler",
+                             "--platform", "cpu", "--port", "0",
+                             "--block", str(BLOCK)])
+    srv = serve.build_server(args)
+    t = threading.Thread(target=srv.serve_one, kwargs={"timeout": 60},
+                         daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        c.send(cmd="hit", obj=0, vertex=3, kind="gaussian",
+               width_us=2000.0)
+        peak, channels = 0.0, 0
+        deadline = time.time() + 40
+        while peak == 0.0 and time.time() < deadline:
+            blk = c.read_block()
+            channels = blk.shape[-1] if blk.ndim == 2 else 1
+            peak = float(np.abs(blk).max())
+        assert peak > 0.0, "binaural live-doppler stream stayed silent"
+        assert channels == 2, channels
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
+
+
+def test_grow_listener_slots_rechecks_free_list():
+    """Two concurrent connects on a full bucket: the loser of the grow
+    race must take a slot the winner's grow just freed instead of
+    double-growing (or denying service). Unit-level: _grow_listener_slots
+    with a non-empty free list returns a slot without touching the
+    engine."""
+    md = synth_mode_data(6, 8, seed=3)
+    sessions = []
+
+    def make_session(num_listeners=2):
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  block_size=BLOCK, dtype=jnp.float32,
+                                  num_objects=1)
+        sess = ModalSession(bank, config=SolverConfig(block_size=BLOCK,
+                                                      backend="blocked"),
+                            num_listeners=num_listeners)
+        sess.step()
+        sessions.append(sess)
+        return sess
+
+    srv = BroadcastAudioServer(make_session, pace_lead=0.05,
+                               per_client_listeners=(2, 4))
+    try:
+        engine = srv._ensure_engine()
+        # simulate the race: the "winner" grew and freed slots while the
+        # loser was waiting on the engine lock -> free list is non-empty
+        assert srv._slots_free == [0, 1]
+        got = srv._grow_listener_slots()
+        assert got in (0, 1)
+        assert srv._pcl == 2, "re-check must not double-grow"
+        assert srv._engine is engine, "engine must not be swapped"
+    finally:
+        srv.close()
