@@ -24,7 +24,6 @@ precedes the render start are silence (the wavefront has not arrived).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -581,8 +581,21 @@ class ModalSession:
         """The span path needs only the lam64 eigenvalues. Sustained AR(2)
         scenes ride it too since round 3: the AR recurrence is LTI, so it
         span-factors exactly like the oscillators did
-        (ops/forces.py::sustained_span)."""
-        return self._lam64 is not None
+        (ops/forces.py::sustained_span) — with one carve-out: a live
+        arparam retune makes the AR table per-object ([O, S+1], and the
+        span's noise Toeplitz [O, S, S] — 256 MB at the north star), a
+        jit variant warmup deliberately never compiles. While a drag is
+        active on a retuned session, dispatch falls back to the WARMED
+        per-block sustained step (real-time at ~2-3 ms/block) instead of
+        stalling a live stream on a minutes-long mid-stream compile; the
+        span resumes when the drag ends or tunings return to uniform."""
+        if self._lam64 is None:
+            return False
+        if self._with_sustained():
+            a = self._ar_host
+            if not (a == a[:1]).all():
+                return False
+        return True
 
     def ar_span_table(self) -> jax.Array:
         """Device AR impulse table [Og, S+1] for sustained_span, rebuilt

@@ -293,3 +293,40 @@ def test_sustained_span_ten_seconds_accuracy(dberr):
         worst = max(worst, dberr(np.asarray(mix_s),
                                  np.concatenate(ref, axis=0)))
     assert worst <= -60.0, f"worst span {worst:.1f} dB"
+
+
+def test_retuned_sustained_falls_back_to_block_dispatch():
+    """A live arparam retune makes the AR table per-object; the span's
+    per-object noise Toeplitz ([O, S, S]) is a jit variant warmup never
+    compiles, so span_eligible must gate it OUT while a drag is active
+    (the warmed per-block sustained step serves the stream) and restore
+    the span when the drag ends or tunings return to uniform."""
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    md = synth_mode_data(10, 8, seed=13)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=3, block_size=S)
+    sess = ModalSession(bank, config=SolverConfig(block_size=S),
+                        num_slots=4, lam64=lam64)
+    rng = np.random.default_rng(5)
+    sess.sustained_start(0, rng.standard_normal(10))
+    assert sess.span_eligible()
+    sess.set_ar_params(1, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    assert not sess.span_eligible(), \
+        "retuned + active drag must not dispatch the un-warmed span variant"
+    # rendering still works on the per-block fallback
+    out = sess.render_multi(2)
+    assert np.isfinite(out).all()
+    # drag ends -> span dispatch resumes (impact/decay spans are unaffected
+    # by AR tunings)
+    sess.sustained_end(0)
+    assert sess.span_eligible()
+    # uniform retune of EVERY object restores the shared table mid-drag
+    for i in range(3):
+        sess.set_ar_params(i, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    sess.sustained_start(2, rng.standard_normal(10))
+    assert sess.span_eligible()
