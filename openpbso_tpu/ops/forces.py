@@ -237,7 +237,10 @@ class SustainedState:
     a: jax.Array          # [O, 2] AR coefficients
     sigma: jax.Array      # [O]
     mu: jax.Array         # [O]
-    key: jax.Array        # [O, 2] uint32 PRNG keys
+    key: jax.Array        # [O, 2] uint32 per-object BASE keys (never
+    #   advanced: each block's noise key is fold_in(key, block index) —
+    #   _noise_for_blocks — so the stream is a pure function of the
+    #   solver clock and replays deterministically)
 
 
 def make_sustained_state(num_objects: int, num_modes: int, seed: int = 0,
@@ -256,33 +259,166 @@ def make_sustained_state(num_objects: int, num_modes: int, seed: int = 0,
     )
 
 
-def ar_impulse_g(a: np.ndarray, block_size: int) -> np.ndarray:
+def ar_impulse_g(a: np.ndarray, length: int) -> np.ndarray:
     """Host float64 impulse response of the AR(2) recurrence: g[d] for
-    d in [0, block_size], with g[0] = 1, g[1] = a1, g[d] = a1 g[d-1] +
+    d in [0, length], with g[0] = 1, g[1] = a1, g[d] = a1 g[d-1] +
     a2 g[d-2].
 
     g is the kernel of the span factorization (sustained_span): the
     AR(2) companion matrix A = [[a1, a2], [1, 0]] satisfies
     A^d e1 = [g[d], g[d-1]], so every power of A used by the span is a
-    pair of g entries. ``a``: [2] or [O, 2]; returns [O, block_size+1]
-    (callers cast to the device dtype).
+    pair of g entries. Tables longer than one block unlock the span's
+    scan-free group propagation (the powers A^(dS) are static gathers of
+    g — see sustained_span); the session sizes them per span length.
+
+    ``a``: [2] or [O, 2]; returns [O, length+1] (callers cast to the
+    device dtype). Evaluated in closed form from the characteristic
+    roots (g[d] = (r1^(d+1) - r2^(d+1))/(r1 - r2)) so quarter-million-
+    sample tables build in microseconds; near-degenerate roots fall back
+    to the literal recurrence.
     """
     a = np.atleast_2d(np.asarray(a, np.float64))
     o = a.shape[0]
-    g = np.zeros((o, block_size + 1))
-    g[:, 0] = 1.0
-    if block_size >= 1:
-        g[:, 1] = a[:, 0]
-    for d in range(2, block_size + 1):
-        g[:, d] = a[:, 0] * g[:, d - 1] + a[:, 1] * g[:, d - 2]
+    d = np.arange(length + 1, dtype=np.float64)
+    half = a[:, :1] / 2.0
+    root = np.sqrt((half * half + a[:, 1:2]).astype(np.complex128))
+    r1, r2 = half + root, half - root
+    sep = np.abs(r1 - r2)
+    scale = np.maximum(np.abs(r1), np.abs(r2)).clip(min=1e-30)
+    ok = (sep > 1e-8 * scale)[:, 0]
+    g = np.zeros((o, length + 1))
+    with np.errstate(over="ignore", invalid="ignore"):
+        if ok.any():
+            g[ok] = ((r1[ok] ** (d + 1) - r2[ok] ** (d + 1))
+                     / (r1[ok] - r2[ok])).real
+    if not ok.all():
+        idx = np.nonzero(~ok)[0]
+        gl = np.zeros((len(idx), length + 1))
+        gl[:, 0] = 1.0
+        if length >= 1:
+            gl[:, 1] = a[idx, 0]
+        for k in range(2, length + 1):
+            gl[:, k] = a[idx, 0] * gl[:, k - 1] + a[idx, 1] * gl[:, k - 2]
+        g[idx] = gl
     return g
+
+
+def _noise_for_blocks(key_data: jax.Array, block_start: jax.Array,
+                      n_blocks: int, block_size: int, dtype):
+    """Per-block AR noise, derived counter-style from the absolute block
+    index: noise for block i of object o = N(0,1)^S drawn from
+    fold_in(key_o, block_start//S + i). No sequential key chain — every
+    block's stream is independent of how the stream was chunked into
+    dispatches, so per-block stepping, any span split, and offline
+    timeline replay all produce bit-identical noise (the reference's
+    std::normal_distribution stream is stateful and NOT reproduced;
+    stochastic force — spectra are compared, not samples, forces.h:112).
+
+    Returns [n_blocks, O, S] (n_blocks == 1 callers squeeze). NOTE the
+    session's int32 clock rebase (runtime/session.py::_rebase_clock)
+    wraps block indices every 2^30 samples (~6.7 h at 44.1 kHz), so the
+    noise stream repeats with that period — statistically irrelevant and
+    inaudible (different AR state, different contact), documented for
+    exactness.
+    """
+    keys = jax.vmap(jax.random.wrap_key_data)(key_data)          # [O]
+    idx0 = (block_start // block_size).astype(jnp.int32)
+    bidx = idx0 + jnp.arange(n_blocks, dtype=jnp.int32)          # [X]
+    nkeys = jax.vmap(
+        lambda i: jax.vmap(lambda k: jax.random.fold_in(k, i))(keys))(bidx)
+    return jax.vmap(jax.vmap(
+        lambda k: jax.random.normal(k, (block_size,), dtype)))(nkeys)
+
+
+def _companion_powers(g: jax.Array, a2: jax.Array, grp: int,
+                      block_size: int):
+    """A^(d*S) for d in [0, grp] from static gathers of the impulse table
+    (A^d = [[g[d], a2 g[d-1]], [g[d-1], a2 g[d-2]]]; d=0 fixed to I).
+
+    ``g``: [Og, >=grp*S] table, ``a2``: [Og]. Returns [Og, grp+1, 2, 2].
+    """
+    s = block_size
+    idxp = np.arange(grp + 1) * s
+    gpad = jnp.concatenate([jnp.zeros_like(g[:, :2]), g], axis=-1)
+    p00 = g[:, idxp]                       # g[dS]
+    p10 = gpad[:, idxp + 1]                # g[dS-1]
+    p01 = a2[:, None] * p10
+    p11 = a2[:, None] * gpad[:, idxp]      # a2 g[dS-2]
+    p00 = p00.at[:, 0].set(1.0)
+    p10 = p10.at[:, 0].set(0.0)
+    p01 = p01.at[:, 0].set(0.0)
+    p11 = p11.at[:, 0].set(1.0)
+    return jnp.stack([jnp.stack([p00, p01], axis=-1),
+                      jnp.stack([p10, p11], axis=-1)], axis=-2)
+
+
+def _companion_states(h0: jax.Array, inj: jax.Array, g: jax.Array,
+                      a2: jax.Array, n_blocks: int, block_size: int):
+    """Propagate h_{b+1} = A^S h_b + inj[b] across n_blocks blocks;
+    returns (h_final [O, 2], hs [X, O, 2] start-of-block states).
+
+    Scan-free up to the group size the g table affords (grp = largest
+    divisor of X with grp*S < len(g)): group-start states ride an
+    X/grp-step scan (1 step = no scan work when the table covers the
+    whole span — the shared-tuning default), and interior states are
+    2x2-batched einsums against the companion-power tables — the modal
+    superchunk trick (ops/span.py::_chunk_start_states) applied to the
+    AR(2) recurrence, where it wins for per-object tunings too because
+    the mixing tables are [*, grp, grp, 2, 2] (KB-MB, not the [O,G,G,M]
+    blowup that reverted the modal hetero superchunk)."""
+    o = h0.shape[0]
+    x = n_blocks
+    s = block_size
+    shared = g.shape[0] == 1
+    gcap = (g.shape[1] - 1) // s
+    grp = 1
+    for cand in range(min(x, gcap), 0, -1):
+        if x % cand == 0:
+            grp = cand
+            break
+    pows = _companion_powers(g, a2, grp, s)        # [Og, grp+1, 2, 2]
+    xg = x // grp
+    ir = inj.reshape(xg, grp, o, 2)
+    # group injection: INJ_q = sum_j A^((grp-1-j)S) inj[qG + j]
+    wf = jnp.flip(pows[:, :grp], axis=1)
+    if shared:
+        inj_g = jnp.einsum("qjob,jrb->qor", ir, wf[0])
+    else:
+        inj_g = jnp.einsum("qjob,ojrb->qor", ir, wf)
+    rot = pows[:, grp]                             # A^(grp*S)
+
+    def gbody(h, iq):
+        if shared:
+            hn = jnp.einsum("ob,rb->or", h, rot[0]) + iq
+        else:
+            hn = jnp.einsum("orb,ob->or", rot, h) + iq
+        return hn, h
+
+    h_f, hq = jax.lax.scan(gbody, h0, inj_g)       # hq [XG, O, 2]
+    # interior: h[qG+j] = A^(jS) H_q + sum_{i<j} A^((j-1-i)S) inj[qG+i]
+    if shared:
+        car = jnp.einsum("qob,jrb->qjor", hq, pows[0, :grp])
+    else:
+        car = jnp.einsum("qob,ojrb->qjor", hq, pows[:, :grp])
+    # powsp[k] = A^((k-1)S) with powsp[0] = 0: the clipped (j-i) gather
+    # is self-masking for i >= j
+    powsp = jnp.concatenate([jnp.zeros_like(pows[:, :1]), pows], axis=1)
+    delta = np.arange(grp)[:, None] - np.arange(grp)[None, :]
+    tmix = jnp.take(powsp, jnp.asarray(delta.clip(0)), axis=1)
+    if shared:
+        mix = jnp.einsum("qiob,jirb->qjor", ir, tmix[0])
+    else:
+        mix = jnp.einsum("qiob,ojirb->qjor", ir, tmix)
+    hs = (car + mix).reshape(x, o, 2)
+    return h_f, hs
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "block_size"))
 def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
-                   block_size: int):
+                   block_size: int, block_start: jax.Array | int = 0):
     """Whole-span AR(2) sustained profiles — the span form of
-    ``sustained_block`` (VERDICT round-2 item 2).
+    ``sustained_block`` (VERDICT round-2 item 2; serial work removed in
+    round 4).
 
     The AR(2) recurrence (forces.h:107-128) is LTI, so it factors exactly
     like the modal oscillators did (ops/span.py): with h_b the companion
@@ -293,28 +429,35 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
         mu~_b[k]   = g[k+1] h_b[0] + a2 g[k] h_b[1]
                      + sigma * sum_{j<=k} g[k-j] n_b[j]
 
-    i.e. ONE scan over blocks (X tiny [O,2] steps, drawing each block's
-    noise with the exact key-split chain of sustained_block — the noise
-    stream is bitwise identical to per-block stepping), then the
-    within-block values as batched matmuls: a [X*O, S] @ [S, 2] injection
-    gather, a [X*O, 2] @ [2, S] homogeneous pair, and one [S, S] g-Toeplitz
-    noise conv. No per-sample serial work anywhere.
+    Every stage is batched: noise keys are counter-derived from the
+    absolute block index (no key-split chain — _noise_for_blocks), the
+    h_b start states come from the scan-free group propagation
+    (_companion_states), the injections are one [X*O, S] @ [S, 2]
+    contraction, the homogeneous part one [X*O, 2] @ [2, S], and the
+    noise conv one [S, S] g-Toeplitz batched matmul. No per-sample
+    serial work anywhere; the only lax.scan shrinks to X/grp steps
+    (1 when the g table covers the span).
 
-    ``g``: [1, S+1] (all objects share one AR tuning — the default) or
-    [O, S+1] per-object tables, from ar_impulse_g on the HOST mirror of
+    ``g``: [1, L+1] (all objects share one AR tuning — the default) or
+    [O, L+1] per-object tables, from ar_impulse_g on the HOST mirror of
     the AR params (ModalSession keeps them in sync; f64 source for the
-    same reason as the lam tables).
+    same reason as the lam tables). L >= S; L >= n_blocks*S makes the
+    propagation fully scan-free.
 
     Returns (new_state, profile [O, N], space [O, M]); inactive objects
-    produce zeros, their ar_hist is carried untouched, and the key chain
-    advances n_blocks splits exactly like n_blocks sustained_block calls.
+    produce zeros and their ar_hist is carried untouched. The noise for
+    block i depends only on (state.key, block index), so any dispatch
+    split — and offline replay — produces the identical stream.
     """
+    assert block_size >= 2, (
+        "sustained_span needs block_size >= 2 (the AR(2) injection rows "
+        "g2/h_rows and companion algebra assume two lags per block)")
     o = state.active.shape[0]
     s, x = block_size, n_blocks
     dtype = state.space.dtype
     shared = g.shape[0] == 1
     g = g.astype(dtype)
-    a2 = (state.a[0, 1] if shared else state.a[:, 1])     # [] or [O]
+    a2 = (state.a[:1, 1] if shared else state.a[:, 1])    # [Og]
     sigma = state.sigma[:, None]                          # [O, 1]
 
     # gp[d+1] = g[d] with gp[0] = g[-1] = 0: every shifted row below is a
@@ -323,55 +466,21 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     # injection rows: inj[0] needs g[S-1-j], inj[1] needs g[S-2-j] (j<S)
     g2 = jnp.stack([jnp.flip(gp[:, 1:s + 1], -1),
                     jnp.flip(gp[:, :s], -1)], axis=-1)    # [Og, S, 2]
-    # A^S in g terms (A^S e1 = [g[S], g[S-1]], A^S e2 = a2 [g[S-1], g[S-2]])
-    if shared:
-        a_s = jnp.stack(
-            [jnp.stack([g[0, s], a2 * g[0, s - 1]]),
-             jnp.stack([g[0, s - 1], a2 * gp[0, s - 1]])])      # [2, 2]
-    else:
-        a_s = jnp.stack(
-            [jnp.stack([g[:, s], a2 * g[:, s - 1]], -1),
-             jnp.stack([g[:, s - 1], a2 * gp[:, s - 1]], -1)], 1)  # [O,2,2]
 
-    # 1) key chain: X sequential splits of the [O, 2] key block (tiny
-    # scan), emitting each block's noise keys — the expensive parts
-    # (threefry draws, injection matmuls) hoist OUT of the scan below,
-    # so the only remaining serial work is elementwise [O, 2] updates
-    def key_body(key, _):
-        keys = jax.vmap(jax.random.wrap_key_data)(key)
-        next_keys, noise_keys = jax.vmap(
-            lambda k: tuple(jax.random.split(k)))(keys)
-        new_key = jax.vmap(jax.random.key_data)(next_keys).astype(jnp.uint32)
-        return new_key, jax.vmap(jax.random.key_data)(noise_keys)
-
-    key_f, noise_key_data = jax.lax.scan(
-        key_body, state.key, None, length=x)      # [X, O, 2] uint32
-
-    # 2) one batched draw (bitwise the per-block stream: same keys, same
-    # per-key shapes) + one batched injection contraction
-    noise = jax.vmap(jax.vmap(
-        lambda kd: jax.random.normal(jax.random.wrap_key_data(kd),
-                                     (s,), dtype)))(noise_key_data)
+    # 1) counter-derived noise, one batched draw: [X, O, S]
+    noise = _noise_for_blocks(state.key, jnp.asarray(block_start), x, s,
+                              dtype)
     if shared:
         inj = sigma[None] * jnp.einsum("xos,st->xot", noise, g2[0])
     else:
         inj = sigma[None] * jnp.einsum("xos,ost->xot", noise, g2)
 
-    # 3) companion-state scan: X tiny [O, 2] multiply-adds
-    def h_body(h, inj_x):
-        if shared:
-            h_next = jnp.matmul(h, a_s.T) + inj_x
-        else:
-            h_next = jnp.einsum("oij,oj->oi", a_s, h) + inj_x
-        return h_next, h
+    # 2) start-of-block companion states, scan-free group propagation
+    h_f, hs = _companion_states(state.ar_hist, inj, g, a2, x, s)
 
-    _h_f, hs = jax.lax.scan(h_body, state.ar_hist, inj)
-    # noise [X, O, S], hs [X, O, 2] (start-of-block companion states)
-
-    # within-block homogeneous part: g[k+1] h0 + a2 g[k] h1
-    h_rows = jnp.stack([g[:, 1:s + 1],
-                        a2[..., None] * g[:, :s]
-                        if not shared else a2 * g[:, :s]], axis=1)  # [Og,2,S]
+    # 3) within-block homogeneous part: g[k+1] h0 + a2 g[k] h1
+    h_rows = jnp.stack([g[:, 1:s + 1], a2[:, None] * g[:, :s]],
+                       axis=1)                            # [Og, 2, S]
     if shared:
         mu_hom = jnp.matmul(hs, h_rows[0])                # [X, O, S]
     else:
@@ -390,31 +499,27 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     profile = (state.mu[:, None] + jnp.moveaxis(mu_tilde, 0, 1)
                .reshape(o, x * s)) * gate[:, None].astype(dtype)
     space = state.space * gate[:, None].astype(dtype)
-    new_hist = jnp.stack([mu_tilde[-1, :, s - 1],
-                          mu_tilde[-1, :, s - 2]], axis=1)
     new_state = dataclasses.replace(
         state,
-        ar_hist=jnp.where(gate[:, None], new_hist, state.ar_hist),
-        key=key_f,
+        ar_hist=jnp.where(gate[:, None], h_f, state.ar_hist),
     )
     return new_state, profile, space
 
 
 @partial(jax.jit, static_argnames=("block_size",))
-def sustained_block(state: SustainedState, block_size: int):
+def sustained_block(state: SustainedState, block_size: int,
+                    block_start: jax.Array | int = 0):
     """Generate one block of AR(2) profiles for every object.
 
     Returns (new_state, time_profile [O, S], space [O, M]); inactive objects
     produce zeros. mu_tilde_k = a1 mu_tilde_{k-1} + a2 mu_tilde_{k-2} +
-    sigma N(0,1); output mu + mu_tilde (forces.h:107-128).
+    sigma N(0,1); output mu + mu_tilde (forces.h:107-128). The noise is
+    counter-derived from ``block_start`` (the solver clock) — see
+    _noise_for_blocks — so per-block stepping is bitwise the span stream.
     """
-    o = state.active.shape[0]
     dtype = state.space.dtype
-    keys = jax.vmap(jax.random.wrap_key_data)(state.key)
-    next_keys, noise_keys = jax.vmap(
-        lambda k: tuple(jax.random.split(k)))(keys)
-    noise = jax.vmap(
-        lambda k: jax.random.normal(k, (block_size,), dtype))(noise_keys)
+    noise = _noise_for_blocks(state.key, jnp.asarray(block_start), 1,
+                              block_size, dtype)[0]       # [O, S]
 
     def body(hist, n_s):
         mu_t = state.a[:, 0] * hist[:, 0] + state.a[:, 1] * hist[:, 1]
@@ -430,6 +535,5 @@ def sustained_block(state: SustainedState, block_size: int):
     new_state = dataclasses.replace(
         state,
         ar_hist=jnp.where(gate[:, None], hist, state.ar_hist),
-        key=jax.vmap(jax.random.key_data)(next_keys).astype(jnp.uint32),
     )
     return new_state, profile, space

@@ -165,7 +165,7 @@ class ShardedSession(ModalSession):
         if with_sustained is None:
             with_sustained = self._with_sustained()
         if not idle:
-            k_eff = (self._slot_bucket(ignore_sustained=with_sustained)
+            k_eff = (self._span_bucket(with_sustained)
                      if num_slots == "auto" else num_slots)
             k = (self.state.slots.num_slots if k_eff is None
                  else int(k_eff))
@@ -188,7 +188,7 @@ class ShardedSession(ModalSession):
         elif with_sustained:
             # sustained AR(2) rides the mesh span too: the channel is
             # entirely per-object, so it shards with no extra collectives
-            ar_g = self.ar_span_table()
+            ar_g = self.ar_span_table(n_blocks)
             fn = self._fn("span", n_blocks=n_blocks, num_slots=k_eff,
                           decay=False, with_sustained=True,
                           ar_g_shared=ar_g.shape[0] == 1)
@@ -219,9 +219,9 @@ class ShardedSession(ModalSession):
             self.state, sound = fn(self.state, self.bank,
                                    self._span_tables_sharded(n_blocks))
         elif with_sustained:
-            k_eff = (self._slot_bucket(ignore_sustained=True)
+            k_eff = (self._span_bucket(True)
                      if num_slots == "auto" else num_slots)
-            ar_g = self.ar_span_table()
+            ar_g = self.ar_span_table(n_blocks)
             fn = self._fn("span_sound", n_blocks=n_blocks,
                           num_slots=k_eff, decay=False,
                           with_sustained=True,

@@ -471,13 +471,20 @@ class AudioServer:
             raise IndexError(f"object {obj} out of range "
                              f"[0, {sess.bank.num_objects})")
         t = np.asarray(sess.state.transfer, np.float64)
+        listener = int(msg.get("listener", 0)) if msg else 0
         if t.ndim == 3:                       # [L, O, M] multi-listener
-            t = t[int(msg.get("listener", 0)) if msg else 0]
+            # explicit bounds check like obj: Python negative indexing
+            # would silently wrap a wire-supplied negative listener to
+            # another client's row
+            if not 0 <= listener < t.shape[0]:
+                raise IndexError(f"listener {listener} out of range "
+                                 f"[0, {t.shape[0]})")
+            t = t[listener]
         row = t[obj]
         if sess.state.transfer_im is not None:
             ti = np.asarray(sess.state.transfer_im, np.float64)
             if ti.ndim == 3:
-                ti = ti[int(msg.get("listener", 0)) if msg else 0]
+                ti = ti[listener]
             row = np.hypot(row, ti[obj])      # complex rows: magnitude
         m = self._model_for(obj) if self._model is not None else None
         n = (int(m.num_modes_audible) if m is not None
@@ -555,10 +562,15 @@ class AudioServer:
                     self._ensure_motion_ticker(engine).set_velocity(i, vel)
                     if not vel.any():
                         # final resync so the stopped position is exact
-                        # (the ticker may have been mid-period)
+                        # (the ticker may have been mid-period). Use the
+                        # post-mix's positions only when IT integrates the
+                        # kinematics (hasattr velocities — the same
+                        # predicate as pm_integrates); a static-position
+                        # post-mix (e.g. HRTF FIR centers) must not
+                        # teleport the scene object back to startup
                         src = (np.asarray(pm.positions[i], np.float64)
                                if pm is not None
-                               and hasattr(pm, "positions")
+                               and hasattr(pm, "velocities")
                                else self._scene.object_position(i))
                         self._apply_object_pos(engine, i, src,
                                                retarget_pm=False)
@@ -827,7 +839,7 @@ class BroadcastAudioServer(AudioServer):
                  pace_lead: float | None = 0.3, max_restarts: int = 3,
                  positions=None, per_client_listeners: int = 0,
                  scene=None, post_mix_factory=None,
-                 motion_rate_hz: float = 4.0):
+                 motion_rate_hz: float = 4.0, listener_init=None):
         """``max_restarts``: consecutive engine-rebuild attempts after a
         synthesis failure before the server gives up (a successful rebuild
         resets the count) — elastic recovery the reference lacks entirely
@@ -850,7 +862,13 @@ class BroadcastAudioServer(AudioServer):
         next bucket (``make_session`` must accept a ``num_listeners``
         keyword). The swap drops the in-flight ring-down like the
         reference's LoadNewModel; existing clients keep their slots,
-        channels, and listener positions. Grow-only (no shrink)."""
+        channels, and listener positions. Grow-only (no shrink).
+
+        ``listener_init``: [3] or [L, 3] startup position(s) for
+        per-client listener rows. Default: the position the built
+        session's own set_listener configured (its host mirror), so a
+        client that never sends a listener command hears from the
+        scene's configured point, not an arbitrary one."""
         super().__init__(make_session, model=model, host=host, port=port,
                          lookahead=lookahead, session_loader=session_loader,
                          qnorm_every=qnorm_every, positions=positions,
@@ -866,7 +884,13 @@ class BroadcastAudioServer(AudioServer):
             self._pcl = int(per_client_listeners)
         self._slot_lock = threading.Lock()
         self._slots_free = list(range(self._pcl))
-        self._listener_pos = (np.tile(np.asarray([[1.0, 0.5, 0.5]]),
+        # placeholder rows until the first session reveals the configured
+        # startup listener (_seed_listener_rows); [1.0, 0.5, 0.5] is only
+        # the last-resort default for sessions that never set a listener
+        self._listener_init = listener_init
+        self._listener_seeded = False
+        self._listener_default_row = np.asarray([1.0, 0.5, 0.5])
+        self._listener_pos = (np.tile(self._listener_default_row[None],
                                       (self._pcl, 1))
                               if self._pcl else None)
         self._engine = None
@@ -938,6 +962,7 @@ class BroadcastAudioServer(AudioServer):
                               if self._post_mix_factory else None))
                 self._engine.start()
                 if self._pcl:
+                    self._seed_listener_rows(session)
                     # (re)apply every slot's listener — an engine rebuild
                     # must restore the clients' views, not reset them
                     with self._slot_lock:
@@ -945,6 +970,32 @@ class BroadcastAudioServer(AudioServer):
                     self._engine.set_listener(pos)
                 self._after_engine_start(self._engine)
             return self._engine
+
+    def _seed_listener_rows(self, session) -> None:
+        """One-time seeding of the per-client listener rows from the
+        configured startup listener: explicit ``listener_init`` if given,
+        else the position the session's own set_listener configured (its
+        host mirror). A client that never sends a listener command then
+        hears from the scene's configured point, not a hard-coded one.
+        Runs before the first engine's row push, so no client can have
+        moved yet; later rebuilds keep the clients' rows untouched."""
+        if self._listener_seeded:
+            return
+        self._listener_seeded = True
+        init = self._listener_init
+        if init is None:
+            init = getattr(session, "_last_listener", None)
+        if init is None:
+            return
+        init = np.asarray(init, np.float64).reshape(-1, 3)
+        if init.shape[0] == 1:
+            init = np.tile(init, (self._pcl, 1))
+        if init.shape[0] < self._pcl:
+            pad = np.tile(init[-1:], (self._pcl - init.shape[0], 1))
+            init = np.concatenate([init, pad])
+        with self._slot_lock:
+            self._listener_default_row = init[-1].copy()
+            self._listener_pos = init[:self._pcl].copy()
 
     def _restart_engine(self) -> bool:
         """Replace a dead engine in place; clients keep their streams.
@@ -1054,7 +1105,7 @@ class BroadcastAudioServer(AudioServer):
                 with self._slot_lock:
                     old = self._pcl
                     self._pcl = new_l
-                    pad = np.tile(np.asarray([[1.0, 0.5, 0.5]]),
+                    pad = np.tile(self._listener_default_row[None],
                                   (new_l - old, 1))
                     self._listener_pos = np.concatenate(
                         [self._listener_pos, pad])
@@ -1113,7 +1164,7 @@ class BroadcastAudioServer(AudioServer):
             new._t0[...] = old._t0
             new._sus_active[...] = old._sus_active
             new._ar_host[...] = old._ar_host
-            new._ar_g = None
+            new._ar_g = {}   # invalidate the cached span AR tables
         except Exception:  # noqa: BLE001 — a failed carry must not block
             pass           # the grow; fresh state is always safe
 

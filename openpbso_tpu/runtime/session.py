@@ -140,9 +140,10 @@ class ModalSession:
         self._sus_active = np.zeros((o,), bool)
         # host mirror of the per-object AR(2) coefficients (default matches
         # make_sustained_state) — source for the sustained-span impulse
-        # table; _ar_g caches the device-cast table until a retune
+        # tables; _ar_g caches the device-cast tables (keyed by length)
+        # until a retune
         self._ar_host = np.tile(np.asarray([[0.783, 0.116]]), (o, 1))
-        self._ar_g = None
+        self._ar_g = {}
         # transfer row before the latest listener move, pending an
         # interpolated block (smooth_transfer)
         self._xfade_from = None
@@ -292,7 +293,7 @@ class ModalSession:
         # keep the host AR mirror in sync: the sustained-span impulse table
         # (ops/forces.py::ar_impulse_g) is host-built from these params
         self._ar_host[obj] = np.asarray(a, np.float64)
-        self._ar_g = None
+        self._ar_g = {}
 
     def set_listener(self, pos: np.ndarray) -> None:
         """Update acoustic transfer for a listener at ``pos``.
@@ -577,6 +578,16 @@ class ModalSession:
                 return b
         return None  # full table (no extra jit variant)
 
+    def _span_bucket(self, with_sustained: bool) -> int | None:
+        """Slot bucket for a span dispatch. While a sustained drag is the
+        only live excitation (every impact slot expired), the bucket is
+        0: the AR channel becomes the span's single slot, so the per-slot
+        span work (Toeplitz convs, injection gathers) matches the 1-slot
+        impact headline instead of doubling it (solver._span_channels)."""
+        if with_sustained and not (self._expiry > self._clock).any():
+            return 0
+        return self._slot_bucket(ignore_sustained=with_sustained)
+
     def span_eligible(self) -> bool:
         """The span path needs only the lam64 eigenvalues. Sustained AR(2)
         scenes ride it too since round 3: the AR recurrence is LTI, so it
@@ -597,18 +608,38 @@ class ModalSession:
                 return False
         return True
 
-    def ar_span_table(self) -> jax.Array:
-        """Device AR impulse table [Og, S+1] for sustained_span, rebuilt
-        from the host AR mirror after a retune; Og=1 while every object
-        keeps the default tuning (the common case — one shared Toeplitz)."""
-        if self._ar_g is None:
-            from ..ops.forces import ar_impulse_g
-            a = self._ar_host
-            if (a == a[:1]).all():
-                a = a[:1]
-            self._ar_g = jnp.asarray(
-                ar_impulse_g(a, self.config.block_size), self._dtype)
-        return self._ar_g
+    # AR-table length policy for sustained_span's scan-free group
+    # propagation (ops/forces.py::_companion_states): the table covers
+    # grp blocks, shrinking the companion scan to n_blocks/grp steps.
+    # Shared tunings cover the whole span (scan-free, tables are [1, L]);
+    # per-object tunings cap at 32 blocks so a retuned 256-object table
+    # stays ~16 MB instead of ~270 MB.
+    AR_GROUP_CAP_SHARED = 512
+    AR_GROUP_CAP_PER_OBJECT = 32
+
+    def ar_span_table(self, n_blocks: int = 1) -> jax.Array:
+        """Device AR impulse table [Og, grp*S+1] for sustained_span,
+        rebuilt from the host AR mirror after a retune; Og=1 while every
+        object keeps one shared tuning (the common case — one shared
+        Toeplitz). ``n_blocks`` sizes the table for the span being
+        dispatched (grp = largest divisor of n_blocks under the cap)."""
+        from ..ops.forces import ar_impulse_g
+        a = self._ar_host
+        shared = bool((a == a[:1]).all())
+        cap = (self.AR_GROUP_CAP_SHARED if shared
+               else self.AR_GROUP_CAP_PER_OBJECT)
+        grp = 1
+        for cand in range(min(n_blocks, cap), 0, -1):
+            if n_blocks % cand == 0:
+                grp = cand
+                break
+        length = grp * self.config.block_size
+        tbl = self._ar_g.get(length)
+        if tbl is None:
+            tbl = jnp.asarray(
+                ar_impulse_g(a[:1] if shared else a, length), self._dtype)
+            self._ar_g[length] = tbl
+        return tbl
 
     # force_span materializes [O, K, N]-shaped intermediates (per-slot
     # profiles, membership, f_k): cap K*N*O so a full 16-slot table on a
@@ -633,7 +664,7 @@ class ModalSession:
             idle = self._idle() and self.config.decay_fast_path
         if with_sustained is None:
             with_sustained = self._with_sustained()
-        k_eff = (self._slot_bucket(ignore_sustained=with_sustained)
+        k_eff = (self._span_bucket(with_sustained)
                  if num_slots == "auto" else num_slots)
         num_slots = k_eff   # computed once; the dispatches below reuse it
         k = (self.state.slots.num_slots if k_eff is None else int(k_eff))
@@ -657,7 +688,8 @@ class ModalSession:
                 self.state, self.bank, tables, self.gains,
                 n_blocks=n_blocks, block_size=self.config.block_size,
                 num_slots=num_slots, with_sustained=with_sustained,
-                ar_g=self.ar_span_table() if with_sustained else None)
+                ar_g=(self.ar_span_table(n_blocks) if with_sustained
+                      else None))
         self._clock += n_blocks * self.config.block_size
         return mix
 
@@ -675,7 +707,7 @@ class ModalSession:
             idle = self._idle() and self.config.decay_fast_path
         if with_sustained is None:
             with_sustained = self._with_sustained()
-        k_eff = (self._slot_bucket(ignore_sustained=with_sustained)
+        k_eff = (self._span_bucket(with_sustained)
                  if num_slots == "auto" else num_slots)
         tables = self.span_tables_for(n_blocks)
         if idle:
@@ -687,7 +719,8 @@ class ModalSession:
                 self.state, self.bank, tables, n_blocks=n_blocks,
                 block_size=self.config.block_size, num_slots=k_eff,
                 with_sustained=with_sustained,
-                ar_g=self.ar_span_table() if with_sustained else None)
+                ar_g=(self.ar_span_table(n_blocks) if with_sustained
+                      else None))
         self._clock += n_blocks * self.config.block_size
         return sound
 
@@ -823,8 +856,10 @@ class ModalSession:
                                              with_sustained=False))
                     if sustained:
                         # a sustained drag rides the span too (round-3);
-                        # its bucket tracks live slots (ignore_sustained)
-                        for b in buckets:
+                        # its bucket tracks live slots, with bucket 0 for
+                        # the steady-drag case (no live impact slot — the
+                        # AR channel is the span's only slot, _span_bucket)
+                        for b in [0] + buckets:
                             np.asarray(span_once(num_slots=b, idle=False,
                                                  with_sustained=True))
                     if self.config.decay_fast_path:

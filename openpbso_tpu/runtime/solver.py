@@ -108,7 +108,8 @@ def _step_block_impl(
     time_imp, space_imp = force_block(slots, state.block_start, block_size)
     if with_sustained:
         sus, time_sus, space_sus = sustained_block(state.sustained,
-                                                   block_size)
+                                                   block_size,
+                                                   state.block_start)
         # sustained mode replaces the impact path for that object
         # (modal_solver.h:195-204: non-sustained forces are not accumulated
         # while a sustained force is active)
@@ -369,17 +370,27 @@ def _span_channels(state, n_blocks, block_size, num_slots, with_sustained,
     channel as ONE extra slot under the reference's replace-semantics
     gating (modal_solver.h:195-204). Shared by step_span,
     step_span_sound, and the SPMD span (parallel/sharding.py).
-    Returns (sustained_state', f_k [O, K(+1), N], space_k)."""
+    Returns (sustained_state', f_k [O, K(+1), N], space_k).
+
+    ``num_slots == 0`` (with sustained) is the steady-drag fast path:
+    the host expiry mirror proved no impact slot can produce, so the
+    sustained channel is the span's ONLY slot — the per-slot span work
+    (Toeplitz convs, injection gathers) matches the 1-slot impact
+    headline instead of doubling it."""
     from ..ops.forces import force_span, sustained_span
     n = n_blocks * block_size
+    sus = state.sustained
+    if with_sustained:
+        sus, prof, space_sus = sustained_span(
+            state.sustained, ar_g, n_blocks, block_size,
+            state.block_start)
+        if num_slots == 0:
+            return sus, prof[:, None, :], space_sus[:, None, :]
     slots = state.slots
     if num_slots is not None and num_slots < slots.num_slots:
         slots = jax.tree.map(lambda x: x[:, :num_slots], slots)
     f_k, space_k = force_span(slots, state.block_start, n, block_size)
-    sus = state.sustained
     if with_sustained:
-        sus, prof, space_sus = sustained_span(
-            state.sustained, ar_g, n_blocks, block_size)
         gate = sus.active[:, None].astype(f_k.dtype)       # [O, 1]
         f_k = jnp.concatenate(
             [f_k * (1 - gate)[..., None], prof[:, None, :]], axis=1)

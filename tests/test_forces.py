@@ -110,8 +110,8 @@ def test_ar_statistics():
                   ar_hist=st.ar_hist, a=st.a, sigma=st.sigma, mu=st.mu,
                   key=st.key)
     chunks = []
-    for _ in range(40):
-        st, prof, spc = sustained_block(st, s)
+    for i in range(40):
+        st, prof, spc = sustained_block(st, s, i * s)
         chunks.append(np.asarray(prof))
     x = np.concatenate(chunks, axis=-1)  # [O, T]
     # inactive object emits exactly zero

@@ -2,9 +2,10 @@
 
 Contract: step_span(with_sustained=True) over N = n_blocks * S samples must
 match running step_block (with_sustained=True) n_blocks times — the noise
-stream is bitwise identical by construction (sustained_span replays the
-exact per-block key-split chain), so the only difference is float rounding
-of the factored AR evaluation and the span integrator (<= -60 dB).
+stream is bitwise identical by construction (each block's noise is counter-
+derived from the absolute block index, ops/forces.py::_noise_for_blocks),
+so the only difference is float rounding of the factored AR evaluation and
+the span integrator (<= -60 dB).
 """
 import dataclasses
 
@@ -170,8 +171,9 @@ def test_sustained_span_profile_statistics():
 
 
 def test_sustained_span_profile_bitwise_noise():
-    """sustained_span replays sustained_block's key-split chain: the
-    profiles agree to float rounding (NOT just statistically)."""
+    """sustained_span draws the same counter-derived per-block noise as
+    sustained_block: the profiles agree to float rounding (NOT just
+    statistically)."""
     o, m, s, x = 3, 4, 64, 5
     st = make_sustained_state(o, m, seed=7, dtype=jnp.float32)
     st = dataclasses.replace(
@@ -180,8 +182,8 @@ def test_sustained_span_profile_bitwise_noise():
     g = jnp.asarray(ar_impulse_g((0.783, 0.116), s), jnp.float32)
     stb = st
     chunks = []
-    for _ in range(x):
-        stb, prof, _ = sustained_block(stb, s)
+    for i in range(x):
+        stb, prof, _ = sustained_block(stb, s, i * s)
         chunks.append(np.asarray(prof))
     ref = np.concatenate(chunks, axis=-1)
     sts, prof_span, _ = sustained_span(st, g, x, s)
@@ -330,3 +332,120 @@ def test_retuned_sustained_falls_back_to_block_dispatch():
         sess.set_ar_params(i, a=(0.9, 0.05), sigma=0.002, mu=0.1)
     sess.sustained_start(2, rng.standard_normal(10))
     assert sess.span_eligible()
+
+
+def test_ar_impulse_g_closed_form_matches_recurrence():
+    """ar_impulse_g evaluates the AR(2) impulse response in closed form
+    from the characteristic roots; the literal recurrence is the truth."""
+    for a in ((0.783, 0.116), (0.9, 0.05), (1.2, -0.36001), (0.5, -0.3)):
+        n = 700
+        g = ar_impulse_g(a, n)[0]
+        ref = np.zeros(n + 1)
+        ref[0] = 1.0
+        ref[1] = a[0]
+        for d in range(2, n + 1):
+            ref[d] = a[0] * ref[d - 1] + a[1] * ref[d - 2]
+        np.testing.assert_allclose(g, ref, rtol=0, atol=1e-10)
+    # exactly-degenerate roots (a1^2/4 + a2 == 0) take the loop fallback
+    g = ar_impulse_g((1.0, -0.25), 50)[0]
+    ref = np.zeros(51)
+    ref[0], ref[1] = 1.0, 1.0
+    for d in range(2, 51):
+        ref[d] = ref[d - 1] - 0.25 * ref[d - 2]
+    np.testing.assert_allclose(g, ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("glen_blocks", [2, 4, 8])
+def test_sustained_span_scanfree_groups_match(glen_blocks, dberr):
+    """A g table covering ``glen_blocks`` blocks switches the companion
+    propagation to the grouped scan-free form (_companion_states); the
+    profile must match the one-block-table (pure scan) evaluation to
+    float rounding, and the per-block sequence to the span contract."""
+    o, m, s, x = 3, 4, 64, 8
+    st = make_sustained_state(o, m, seed=7, dtype=jnp.float32)
+    st = dataclasses.replace(
+        st, active=jnp.asarray([True, True, False]),
+        space=st.space.at[:2].set(1.0))
+    g1 = jnp.asarray(ar_impulse_g((0.783, 0.116), s), jnp.float32)
+    gg = jnp.asarray(ar_impulse_g((0.783, 0.116), glen_blocks * s),
+                     jnp.float32)
+    st1, prof1, _ = sustained_span(st, g1, x, s)
+    st2, prof2, _ = sustained_span(st, gg, x, s)
+    np.testing.assert_allclose(np.asarray(prof2), np.asarray(prof1),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st2.ar_hist),
+                               np.asarray(st1.ar_hist), rtol=0, atol=1e-5)
+
+
+def test_sustained_span_per_object_grouped(dberr):
+    """Per-object tunings with a multi-block g table (the grouped
+    per-object path) match the per-block sequence."""
+    bank, lam64, state = _scene()
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    o = bank.num_objects
+    a_host = np.tile(np.asarray([[0.783, 0.116]]), (o, 1))
+    a_host[2] = (0.9, 0.05)
+    sus = state.sustained
+    state = dataclasses.replace(
+        state, sustained=dataclasses.replace(
+            sus, a=jnp.asarray(a_host, jnp.float32)))
+    ar_g = jnp.asarray(ar_impulse_g(a_host, 2 * S), jnp.float32)
+
+    st = state
+    ref = []
+    for _ in range(6):
+        st, _, mix, _ = step_block(st, bank, gains, block_size=S,
+                                   backend="blocked", with_sustained=True)
+        ref.append(np.asarray(mix))
+    ref = np.concatenate(ref, axis=0)
+    tables = build_span_tables(lam64, 6 * S, num_modes=bank.num_modes)
+    _, mix2 = step_span(state, bank, tables, gains, n_blocks=6,
+                        block_size=S, with_sustained=True, ar_g=ar_g)
+    assert dberr(np.asarray(mix2), ref) <= -60.0
+
+
+def test_sustained_span_zero_bucket_steady_drag(dberr):
+    """num_slots=0 (steady drag: every impact slot expired) makes the
+    sustained channel the span's only slot; output must match the
+    1-slot dispatch bitwise when the sliced slot cannot produce."""
+    bank, lam64, state = _scene()
+    # expire the impact slots: point the planted hits far in the past
+    slots = state.slots
+    state = dataclasses.replace(
+        state, slots=dataclasses.replace(
+            slots, ftype=jnp.zeros_like(slots.ftype)))
+    gains = jnp.ones((bank.num_objects, 2), jnp.float32)
+    ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), 4 * S), jnp.float32)
+    tables = build_span_tables(lam64, 4 * S, num_modes=bank.num_modes)
+    _, mix1 = step_span(state, bank, tables, gains, n_blocks=4,
+                        block_size=S, num_slots=1, with_sustained=True,
+                        ar_g=ar_g)
+    _, mix0 = step_span(state, bank, tables, gains, n_blocks=4,
+                        block_size=S, num_slots=0, with_sustained=True,
+                        ar_g=ar_g)
+    np.testing.assert_array_equal(np.asarray(mix0), np.asarray(mix1))
+
+
+def test_session_steady_drag_uses_zero_bucket():
+    """The session's span bucket drops to 0 while a drag is the only live
+    excitation, and returns to the slot bucket when a hit lands."""
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    md = synth_mode_data(10, 8, seed=13)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=3, block_size=S)
+    sess = ModalSession(bank, config=SolverConfig(block_size=S),
+                        num_slots=4, lam64=lam64)
+    rng = np.random.default_rng(5)
+    sess.sustained_start(0, rng.standard_normal(10))
+    assert sess._span_bucket(True) == 0
+    out = sess.render_multi(4, blocks_per_dispatch=4)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    sess.hit(1, rng.standard_normal(10), kind="gaussian", width_us=500.0)
+    assert sess._span_bucket(True) == 1
+    out = sess.render_multi(4, blocks_per_dispatch=4)
+    assert np.isfinite(out).all()
