@@ -86,9 +86,52 @@ def schedule_events(session, events: list[dict], model=None) -> int:
     return count
 
 
+def _apply_sustained(session, ev: dict) -> None:
+    """Apply one ``sustained`` timeline entry to the session state
+    (the bake-side mirror of the engine's SustainedEvent/ArParamEvent
+    application, runtime/engine.py::_apply_events)."""
+    obj = int(ev.get("obj", 0))
+    action = str(ev["action"])
+    if action == "start":
+        session.sustained_start(obj, np.asarray(ev["space"], np.float64))
+    elif action == "update":
+        session.sustained_update(obj, np.asarray(ev["space"], np.float64))
+    elif action == "end":
+        session.sustained_end(obj)
+    elif action == "arparam":
+        session.set_ar_params(obj, a=tuple(ev["a"]),
+                              sigma=float(ev["sigma"]),
+                              mu=float(ev["mu"]))
+    else:
+        raise ValueError(f"unknown sustained action {action!r}")
+
+
+def _reseed_sustained(session, seed: int) -> None:
+    """Reset the per-object AR noise base keys to ``seed`` so a baked
+    drag reproduces a live recording bit-for-bit (the noise stream is a
+    pure function of these keys and the block index)."""
+    import dataclasses
+
+    from ..ops.forces import make_sustained_state
+    fresh = make_sustained_state(session.bank.num_objects,
+                                 session.bank.num_modes, seed=int(seed),
+                                 dtype=session.state.z_re.dtype)
+    session.state = dataclasses.replace(
+        session.state, sustained=dataclasses.replace(
+            session.state.sustained, key=fresh.key))
+
+
 def bake(session, timeline: dict, model=None,
          blocks_per_dispatch: int = 64) -> np.ndarray:
-    """Render one timeline; returns [N, C] float32."""
+    """Render one timeline; returns [N, C] float32.
+
+    ``sustained`` entries (exported by StreamingEngine.export_timeline,
+    or hand-written) replay AR drags deterministically: the render is
+    split at each entry's block, the state change applies at the
+    boundary, and the drag noise — keyed by (timeline ``seed``, block
+    index) — matches a live session seeded identically, sample for
+    sample. Not combinable with ``doppler`` (the global delay resample
+    cannot be split at event boundaries)."""
     block = session.config.block_size
     n_blocks = int(np.ceil(float(timeline["duration_s"])
                            * SAMPLE_RATE / block))
@@ -96,22 +139,50 @@ def bake(session, timeline: dict, model=None,
     keyframes = timeline.get("listener")
     doppler = bool(timeline.get("doppler", False))
     smooth = bool(timeline.get("smooth", True))
+    sustained = sorted(timeline.get("sustained", []),
+                       key=lambda e: float(e.get("t", 0.0)))
+    if sustained and "seed" in timeline:
+        _reseed_sustained(session, timeline["seed"])
+    if sustained and doppler:
+        raise ValueError("sustained timeline events cannot be combined "
+                         "with doppler (global delay resample)")
+    per_block = None
     if keyframes:
         per_block = listener_blocks(keyframes, n_blocks, block)
         if doppler:
             return session.render_doppler(
                 per_block, blocks_per_dispatch=blocks_per_dispatch,
                 smooth=smooth)
-        if session.ffat is not None and session.use_transfer:
-            return session.render_moving(
-                per_block, blocks_per_dispatch=blocks_per_dispatch,
-                smooth=smooth)
-        # no transfer maps: the listener path only matters for Doppler
-        session.set_listener(per_block[0])
+        if session.ffat is None or not session.use_transfer:
+            # no transfer maps: the listener path only matters for Doppler
+            session.set_listener(per_block[0])
+            per_block = None
     elif doppler:
         raise ValueError("doppler needs a listener path")
-    return session.render_multi(n_blocks,
-                                blocks_per_dispatch=blocks_per_dispatch)
+
+    def render_range(b0: int, b1: int) -> np.ndarray | None:
+        if b1 <= b0:
+            return None
+        if per_block is not None:
+            return session.render_moving(
+                per_block[b0:b1], blocks_per_dispatch=blocks_per_dispatch,
+                smooth=smooth)
+        return session.render_multi(
+            b1 - b0, blocks_per_dispatch=blocks_per_dispatch)
+
+    out, done = [], 0
+    for ev in sustained:
+        b = min(int(round(float(ev.get("t", 0.0)) * SAMPLE_RATE / block)),
+                n_blocks)
+        seg = render_range(done, b)
+        if seg is not None:
+            out.append(seg)
+        done = max(done, b)
+        _apply_sustained(session, ev)
+    seg = render_range(done, n_blocks)
+    if seg is not None:
+        out.append(seg)
+    return np.concatenate(out, axis=0) if len(out) != 1 else out[0]
 
 
 def main(argv=None) -> int:

@@ -252,14 +252,19 @@ class StreamingEngine:
         (hold the previous position until one block before the move, then
         the new position), which np.interp reproduces as the same
         block-quantized step; the pre-stream position anchors t=0.
-        Sustained AR contacts and AR retunes are stochastic per-sample
-        state and are counted in ``skipped_events``. Requires record=True.
+        Sustained AR contacts (start/update/end) and AR retunes export as
+        ``sustained`` entries and replay DETERMINISTICALLY: the drag
+        noise is a pure function of (session seed, block index) —
+        ops/forces.py::_noise_for_blocks — and the exported ``seed``
+        reseeds the baking session identically. Only clear_forces and
+        per-object listener-row stacks remain live-only
+        (``skipped_events``). Requires record=True.
         """
         from ..config import SAMPLE_RATE
         if not self._record:
             raise ValueError("engine was not constructed with record=True")
         block_s = self.session.config.block_size / SAMPLE_RATE
-        events, listener, skipped = [], [], 0
+        events, listener, sustained, skipped = [], [], [], 0
         prev_pos = (self._initial_listener.tolist()
                     if self._initial_listener is not None else None)
         for clock, ev in self.recorded:
@@ -283,8 +288,20 @@ class StreamingEngine:
                                      "pos": prev_pos})
                 listener.append({"t": t, "pos": pos.tolist()})
                 prev_pos = pos.tolist()
+            elif isinstance(ev, SustainedEvent):
+                rec = {"t": t, "obj": ev.obj, "action": ev.action}
+                if ev.space is not None:
+                    rec["space"] = np.asarray(ev.space,
+                                              np.float64).tolist()
+                sustained.append(rec)
+            elif isinstance(ev, ArParamEvent):
+                sustained.append({"t": t, "obj": ev.obj,
+                                  "action": "arparam",
+                                  "a": [float(v) for v in ev.a],
+                                  "sigma": float(ev.sigma),
+                                  "mu": float(ev.mu)})
             else:
-                skipped += 1       # sustained/AR/clear: stateful live-only
+                skipped += 1       # clear_forces: live-only
         if prev_pos is not None and not listener:
             listener.append({"t": 0.0, "pos": prev_pos})
         elif listener and listener[0]["t"] > 0 \
@@ -297,6 +314,9 @@ class StreamingEngine:
                "smooth": self.session.config.smooth_transfer}
         if listener:
             out["listener"] = listener
+        if sustained:
+            out["sustained"] = sustained
+            out["seed"] = int(getattr(self.session, "seed", 0))
         if skipped:
             out["skipped_events"] = skipped
         return out

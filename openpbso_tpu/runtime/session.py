@@ -115,6 +115,10 @@ class ModalSession:
         self.config = config or SolverConfig()
         o, m = bank.num_objects, bank.num_modes
         self.num_listeners = int(num_listeners)
+        # recorded in exported timelines: sustained-drag noise is a pure
+        # function of (per-object base keys from this seed, block index),
+        # so a bake seeded identically replays drags deterministically
+        self.seed = int(seed)
         self.state = make_solver_state(
             o, m, num_slots=num_slots, seed=seed, dtype=dtype,
             num_listeners=self.num_listeners)
@@ -937,7 +941,10 @@ class ModalSession:
         config.smooth_transfer). The whole moving-listener render is
         ceil(T / blocks_per_dispatch) dispatches — the reference's flow
         costs one transfer recompute + one block per move
-        (modal_solver.h:286-300). Returns [T * S, C] float32.
+        (modal_solver.h:286-300). Transfer rows are computed per
+        dispatch chunk, so the working set is [bpd, (L,) O, M] however
+        long the path is (a T=20k-block 256x1024 render would otherwise
+        materialize ~10 GB of rows up front). Returns [T * S, C] float32.
         """
         from .solver import step_multi_transfers
         if self.ffat is None or not self.use_transfer:
@@ -946,37 +953,8 @@ class ModalSession:
         self._maybe_rebase()
         if smooth is None:
             smooth = self.config.smooth_transfer
-        positions = np.asarray(positions, np.float64)
+        positions = self._moving_path(positions)
         t_total = positions.shape[0]
-        o = self.bank.num_objects
-        nl = self.num_listeners
-        if nl > 1:
-            # multi-listener path schedule: [T, 3] (all listeners share the
-            # path), [T, L, 3], or [T, L, O, 3]; block t renders with the
-            # [L, O, M] row stack of row t — one more vmap axis over the
-            # same step_multi_transfers scan (round-2 VERDICT gap 3)
-            if positions.ndim == 2:
-                positions = np.broadcast_to(positions[:, None, :],
-                                            (t_total, nl, 3))
-            if positions.ndim == 3:
-                if positions.shape[1] != nl:
-                    raise ValueError(
-                        f"expected [T, {nl}, 3] listener path, got "
-                        f"{positions.shape}")
-                positions = np.broadcast_to(positions[:, :, None, :],
-                                            (t_total, nl, o, 3))
-            rows = jax.vmap(jax.vmap(
-                lambda p: compute_transfer(
-                    self.ffat, p, compressed=self.use_compressed)))(
-                jnp.asarray(positions, self._dtype))    # [T, L, O, M]
-        else:
-            if positions.ndim == 2:
-                positions = np.broadcast_to(positions[:, None, :],
-                                            (t_total, o, 3))
-            rows = jax.vmap(lambda p: compute_transfer(
-                self.ffat, p, compressed=self.use_compressed))(
-                jnp.asarray(positions, self._dtype))    # [T, O, M]
-        rows = rows.astype(self._dtype)
         if self._xfade_from is not None and smooth:
             # the pending move's outgoing row becomes the scan's carry
             # (real row only: render_moving is a magnitude-FFAT path)
@@ -987,8 +965,9 @@ class ModalSession:
         done = 0
         while done < t_total:
             n = min(blocks_per_dispatch, t_total - done)
+            rows = self._transfer_rows(positions[done:done + n])
             self.state, mix = step_multi_transfers(
-                self.state, self.bank, self.gains, rows[done:done + n],
+                self.state, self.bank, self.gains, rows,
                 n_blocks=n, block_size=self.config.block_size,
                 backend=self.config.backend, smooth=smooth,
                 with_sustained=self._with_sustained(),
@@ -998,6 +977,47 @@ class ModalSession:
             done += n
         self._last_listener = positions[-1]
         return np.concatenate(out, axis=0)
+
+    def _moving_path(self, positions: np.ndarray) -> np.ndarray:
+        """Normalize a moving-listener path to [T, O, 3] (single
+        listener) or [T, L, O, 3] (multi-listener; [T, 3] and [T, L, 3]
+        broadcast — views, no copies). Multi-listener block t renders
+        with the [L, O, M] row stack of row t — one more vmap axis over
+        the same step_multi_transfers scan (round-2 VERDICT gap 3)."""
+        positions = np.asarray(positions, np.float64)
+        t_total = positions.shape[0]
+        o = self.bank.num_objects
+        nl = self.num_listeners
+        if nl > 1:
+            if positions.ndim == 2:
+                positions = np.broadcast_to(positions[:, None, :],
+                                            (t_total, nl, 3))
+            if positions.ndim == 3:
+                if positions.shape[1] != nl:
+                    raise ValueError(
+                        f"expected [T, {nl}, 3] listener path, got "
+                        f"{positions.shape}")
+                positions = np.broadcast_to(positions[:, :, None, :],
+                                            (t_total, nl, o, 3))
+        elif positions.ndim == 2:
+            positions = np.broadcast_to(positions[:, None, :],
+                                        (t_total, o, 3))
+        return positions
+
+    def _transfer_rows(self, positions_chunk: np.ndarray) -> jax.Array:
+        """FFAT transfer rows for one dispatch chunk of a moving path:
+        [n, O, 3] -> [n, O, M] or [n, L, O, 3] -> [n, L, O, M]. Chunked
+        callers bound the row working set to one dispatch; per-row
+        outputs are identical however the path is chunked (each row's
+        lookup is independent)."""
+        fn = lambda p: compute_transfer(self.ffat, p,  # noqa: E731
+                                        compressed=self.use_compressed)
+        if positions_chunk.ndim == 4:
+            rows = jax.vmap(jax.vmap(fn))(
+                jnp.asarray(positions_chunk, self._dtype))
+        else:
+            rows = jax.vmap(fn)(jnp.asarray(positions_chunk, self._dtype))
+        return rows.astype(self._dtype)
 
     def render_doppler(self, positions: np.ndarray,
                        blocks_per_dispatch: int = 64,
@@ -1021,6 +1041,12 @@ class ModalSession:
         listener's delay follows ITS OWN distance trajectory).
         Returns [T * S, C] float32. Samples whose emission time precedes
         the render start are silent (the wavefront has not arrived yet).
+
+        Transfer rows are computed per dispatch chunk like render_moving
+        (bounded working set); the per-object sound buffer itself is the
+        length of the render ([O, T*S] — the global delay resample needs
+        it whole), which bounds practical single-call length to what host
+        memory holds (~40 min of 256-object audio per 10 GB).
         """
         from ..config import SOUND_SPEED
         from ..ops.doppler import (delay_indices, delay_resample,
@@ -1031,38 +1057,10 @@ class ModalSession:
             smooth = self.config.smooth_transfer
         if c is None:
             c = SOUND_SPEED
-        positions = np.asarray(positions, np.float64)
+        positions = self._moving_path(positions)
         t_total = positions.shape[0]
-        o = self.bank.num_objects
         nl = self.num_listeners
-        if nl > 1:
-            if positions.ndim == 2:
-                positions = np.broadcast_to(positions[:, None, :],
-                                            (t_total, nl, 3))
-            if positions.ndim == 3:
-                if positions.shape[1] != nl:
-                    raise ValueError(
-                        f"expected [T, {nl}, 3] listener path, got "
-                        f"{positions.shape}")
-                positions = np.broadcast_to(positions[:, :, None, :],
-                                            (t_total, nl, o, 3))
-        elif positions.ndim == 2:
-            positions = np.broadcast_to(positions[:, None, :],
-                                        (t_total, o, 3))
-        if self.ffat is not None and self.use_transfer:
-            if nl > 1:
-                rows = jax.vmap(jax.vmap(lambda p: compute_transfer(
-                    self.ffat, p, compressed=self.use_compressed)))(
-                    jnp.asarray(positions, self._dtype))   # [T, L, O, M]
-            else:
-                rows = jax.vmap(lambda p: compute_transfer(
-                    self.ffat, p, compressed=self.use_compressed))(
-                    jnp.asarray(positions, self._dtype))
-            rows = rows.astype(self._dtype)
-        else:
-            rows = jnp.broadcast_to(
-                self.state.transfer,
-                (t_total,) + tuple(self.state.transfer.shape))
+        has_ffat = self.ffat is not None and self.use_transfer
         if self._xfade_from is not None and smooth:
             self.state = dataclasses.replace(self.state,
                                              transfer=self._xfade_from[0])
@@ -1071,8 +1069,14 @@ class ModalSession:
         done = 0
         while done < t_total:
             n = min(blocks_per_dispatch, t_total - done)
+            if has_ffat:
+                rows = self._transfer_rows(positions[done:done + n])
+            else:
+                rows = jnp.broadcast_to(
+                    self.state.transfer,
+                    (n,) + tuple(self.state.transfer.shape))
             self.state, snd = step_multi_transfers_sound(
-                self.state, self.bank, rows[done:done + n],
+                self.state, self.bank, rows,
                 n_blocks=n, block_size=self.config.block_size,
                 backend=self.config.backend, smooth=smooth,
                 with_sustained=self._with_sustained(),

@@ -517,3 +517,37 @@ def test_doppler_postmix_per_listener_parity():
     multi.process_span(jnp.asarray(sound[..., :3*s]))
     assert (multi._d_tgt[0] > d_before[0]).all()     # receding: delay grew
     np.testing.assert_array_equal(multi._d_tgt[1], d_before[1])
+
+
+def test_render_moving_chunking_invariant(ffat_scene):
+    """Chunked per-dispatch transfer rows (round-3 VERDICT item 4): the
+    output is bitwise identical however the path is chunked — each row's
+    FFAT lookup is independent and the scan state carries across chunk
+    boundaries exactly."""
+    make, model = ffat_scene
+    t = 12
+    path = _path(t)
+    outs = []
+    for bpd in (3, 12):
+        sess = make()
+        sess.hit(0, np.ones(model.num_modes_audible), kind="gaussian",
+                 width_us=400.0)
+        outs.append(sess.render_moving(path, blocks_per_dispatch=bpd))
+    assert np.abs(outs[0]).max() > 0
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_render_doppler_chunking_invariant(ffat_scene):
+    """render_doppler computes its transfer rows per chunk too; the
+    delayed mix is bitwise chunking-invariant."""
+    make, model = ffat_scene
+    t = 12
+    path = _path(t)
+    outs = []
+    for bpd in (4, 12):
+        sess = make()
+        sess.hit(0, np.ones(model.num_modes_audible), kind="gaussian",
+                 width_us=400.0)
+        outs.append(sess.render_doppler(path, blocks_per_dispatch=bpd))
+    assert np.abs(outs[0]).max() > 0
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -201,3 +201,59 @@ def test_record_and_bake_listener_moves(synth_model_root):
         return
     np.testing.assert_allclose(baked[:n_cmp], live_audio[:n_cmp],
                                rtol=0, atol=1e-9)
+
+
+def test_record_and_bake_sustained_drag():
+    """Round-3 VERDICT item 7: sustained AR drags replay in the bake.
+    The drag noise is a pure function of (seed, block index)
+    (ops/forces.py::_noise_for_blocks), so the exported timeline's
+    sustained entries + seed reproduce the live waveform."""
+    import time
+
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    live, md = _session()
+    sink = RawCollectorSink()
+    engine = StreamingEngine(live, sink, record=True)
+    engine.start()
+    space = np.linspace(0.2, 1.0, md.num_modes)
+    engine.hit(0, space, kind="gaussian", width_us=400.0)
+    deadline = time.time() + 60
+
+    def wait_recorded(n):
+        while time.time() < deadline and len(engine.recorded) < n:
+            time.sleep(0.02)
+
+    wait_recorded(1)
+    engine.sustained_start(1, -space)
+    wait_recorded(2)
+    engine.set_ar_params(1, a=(0.85, 0.08), sigma=0.002, mu=0.12)
+    wait_recorded(3)
+    target = engine._blocks_done + 4
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.sustained_end(1)
+    wait_recorded(4)
+    target = engine._blocks_done + 3
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.stop()
+    timeline = engine.export_timeline()
+    assert [e["action"] for e in timeline["sustained"]] == \
+        ["start", "arparam", "end"]
+    assert "seed" in timeline
+    assert "skipped_events" not in timeline
+    live_audio = sink.concatenated()
+
+    fresh, _ = _session()
+    baked = bake(fresh, timeline)
+    n = min(live_audio.shape[0], baked.shape[0])
+    assert n >= 6 * S
+    assert np.abs(baked).max() > 0
+    if bool((engine.health.snapshot() == 0).any()):
+        return   # underrun replayed a stale block; alignment lost
+    err = np.abs(baked[:n] - live_audio[:n]).max()
+    ref = np.abs(live_audio[:n]).max()
+    db = 20 * np.log10(err / ref) if err > 0 else -np.inf
+    assert db <= -60.0, f"bake vs live {db:.1f} dB"
