@@ -158,7 +158,7 @@ class ShardedSession(ModalSession):
         return sound, mix, qnorm
 
     def _step_span(self, n_blocks: int, num_slots="auto", idle=None,
-                   with_sustained=None):
+                   with_sustained=None, ar_per_object=False):
         self._maybe_rebase()   # engine dispatches spans directly
         if idle is None:
             idle = self._idle() and self.config.decay_fast_path
@@ -188,7 +188,7 @@ class ShardedSession(ModalSession):
         elif with_sustained:
             # sustained AR(2) rides the mesh span too: the channel is
             # entirely per-object, so it shards with no extra collectives
-            ar_g = self.ar_span_table(n_blocks)
+            ar_g = self.ar_span_table(n_blocks, ar_per_object)
             fn = self._fn("span", n_blocks=n_blocks, num_slots=k_eff,
                           decay=False, with_sustained=True,
                           ar_g_shared=ar_g.shape[0] == 1)
@@ -205,7 +205,7 @@ class ShardedSession(ModalSession):
         return mix
 
     def _step_span_sound(self, n_blocks: int, num_slots="auto", idle=None,
-                         with_sustained=None):
+                         with_sustained=None, ar_per_object=False):
         """Mesh variant of the span-shaped post-mix feed: one explicit
         shard_map program (obj-sharded [O, N] sound out) instead of the
         base class's single-device jit auto-partitioning."""
@@ -221,7 +221,7 @@ class ShardedSession(ModalSession):
         elif with_sustained:
             k_eff = (self._span_bucket(True)
                      if num_slots == "auto" else num_slots)
-            ar_g = self.ar_span_table(n_blocks)
+            ar_g = self.ar_span_table(n_blocks, ar_per_object)
             fn = self._fn("span_sound", n_blocks=n_blocks,
                           num_slots=k_eff, decay=False,
                           with_sustained=True,

@@ -510,10 +510,14 @@ class AudioServer:
         vals = t[:, : w.shape[0]] @ w[: t.shape[1]]
         return np.log10(np.maximum(vals, 1e-30))
 
-    def _dispatch(self, engine, sink, line: bytes) -> bool:
-        """Apply one command; returns True on quit."""
+    def _dispatch(self, engine, sink, line: bytes,
+                  msg: dict | None = None) -> bool:
+        """Apply one command; returns True on quit. ``msg`` is the
+        already-parsed JSON when the caller pre-parsed it (the per-client
+        route helper) — one parse per command, not two."""
         try:
-            msg = json.loads(line)
+            if msg is None:
+                msg = json.loads(line)
             cmd = msg.get("cmd")
             if cmd == "quit":
                 return True
@@ -1168,6 +1172,32 @@ class BroadcastAudioServer(AudioServer):
         except Exception:  # noqa: BLE001 — a failed carry must not block
             pass           # the grow; fresh state is always safe
 
+    def _route_client_command(self, sink, slot, payload) -> bool:
+        """One inbound command from a per-client-capable transport:
+        engine-health check, per-client listener intercept, then the
+        shared command dispatch. Shared by the raw-TCP and WebSocket
+        serve loops (they differ only in framing); the JSON is parsed
+        exactly once. Returns True when the client asked to quit."""
+        engine = self._engine
+        if engine is None or not engine.healthy:
+            sink.send_json({"error": "engine restarting"})
+            return False
+        try:
+            msg = json.loads(payload)
+        except json.JSONDecodeError:
+            msg = None
+        if self._pcl and msg and msg.get("cmd") == "listener":
+            # per-client listener routing: a 'listener' command moves
+            # only THIS client's row
+            try:
+                if slot is None:
+                    raise ValueError("no per-client listener slot")
+                self._move_client_listener(engine, slot, msg["pos"])
+            except (KeyError, ValueError, TypeError) as e:
+                sink.send_json({"error": str(e)})
+            return False
+        return self._dispatch(engine, sink, payload, msg=msg)
+
     def _serve_client(self, conn: socket.socket) -> None:
         engine = self._ensure_engine()
         block = engine.session.config.block_size
@@ -1209,28 +1239,7 @@ class BroadcastAudioServer(AudioServer):
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
                         continue
-                    engine = self._engine
-                    if engine is None or not engine.healthy:
-                        sink.send_json({"error": "engine restarting"})
-                        continue
-                    if self._pcl:
-                        # per-client listener routing: a 'listener'
-                        # command moves only THIS client's row
-                        try:
-                            msg = json.loads(line)
-                        except json.JSONDecodeError:
-                            msg = None
-                        if msg and msg.get("cmd") == "listener":
-                            try:
-                                if slot is None:
-                                    raise ValueError(
-                                        "no per-client listener slot")
-                                self._move_client_listener(
-                                    engine, slot, msg["pos"])
-                            except (KeyError, ValueError, TypeError) as e:
-                                sink.send_json({"error": str(e)})
-                            continue
-                    if self._dispatch(engine, sink, line):
+                    if self._route_client_command(sink, slot, line):
                         return
         finally:
             self._free_listener_slot(slot)

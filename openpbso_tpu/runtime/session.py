@@ -596,19 +596,23 @@ class ModalSession:
         """The span path needs only the lam64 eigenvalues. Sustained AR(2)
         scenes ride it too since round 3: the AR recurrence is LTI, so it
         span-factors exactly like the oscillators did
-        (ops/forces.py::sustained_span) — with one carve-out: a live
-        arparam retune makes the AR table per-object ([O, S+1], and the
-        span's noise Toeplitz [O, S, S] — 256 MB at the north star), a
-        jit variant warmup deliberately never compiles. While a drag is
-        active on a retuned session, dispatch falls back to the WARMED
-        per-block sustained step (real-time at ~2-3 ms/block) instead of
-        stalling a live stream on a minutes-long mid-stream compile; the
-        span resumes when the drag ends or tunings return to uniform."""
+        (ops/forces.py::sustained_span). A live arparam retune makes the
+        AR tables per-object ([O, grp*S+1] capped at grp=32 plus the
+        [O, S, S] noise Toeplitz — one extra ~270 MB HBM read at the
+        north star, affordable since round 4), and warmup compiles the
+        per-object variant for the drag-only bucket, so retuned drags
+        ride the span too. The one remaining carve-out: an impact hit
+        landing on ANOTHER object during a retuned drag needs a bucketed
+        per-object variant warmup doesn't compile — those blocks fall
+        back to the WARMED per-block sustained step until the hit
+        expires (the dragged object's own slots are gated off by the
+        reference's replace semantics either way, modal_solver.h:195)."""
         if self._lam64 is None:
             return False
         if self._with_sustained():
             a = self._ar_host
-            if not (a == a[:1]).all():
+            if not (a == a[:1]).all() \
+                    and (self._expiry > self._clock).any():
                 return False
         return True
 
@@ -621,15 +625,19 @@ class ModalSession:
     AR_GROUP_CAP_SHARED = 512
     AR_GROUP_CAP_PER_OBJECT = 32
 
-    def ar_span_table(self, n_blocks: int = 1) -> jax.Array:
+    def ar_span_table(self, n_blocks: int = 1,
+                      force_per_object: bool = False) -> jax.Array:
         """Device AR impulse table [Og, grp*S+1] for sustained_span,
         rebuilt from the host AR mirror after a retune; Og=1 while every
         object keeps one shared tuning (the common case — one shared
         Toeplitz). ``n_blocks`` sizes the table for the span being
-        dispatched (grp = largest divisor of n_blocks under the cap)."""
+        dispatched (grp = largest divisor of n_blocks under the cap).
+        ``force_per_object`` builds the [O, ...] layout even for uniform
+        tunings — warmup uses it to compile the retuned-drag span
+        variant before any retune happens."""
         from ..ops.forces import ar_impulse_g
         a = self._ar_host
-        shared = bool((a == a[:1]).all())
+        shared = bool((a == a[:1]).all()) and not force_per_object
         cap = (self.AR_GROUP_CAP_SHARED if shared
                else self.AR_GROUP_CAP_PER_OBJECT)
         grp = 1
@@ -638,11 +646,12 @@ class ModalSession:
                 grp = cand
                 break
         length = grp * self.config.block_size
-        tbl = self._ar_g.get(length)
+        key = (length, shared)
+        tbl = self._ar_g.get(key)
         if tbl is None:
             tbl = jnp.asarray(
                 ar_impulse_g(a[:1] if shared else a, length), self._dtype)
-            self._ar_g[length] = tbl
+            self._ar_g[key] = tbl
         return tbl
 
     # force_span materializes [O, K, N]-shaped intermediates (per-slot
@@ -655,11 +664,12 @@ class ModalSession:
 
     def _step_span(self, n_blocks: int, num_slots: int | None | str = "auto",
                    idle: bool | None = None,
-                   with_sustained: bool | None = None):
+                   with_sustained: bool | None = None,
+                   ar_per_object: bool = False):
         """Advance n_blocks via one span dispatch; returns device mix
         [n_blocks*S, C] (not host-synced). Caller checked span_eligible.
-        ``num_slots``/``idle``/``with_sustained`` override the host gating
-        (warmup)."""
+        ``num_slots``/``idle``/``with_sustained``/``ar_per_object``
+        override the host gating (warmup)."""
         from .solver import decay_span_step, step_multi, step_span
         # the engine dispatches spans directly (without step()/render_multi
         # wrappers), so the int32 clock-wrap rebase must live here too
@@ -692,15 +702,16 @@ class ModalSession:
                 self.state, self.bank, tables, self.gains,
                 n_blocks=n_blocks, block_size=self.config.block_size,
                 num_slots=num_slots, with_sustained=with_sustained,
-                ar_g=(self.ar_span_table(n_blocks) if with_sustained
-                      else None))
+                ar_g=(self.ar_span_table(n_blocks, ar_per_object)
+                      if with_sustained else None))
         self._clock += n_blocks * self.config.block_size
         return mix
 
     def _step_span_sound(self, n_blocks: int,
                          num_slots: int | None | str = "auto",
                          idle: bool | None = None,
-                         with_sustained: bool | None = None):
+                         with_sustained: bool | None = None,
+                         ar_per_object: bool = False):
         """_step_span returning the raw per-object sound [O, N] (device,
         not host-synced) for span-shaped post-mix stages (HRTF). No
         SPAN_FORCE_BUDGET fallback: only the engine dispatches this, at
@@ -723,8 +734,8 @@ class ModalSession:
                 self.state, self.bank, tables, n_blocks=n_blocks,
                 block_size=self.config.block_size, num_slots=k_eff,
                 with_sustained=with_sustained,
-                ar_g=(self.ar_span_table(n_blocks) if with_sustained
-                      else None))
+                ar_g=(self.ar_span_table(n_blocks, ar_per_object)
+                      if with_sustained else None))
         self._clock += n_blocks * self.config.block_size
         return sound
 
@@ -866,6 +877,12 @@ class ModalSession:
                         for b in [0] + buckets:
                             np.asarray(span_once(num_slots=b, idle=False,
                                                  with_sustained=True))
+                        # the retuned-drag variant ([O, ...] AR tables,
+                        # drag-only bucket): a live arparam retune must
+                        # never cold-compile mid-stream (round-4)
+                        np.asarray(span_once(num_slots=0, idle=False,
+                                             with_sustained=True,
+                                             ar_per_object=True))
                     if self.config.decay_fast_path:
                         np.asarray(span_once(idle=True))
         finally:

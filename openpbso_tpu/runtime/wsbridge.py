@@ -748,28 +748,10 @@ class BroadcastWebSocketAudioServer(BroadcastAudioServer,
                     sink.pong(payload)
                     continue
                 if opcode == OP_TEXT and payload.strip():
-                    engine = self._engine
-                    if engine is None or not engine.healthy:
-                        sink.send_json({"error": "engine restarting"})
-                        continue
-                    if self._pcl:
-                        # per-client listener routing (see the raw
-                        # transport's _serve_client)
-                        try:
-                            msg = json.loads(payload)
-                        except json.JSONDecodeError:
-                            msg = None
-                        if msg and msg.get("cmd") == "listener":
-                            try:
-                                if slot is None:
-                                    raise ValueError(
-                                        "no per-client listener slot")
-                                self._move_client_listener(
-                                    engine, slot, msg["pos"])
-                            except (KeyError, ValueError, TypeError) as e:
-                                sink.send_json({"error": str(e)})
-                            continue
-                    if self._dispatch(engine, sink, payload):
+                    # shared routing with the raw transport: health
+                    # check, per-client listener intercept, dispatch —
+                    # one JSON parse (server._route_client_command)
+                    if self._route_client_command(sink, slot, payload):
                         break
         finally:
             self._free_listener_slot(slot)

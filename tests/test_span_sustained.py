@@ -297,12 +297,11 @@ def test_sustained_span_ten_seconds_accuracy(dberr):
     assert worst <= -60.0, f"worst span {worst:.1f} dB"
 
 
-def test_retuned_sustained_falls_back_to_block_dispatch():
-    """A live arparam retune makes the AR table per-object; the span's
-    per-object noise Toeplitz ([O, S, S]) is a jit variant warmup never
-    compiles, so span_eligible must gate it OUT while a drag is active
-    (the warmed per-block sustained step serves the stream) and restore
-    the span when the drag ends or tunings return to uniform."""
+def test_retuned_sustained_rides_span_with_block_fallback_for_hits():
+    """Round-4: a retuned drag rides the span (per-object AR tables are
+    warmed for the drag-only bucket); only a concurrent impact hit on
+    another object falls back to the warmed per-block step until the
+    hit expires."""
     from openpbso_tpu.runtime.session import ModalSession
     from openpbso_tpu.runtime.solver import SolverConfig
 
@@ -318,20 +317,55 @@ def test_retuned_sustained_falls_back_to_block_dispatch():
     sess.sustained_start(0, rng.standard_normal(10))
     assert sess.span_eligible()
     sess.set_ar_params(1, a=(0.9, 0.05), sigma=0.002, mu=0.1)
-    assert not sess.span_eligible(), \
-        "retuned + active drag must not dispatch the un-warmed span variant"
-    # rendering still works on the per-block fallback
+    assert sess.span_eligible(), \
+        "retuned pure drag rides the warmed per-object span variant"
+    assert sess._span_bucket(True) == 0
+    out = sess.render_multi(2)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    # an impact on another object needs a bucketed per-object variant
+    # warmup does not compile -> per-block fallback while it is live
+    sess.hit(2, rng.standard_normal(10), kind="gaussian", width_us=500.0)
+    assert not sess.span_eligible()
     out = sess.render_multi(2)
     assert np.isfinite(out).all()
-    # drag ends -> span dispatch resumes (impact/decay spans are unaffected
-    # by AR tunings)
+    # drag ends -> span dispatch resumes (impact/decay spans are
+    # unaffected by AR tunings)
     sess.sustained_end(0)
     assert sess.span_eligible()
-    # uniform retune of EVERY object restores the shared table mid-drag
-    for i in range(3):
-        sess.set_ar_params(i, a=(0.9, 0.05), sigma=0.002, mu=0.1)
-    sess.sustained_start(2, rng.standard_normal(10))
-    assert sess.span_eligible()
+
+
+def test_retuned_drag_span_matches_block_sequence(dberr):
+    """Round-3 VERDICT item 3 contract: a RETUNED drag rendered on the
+    span path matches per-block stepping at <= -60 dB."""
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    md = synth_mode_data(10, 8, seed=13)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+
+    def build():
+        bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                                  CERAMIC.alpha, CERAMIC.beta,
+                                  num_objects=3, block_size=S)
+        return ModalSession(bank, config=SolverConfig(block_size=S),
+                            num_slots=4, lam64=lam64)
+
+    rng = np.random.default_rng(7)
+    space = rng.standard_normal(10)
+    a_sess = build()
+    a_sess.set_ar_params(1, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    a_sess.sustained_start(1, space)
+    assert a_sess.span_eligible() and a_sess._span_bucket(True) == 0
+    out_span = a_sess.render_multi(8, blocks_per_dispatch=4)
+
+    b_sess = build()
+    b_sess.set_ar_params(1, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+    b_sess.sustained_start(1, space)
+    out_blk = np.concatenate([np.asarray(b_sess.step()[1])
+                              for _ in range(8)], axis=0)
+    assert np.abs(out_blk).max() > 0
+    assert dberr(out_span, out_blk) <= -60.0
 
 
 def test_ar_impulse_g_closed_form_matches_recurrence():
