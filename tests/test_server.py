@@ -16,6 +16,20 @@ from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
 BLOCK = 256
 
 
+def _wait_rows_applied(srv, rows_before, deadline_s=20.0):
+    """Wait until EVERY per-client listener row differs from its startup
+    value — the synthesis thread has applied all pending moves. Fixed
+    sleeps raced the apply under cold-cache load (the c612385 flake
+    family); this predicate observes the applied state itself."""
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        t = np.asarray(srv._engine.session.state.transfer)
+        if all((t[s] != rows_before[s]).any() for s in range(t.shape[0])):
+            return
+        time.sleep(0.05)
+    raise AssertionError("listener moves were never applied")
+
+
 @pytest.fixture
 def server():
     md = synth_mode_data(12, 8)
@@ -651,9 +665,11 @@ def test_per_client_listeners_broadcast():
                  b.messages[0]["listener_slot"]}
         assert slots == {0, 1}, slots
         # near/far listeners: |pos| in the FFAT falloff 1/(kr)
+        rows0 = np.asarray(srv._engine.session.state.transfer).copy()
         a.send(cmd="listener", pos=[0.45, 0.0, 0.0])       # near
         b.send(cmd="listener", pos=[1.8, 0.0, 0.0])        # far
-        time.sleep(0.8)                                    # moves apply
+        _wait_rows_applied(srv, rows0)   # both moves APPLIED (no sleep
+        #   race: the hit below must render against the moved rows)
         a.send(cmd="hit_space", obj=0, space=[1.0] * md.num_modes,
                kind="gaussian", width_us=2000.0)
         ea = eb = 0.0
@@ -942,9 +958,10 @@ def test_per_client_listeners_scene_serving(tmp_path):
                 c.read_block()
             assert c.messages
         # A stands by object 0 (origin), B by object 1 (x=6)
+        rows0 = np.asarray(srv._engine.session.state.transfer).copy()
         a.send(cmd="listener", pos=[0.7, 0.2, 0.1])
         b.send(cmd="listener", pos=[6.7, 0.2, 0.1])
-        time.sleep(0.8)
+        _wait_rows_applied(srv, rows0)
         a.send(cmd="hit", obj=0, vertex=3, kind="gaussian", width_us=2000.0)
         ea = eb = 0.0
         deadline = time.time() + 30
