@@ -99,11 +99,19 @@ class BufferHealth:
         self._ring = np.ones(size, np.float32)
         self._ptr = 0
         self._lock = threading.Lock()
+        # cumulative counters: the ring rotates old underruns out after
+        # `size` blocks, so whole-run questions ("did ANY block ever
+        # underrun?") need these — beyond-reference telemetry
+        self.total = 0
+        self.missed = 0
 
     def record(self, ok: bool) -> None:
         with self._lock:
             self._ring[self._ptr] = 1.0 if ok else 0.0
             self._ptr = (self._ptr + 1) % len(self._ring)
+            self.total += 1
+            if not ok:
+                self.missed += 1
 
     def snapshot(self) -> np.ndarray:
         with self._lock:

@@ -377,3 +377,21 @@ def test_sharded_span_sound_parity(dberr):
     b = np.asarray(ref._step_span_sound(4))
     assert sh._idle() and ref._idle()
     assert dberr(a, b) <= -100
+
+
+def test_sharded_retuned_sustained_span(dberr):
+    """Round-4: RETUNED drags (per-object AR tables, ar_g obj-sharded
+    via the P('obj') spec) ride the mesh span too; parity with the
+    single-device span and with per-block continuation."""
+    sh, ref, m = _pair((8, 1))
+    rng = np.random.default_rng(29)
+    sus_space = rng.standard_normal(m)
+    for s in (sh, ref):
+        s.set_ar_params(3, a=(0.9, 0.05), sigma=0.002, mu=0.1)
+        s.sustained_start(3, sus_space)
+    assert sh.span_eligible() and ref.span_eligible()
+    assert sh._span_bucket(True) == 0
+    a = sh.render_multi(8, blocks_per_dispatch=4)
+    b = ref.render_multi(8, blocks_per_dispatch=4)
+    assert np.abs(b).max() > 0
+    assert dberr(a, b) <= -60
