@@ -141,9 +141,11 @@ def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
     num_slots=1 matches the one planted hit (the session's slot-bucket
     gating dispatches exactly this at runtime). ``sustained=True``
     activates the AR(2) channel on every object and measures the
-    sustained-drag span (round-3: the AR recurrence is span-factored too,
-    ops/forces.py::sustained_span; the session dispatches the full slot
-    table while sustained, so num_slots is ignored there).
+    sustained-drag span (the AR recurrence is span-factored too,
+    ops/forces.py::sustained_span). A steady drag has no live impact
+    slot, so sustained runs dispatch num_slots=0 — the AR channel is the
+    span's only slot, matching session._span_bucket's drag-only bucket
+    (round 4).
     """
     import dataclasses
 
@@ -154,7 +156,7 @@ def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
                                num_modes=bank.num_modes)
     ar_g = None
     if sustained:
-        from openpbso_tpu.ops.forces import ar_impulse_g
+        from openpbso_tpu.ops.forces import ar_impulse_g, span_group
         rng = np.random.default_rng(1)
         sus = state.sustained
         sus = dataclasses.replace(
@@ -165,8 +167,7 @@ def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
         state = dataclasses.replace(state, sustained=sus)
         # span-covering table -> scan-free companion propagation
         # (ops/forces.py::_companion_states); grp capped like the session
-        grp = next(c for c in range(min(n_blocks, 512), 0, -1)
-                   if n_blocks % c == 0)
+        grp = span_group(n_blocks, 512)
         ar_g = jnp.asarray(ar_impulse_g((0.783, 0.116), grp * s),
                            state.z_re.dtype)
         # bucket 0: the steady-state drag has no live impact slot, so

@@ -135,17 +135,19 @@ def bake(session, timeline: dict, model=None,
     block = session.config.block_size
     n_blocks = int(np.ceil(float(timeline["duration_s"])
                            * SAMPLE_RATE / block))
-    schedule_events(session, timeline.get("events", []), model)
     keyframes = timeline.get("listener")
     doppler = bool(timeline.get("doppler", False))
     smooth = bool(timeline.get("smooth", True))
     sustained = sorted(timeline.get("sustained", []),
                        key=lambda e: float(e.get("t", 0.0)))
-    if sustained and "seed" in timeline:
-        _reseed_sustained(session, timeline["seed"])
+    # validate BEFORE any session mutation: a caller that catches the
+    # error must get its session back unaltered (same drag noise keys)
     if sustained and doppler:
         raise ValueError("sustained timeline events cannot be combined "
                          "with doppler (global delay resample)")
+    schedule_events(session, timeline.get("events", []), model)
+    if sustained and "seed" in timeline:
+        _reseed_sustained(session, timeline["seed"])
     per_block = None
     if keyframes:
         per_block = listener_blocks(keyframes, n_blocks, block)

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .integrator import PRECISION
+
 FORCE_NONE = 0
 FORCE_POINT = 1
 FORCE_GAUSSIAN = 2
@@ -332,6 +334,20 @@ def _noise_for_blocks(key_data: jax.Array, block_start: jax.Array,
         lambda k: jax.random.normal(k, (block_size,), dtype)))(nkeys)
 
 
+def span_group(n_blocks: int, cap: int) -> int:
+    """Largest divisor of ``n_blocks`` that is <= ``cap`` (>= 1): the
+    block-group size for the scan-free companion propagation. ONE
+    definition shared by _companion_states, the session's AR-table
+    sizing (runtime/session.py::ar_span_table), and bench.py — if the
+    table builder and the propagation ever disagreed, the table would
+    silently stop covering the span and the scan would lengthen with no
+    error."""
+    for cand in range(min(n_blocks, cap), 0, -1):
+        if n_blocks % cand == 0:
+            return cand
+    return 1
+
+
 def _companion_powers(g: jax.Array, a2: jax.Array, grp: int,
                       block_size: int):
     """A^(d*S) for d in [0, grp] from static gathers of the impulse table
@@ -373,45 +389,48 @@ def _companion_states(h0: jax.Array, inj: jax.Array, g: jax.Array,
     x = n_blocks
     s = block_size
     shared = g.shape[0] == 1
-    gcap = (g.shape[1] - 1) // s
-    grp = 1
-    for cand in range(min(x, gcap), 0, -1):
-        if x % cand == 0:
-            grp = cand
-            break
+    grp = span_group(x, (g.shape[1] - 1) // s)
     pows = _companion_powers(g, a2, grp, s)        # [Og, grp+1, 2, 2]
     xg = x // grp
     ir = inj.reshape(o, xg, grp, 2)
     # group injection: INJ_q = sum_j A^((grp-1-j)S) inj[qG + j]
     wf = jnp.flip(pows[:, :grp], axis=1)
     if shared:
-        inj_g = jnp.einsum("oqjb,jrb->qor", ir, wf[0])
+        inj_g = jnp.einsum("oqjb,jrb->qor", ir, wf[0],
+                           precision=PRECISION)
     else:
-        inj_g = jnp.einsum("oqjb,ojrb->qor", ir, wf)
+        inj_g = jnp.einsum("oqjb,ojrb->qor", ir, wf,
+                           precision=PRECISION)
     rot = pows[:, grp]                             # A^(grp*S)
 
     def gbody(h, iq):
         if shared:
-            hn = jnp.einsum("ob,rb->or", h, rot[0]) + iq
+            hn = jnp.einsum("ob,rb->or", h, rot[0],
+                            precision=PRECISION) + iq
         else:
-            hn = jnp.einsum("orb,ob->or", rot, h) + iq
+            hn = jnp.einsum("orb,ob->or", rot, h,
+                            precision=PRECISION) + iq
         return hn, h
 
     h_f, hq = jax.lax.scan(gbody, h0, inj_g)       # hq [XG, O, 2]
     # interior: h[qG+j] = A^(jS) H_q + sum_{i<j} A^((j-1-i)S) inj[qG+i]
     if shared:
-        car = jnp.einsum("qob,jrb->oqjr", hq, pows[0, :grp])
+        car = jnp.einsum("qob,jrb->oqjr", hq, pows[0, :grp],
+                         precision=PRECISION)
     else:
-        car = jnp.einsum("qob,ojrb->oqjr", hq, pows[:, :grp])
+        car = jnp.einsum("qob,ojrb->oqjr", hq, pows[:, :grp],
+                         precision=PRECISION)
     # powsp[k] = A^((k-1)S) with powsp[0] = 0: the clipped (j-i) gather
     # is self-masking for i >= j
     powsp = jnp.concatenate([jnp.zeros_like(pows[:, :1]), pows], axis=1)
     delta = np.arange(grp)[:, None] - np.arange(grp)[None, :]
     tmix = jnp.take(powsp, jnp.asarray(delta.clip(0)), axis=1)
     if shared:
-        mix = jnp.einsum("oqib,jirb->oqjr", ir, tmix[0])
+        mix = jnp.einsum("oqib,jirb->oqjr", ir, tmix[0],
+                         precision=PRECISION)
     else:
-        mix = jnp.einsum("oqib,ojirb->oqjr", ir, tmix)
+        mix = jnp.einsum("oqib,ojirb->oqjr", ir, tmix,
+                         precision=PRECISION)
     hs = (car + mix).reshape(o, x, 2)
     return h_f, hs
 
@@ -476,9 +495,11 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     noise = _noise_for_blocks(state.key, jnp.asarray(block_start), x, s,
                               dtype)
     if shared:
-        inj = sigma[..., None] * jnp.einsum("oxs,st->oxt", noise, g2[0])
+        inj = sigma[..., None] * jnp.einsum("oxs,st->oxt", noise, g2[0],
+                                                precision=PRECISION)
     else:
-        inj = sigma[..., None] * jnp.einsum("oxs,ost->oxt", noise, g2)
+        inj = sigma[..., None] * jnp.einsum("oxs,ost->oxt", noise, g2,
+                                                precision=PRECISION)
 
     # 2) start-of-block companion states, scan-free group propagation
     h_f, hs = _companion_states(state.ar_hist, inj, g, a2, x, s)
@@ -487,20 +508,22 @@ def sustained_span(state: SustainedState, g: jax.Array, n_blocks: int,
     h_rows = jnp.stack([g[:, 1:s + 1], a2[:, None] * g[:, :s]],
                        axis=1)                            # [Og, 2, S]
     if shared:
-        mu_hom = jnp.matmul(hs.reshape(o * x, 2),
-                            h_rows[0]).reshape(o, x, s)
+        mu_hom = jnp.matmul(hs.reshape(o * x, 2), h_rows[0],
+                            precision=PRECISION).reshape(o, x, s)
     else:
-        mu_hom = jnp.einsum("oxh,ohs->oxs", hs, h_rows)
+        mu_hom = jnp.einsum("oxh,ohs->oxs", hs, h_rows,
+                            precision=PRECISION)
     # noise conv: Toeplitz T[k, j] = g[k-j] (k >= j), like ops/span.py;
     # shared banks flatten to one [O*X, S] @ [S, S] matmul
     delta = np.arange(s)[:, None] - np.arange(s)[None, :]
     t_g = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
         * jnp.asarray(delta >= 0, dtype)                  # [Og, S, S]
     if shared:
-        mu_conv = jnp.matmul(noise.reshape(o * x, s),
-                             t_g[0].T).reshape(o, x, s)
+        mu_conv = jnp.matmul(noise.reshape(o * x, s), t_g[0].T,
+                             precision=PRECISION).reshape(o, x, s)
     else:
-        mu_conv = jnp.einsum("oxj,okj->oxk", noise, t_g)
+        mu_conv = jnp.einsum("oxj,okj->oxk", noise, t_g,
+                             precision=PRECISION)
     mu_tilde = mu_hom + sigma[..., None] * mu_conv        # [O, X, S]
 
     gate = state.active

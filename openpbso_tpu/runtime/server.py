@@ -987,8 +987,25 @@ class BroadcastAudioServer(AudioServer):
             return
         self._listener_seeded = True
         init = self._listener_init
+        if init is None and self._scene is not None:
+            # scene serving: the session's _last_listener is in the scene's
+            # per-object RELATIVE frame ([O, 3] / [L, O, 3]) and
+            # engine.set_listener applies listener_frame again — seed from
+            # the scene's remembered WORLD listener instead
+            init = getattr(self._scene, "_last_world_listener", None)
         if init is None:
-            init = getattr(session, "_last_listener", None)
+            ll = getattr(session, "_last_listener", None)
+            if ll is not None and getattr(session, "listener_frame",
+                                          None) is None:
+                ll = np.asarray(ll, np.float64)
+                # only shapes that are unambiguously world positions: one
+                # point, or one point per listener (per-object relative
+                # rows share neither shape unless O == L, which we skip)
+                if ll.ndim == 1 or (
+                        ll.ndim == 2
+                        and ll.shape == (session.num_listeners, 3)
+                        and session.num_listeners != 1):
+                    init = ll
         if init is None:
             return
         init = np.asarray(init, np.float64).reshape(-1, 3)

@@ -295,9 +295,15 @@ class ModalSession:
                 mu=sus.mu.at[obj].set(mu),
                 ar_hist=sus.ar_hist.at[obj].set(0.0)))
         # keep the host AR mirror in sync: the sustained-span impulse table
-        # (ops/forces.py::ar_impulse_g) is host-built from these params
-        self._ar_host[obj] = np.asarray(a, np.float64)
-        self._ar_g = {}
+        # (ops/forces.py::ar_impulse_g) is host-built from these params.
+        # The cached device tables depend ONLY on a — a sigma/mu-only
+        # retune must not force a full per-object table rebuild + upload
+        # on the synthesis thread (the north-star table is ~16 MB through
+        # a ~28 ms-RTT tunnel; the lookahead buffer is ~70 ms)
+        a64 = np.asarray(a, np.float64)
+        if not np.array_equal(self._ar_host[obj], a64):
+            self._ar_host[obj] = a64
+            self._ar_g = {}
 
     def set_listener(self, pos: np.ndarray) -> None:
         """Update acoustic transfer for a listener at ``pos``.
@@ -635,16 +641,12 @@ class ModalSession:
         ``force_per_object`` builds the [O, ...] layout even for uniform
         tunings — warmup uses it to compile the retuned-drag span
         variant before any retune happens."""
-        from ..ops.forces import ar_impulse_g
+        from ..ops.forces import ar_impulse_g, span_group
         a = self._ar_host
         shared = bool((a == a[:1]).all()) and not force_per_object
         cap = (self.AR_GROUP_CAP_SHARED if shared
                else self.AR_GROUP_CAP_PER_OBJECT)
-        grp = 1
-        for cand in range(min(n_blocks, cap), 0, -1):
-            if n_blocks % cand == 0:
-                grp = cand
-                break
+        grp = span_group(n_blocks, cap)
         length = grp * self.config.block_size
         key = (length, shared)
         tbl = self._ar_g.get(key)

@@ -979,6 +979,64 @@ def test_per_client_listeners_scene_serving(tmp_path):
         t.join(timeout=10)
 
 
+def test_per_client_listener_seed_scene_world(tmp_path):
+    """Scene-based per-client serving seeds the startup rows from the
+    scene's WORLD listener: a client that never sends a listener command
+    hears from the configured point. Regression: _seed_listener_rows
+    used to read session._last_listener — the scene's per-object
+    RELATIVE rows — as world positions, and the engine's row push then
+    applied the listener_frame a second time (garbage startup rows)."""
+    from openpbso_tpu.io.meta import resolve_model_dir
+    from openpbso_tpu.models.modal_model import load_model
+    from openpbso_tpu.models.scene import Scene, SceneInstance
+    from openpbso_tpu.utils.synth import synth_model_dir
+
+    root = tmp_path / "m"
+    synth_model_dir(str(root), "m", num_modes=10, subdivisions=1,
+                    ffat_n=8, seed=31)
+    model = load_model(resolve_model_dir(str(root), "m"))
+    world = np.asarray([1.0, 0.4, 0.2])
+    sc = Scene([SceneInstance(model, np.zeros(3)),
+                SceneInstance(model, np.asarray([6.0, 0.0, 0.0]))],
+               block_size=BLOCK, backend="blocked",
+               listener_offsets=[[0.0, 0.0, 0.0]] * 2,
+               dtype=jnp.float32)
+    sc.set_listener(world)
+    sc.session.step()
+    rows_at_build = np.asarray(sc.session.state.transfer).copy()
+
+    srv = BroadcastAudioServer(lambda: sc.session, model=[model, model],
+                               pace_lead=0.05, per_client_listeners=2,
+                               scene=sc)     # serve.py wires scene= too
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = AudioClient(*srv.address)
+        deadline = time.time() + 30
+        while not c.messages and time.time() < deadline:
+            c.read_block()
+        assert c.messages
+        # the seed must be the scene's WORLD listener for every slot
+        assert np.allclose(srv._listener_pos, np.tile(world, (2, 1))), \
+            srv._listener_pos
+        # and the engine's row push through the scene frame reproduces
+        # the build-time rows (same world point, offsets are zero) —
+        # read blocks until the push has been applied, then compare
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            c.read_block()
+            if np.allclose(np.asarray(sc.session.state.transfer),
+                           rows_at_build, rtol=1e-5):
+                break
+        assert np.allclose(np.asarray(sc.session.state.transfer),
+                           rows_at_build, rtol=1e-5)
+        c.send(cmd="quit")
+        c.close()
+    finally:
+        srv.close()
+        t.join(timeout=10)
+
+
 def test_per_client_listener_rows_survive_engine_restart():
     """Elastic recovery with personal listeners: the rebuilt engine
     reapplies every slot's listener row (no client silently reset to the

@@ -334,6 +334,33 @@ def test_retuned_sustained_rides_span_with_block_fallback_for_hits():
     assert sess.span_eligible()
 
 
+def test_sigma_mu_retune_keeps_ar_tables():
+    """The cached device AR tables depend only on ``a``: a sigma/mu-only
+    retune must NOT invalidate them (a full per-object rebuild + upload
+    on the synthesis thread risks an underrun), while a change to ``a``
+    must."""
+    from openpbso_tpu.runtime.session import ModalSession
+    from openpbso_tpu.runtime.solver import SolverConfig
+
+    md = synth_mode_data(10, 8, seed=13)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=3, block_size=S)
+    sess = ModalSession(bank, config=SolverConfig(block_size=S),
+                        num_slots=4, lam64=lam64)
+    sess.ar_span_table(4)
+    assert sess._ar_g
+    a0 = tuple(sess._ar_host[1])
+    sess.set_ar_params(1, a=a0, sigma=0.5, mu=0.9)     # sigma/mu only
+    assert sess._ar_g, "a unchanged: cached tables must survive"
+    assert float(sess.state.sustained.sigma[1]) == np.float32(0.5)
+    assert float(sess.state.sustained.mu[1]) == np.float32(0.9)
+    sess.set_ar_params(1, a=(0.9, 0.05), sigma=0.5, mu=0.9)
+    assert not sess._ar_g, "a changed: tables must be invalidated"
+
+
 def test_retuned_drag_span_matches_block_sequence(dberr):
     """Round-3 VERDICT item 3 contract: a RETUNED drag rendered on the
     span path matches per-block stepping at <= -60 dB."""
