@@ -276,8 +276,13 @@ def ar_impulse_g(a: np.ndarray, length: int) -> np.ndarray:
     ``a``: [2] or [O, 2]; returns [O, length+1] (callers cast to the
     device dtype). Evaluated in closed form from the characteristic
     roots (g[d] = (r1^(d+1) - r2^(d+1))/(r1 - r2)) so quarter-million-
-    sample tables build in microseconds; near-degenerate roots fall back
-    to the literal recurrence.
+    sample tables build in microseconds. Near-degenerate roots (the
+    closed form cancels catastrophically there) use the binomial
+    expansion in e2 = a1^2/4 + a2 instead: g[d] = (d+1) r^d +
+    C(d+1,3) r^(d-2) e2 + C(d+1,5) r^(d-4) e2^2 + ..., which within the
+    fallback region (|e2| <= 2.5e-17 r^2, d <= ~2^18) is f64-exact after
+    three terms — no per-sample Python loop (a live retune to a
+    critically damped tuning must not stall the synthesis thread).
     """
     a = np.atleast_2d(np.asarray(a, np.float64))
     o = a.shape[0]
@@ -295,13 +300,17 @@ def ar_impulse_g(a: np.ndarray, length: int) -> np.ndarray:
                      / (r1[ok] - r2[ok])).real
     if not ok.all():
         idx = np.nonzero(~ok)[0]
-        gl = np.zeros((len(idx), length + 1))
-        gl[:, 0] = 1.0
-        if length >= 1:
-            gl[:, 1] = a[idx, 0]
-        for k in range(2, length + 1):
-            gl[:, k] = a[idx, 0] * gl[:, k - 1] + a[idx, 1] * gl[:, k - 2]
-        g[idx] = gl
+        r = half[idx]                                   # [k, 1] real
+        e2 = (half * half + a[:, 1:2])[idx]             # [k, 1] ~ 0
+        dp1 = d + 1.0
+        c3 = dp1 * (dp1 - 1) * (dp1 - 2) / 6.0
+        c5 = c3 * (dp1 - 3) * (dp1 - 4) / 20.0
+        with np.errstate(over="ignore", invalid="ignore"):
+            t0 = dp1 * r ** d
+            t1 = np.where(d >= 2, c3 * r ** np.maximum(d - 2, 0), 0.0) * e2
+            t2 = np.where(d >= 4, c5 * r ** np.maximum(d - 4, 0),
+                          0.0) * (e2 * e2)
+        g[idx] = t0 + t1 + t2
     return g
 
 

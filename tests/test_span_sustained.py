@@ -407,13 +407,21 @@ def test_ar_impulse_g_closed_form_matches_recurrence():
         for d in range(2, n + 1):
             ref[d] = a[0] * ref[d - 1] + a[1] * ref[d - 2]
         np.testing.assert_allclose(g, ref, rtol=0, atol=1e-10)
-    # exactly-degenerate roots (a1^2/4 + a2 == 0) take the loop fallback
-    g = ar_impulse_g((1.0, -0.25), 50)[0]
-    ref = np.zeros(51)
-    ref[0], ref[1] = 1.0, 1.0
-    for d in range(2, 51):
-        ref[d] = ref[d - 1] - 0.25 * ref[d - 2]
-    np.testing.assert_allclose(g, ref, rtol=0, atol=1e-12)
+    # (near-)degenerate roots (a1^2/4 + a2 ~ 0) take the binomial-
+    # expansion fallback — vectorized, no per-sample loop; check it
+    # against the literal recurrence over a long table, at exactly
+    # degenerate, perturbed-degenerate, and the trivial a=0 tunings
+    for a in ((1.0, -0.25), (1.0, -0.25 + 1e-18), (1.8, -0.81),
+              (0.0, 0.0)):
+        n = 4096
+        g = ar_impulse_g(a, n)[0]
+        ref = np.zeros(n + 1)
+        ref[0], ref[1] = 1.0, a[0]
+        for d in range(2, n + 1):
+            ref[d] = a[0] * ref[d - 1] + a[1] * ref[d - 2]
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(g, ref, rtol=0, atol=1e-12 * scale)
+        assert np.isfinite(g).all()
 
 
 @pytest.mark.parametrize("glen_blocks", [2, 4, 8])
