@@ -215,11 +215,19 @@ def test_lookahead1_span_live_path():
     engine = StreamingEngine(sess, sink, lookahead=1)
     engine.start()
     engine.hit(0, np.ones(16), kind="gaussian", width_us=500.0)
-    deadline = time.time() + 30
+    # wait on PRODUCED blocks, generously: under heavy host load the
+    # first span dispatch can compile for tens of seconds, during which
+    # the consume loop pads the sink with silent underrun blocks — a
+    # short fixed deadline then asserts on all-zero padding (observed
+    # flake). The explicit progress assert keeps a genuine hang loud.
+    deadline = time.time() + 120
     while time.time() < deadline and engine._blocks_done < 20:
         time.sleep(0.05)
+    produced = engine._blocks_done
     engine.stop()
     assert engine.error is None
+    assert produced >= 20, \
+        f"engine produced only {produced} blocks in 120 s"
     audio = sink.concatenated()
     assert np.abs(audio).max() > 0
     # the span path compiled single-block tables => it actually ran

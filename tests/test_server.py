@@ -1101,8 +1101,16 @@ def test_per_client_listener_rows_survive_engine_restart():
             restarted = any("restarted" in m for m in a.messages)
         assert restarted, a.messages
         # the NEW session's slot-0 row matches the client's moved view,
-        # not the default listener
+        # not the default listener. The rebuilt engine re-applies the
+        # slot rows as an EVENT on its synth thread — reading once right
+        # after the restart announcement raced that apply (observed
+        # flake under host load); wait for the row to converge.
+        deadline = time.time() + 30
         row_after = np.asarray(sessions[-1].state.transfer[0, 0])
+        while time.time() < deadline and \
+                not np.allclose(row_after, row_before, rtol=1e-6):
+            a.read_block()
+            row_after = np.asarray(sessions[-1].state.transfer[0, 0])
         np.testing.assert_allclose(row_after, row_before, rtol=1e-6)
         a.send(cmd="quit")
         a.close()
