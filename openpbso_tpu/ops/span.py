@@ -422,16 +422,23 @@ def _chunk_start_states(z_re, z_im, inj_re, inj_im,
         # group injection: INJ_g = sum_j lam^((G-1-j)C) inj[g, j]
         wfr = jnp.flip(s_re[:, :g], axis=1)            # [Og, G, M]
         wfi = jnp.flip(s_im[:, :g], axis=1)
+        def esum(spec, a, b):
+            # these contract up to G=32 bf16-rounded products into the
+            # CHUNK-START STATES feeding the whole span's homogeneous
+            # render — the same -52.6 dB default-precision trap as every
+            # other correctness-critical contraction (docs/PERF.md)
+            return jnp.einsum(spec, a, b, precision=PRECISION)
+
         if shared:
-            inj_g_re = (jnp.einsum("oxjm,jm->oxm", ir, wfr[0])
-                        - jnp.einsum("oxjm,jm->oxm", ii, wfi[0]))
-            inj_g_im = (jnp.einsum("oxjm,jm->oxm", ir, wfi[0])
-                        + jnp.einsum("oxjm,jm->oxm", ii, wfr[0]))
+            inj_g_re = (esum("oxjm,jm->oxm", ir, wfr[0])
+                        - esum("oxjm,jm->oxm", ii, wfi[0]))
+            inj_g_im = (esum("oxjm,jm->oxm", ir, wfi[0])
+                        + esum("oxjm,jm->oxm", ii, wfr[0]))
         else:
-            inj_g_re = (jnp.einsum("oxjm,ojm->oxm", ir, wfr)
-                        - jnp.einsum("oxjm,ojm->oxm", ii, wfi))
-            inj_g_im = (jnp.einsum("oxjm,ojm->oxm", ir, wfi)
-                        + jnp.einsum("oxjm,ojm->oxm", ii, wfr))
+            inj_g_re = (esum("oxjm,ojm->oxm", ir, wfr)
+                        - esum("oxjm,ojm->oxm", ii, wfi))
+            inj_g_im = (esum("oxjm,ojm->oxm", ir, wfi)
+                        + esum("oxjm,ojm->oxm", ii, wfr))
 
     def gbody(carry, inj_x):
         zr, zi = carry
@@ -465,16 +472,19 @@ def _chunk_start_states(z_re, z_im, inj_re, inj_im,
     didx = jnp.asarray(delta.clip(0))
     t2_re = jnp.take(gp2_re, didx, axis=1)             # [Og, G, G, M]
     t2_im = jnp.take(gp2_im, didx, axis=1)
+    def esum2(spec, a, b):
+        return jnp.einsum(spec, a, b, precision=PRECISION)
+
     if shared:
-        mix_re = (jnp.einsum("oxim,jim->oxjm", ir, t2_re[0])
-                  - jnp.einsum("oxim,jim->oxjm", ii, t2_im[0]))
-        mix_im = (jnp.einsum("oxim,jim->oxjm", ir, t2_im[0])
-                  + jnp.einsum("oxim,jim->oxjm", ii, t2_re[0]))
+        mix_re = (esum2("oxim,jim->oxjm", ir, t2_re[0])
+                  - esum2("oxim,jim->oxjm", ii, t2_im[0]))
+        mix_im = (esum2("oxim,jim->oxjm", ir, t2_im[0])
+                  + esum2("oxim,jim->oxjm", ii, t2_re[0]))
     else:
-        mix_re = (jnp.einsum("oxim,ojim->oxjm", ir, t2_re)
-                  - jnp.einsum("oxim,ojim->oxjm", ii, t2_im))
-        mix_im = (jnp.einsum("oxim,ojim->oxjm", ir, t2_im)
-                  + jnp.einsum("oxim,ojim->oxjm", ii, t2_re))
+        mix_re = (esum2("oxim,ojim->oxjm", ir, t2_re)
+                  - esum2("oxim,ojim->oxjm", ii, t2_im))
+        mix_im = (esum2("oxim,ojim->oxjm", ir, t2_im)
+                  + esum2("oxim,ojim->oxjm", ii, t2_re))
     zs_re = (car_re + mix_re).reshape(o, x, m)
     zs_im = (car_im + mix_im).reshape(o, x, m)
     return zr_f, zi_f, zs_re, zs_im
