@@ -395,3 +395,60 @@ def test_sharded_retuned_sustained_span(dberr):
     b = ref.render_multi(8, blocks_per_dispatch=4)
     assert np.abs(b).max() > 0
     assert dberr(a, b) <= -60
+
+
+@pytest.mark.parametrize("case", ["impact", "sustained", "complex"])
+def test_span_dispatch_exactly_one_psum(case):
+    """The SPMD span's headline ICI property, verified STRUCTURALLY in
+    the compiled HLO (real multi-chip hardware is unavailable; this pins
+    the claim the docstring makes): one span dispatch lowers to exactly
+    ONE all-reduce, of the [N, C] mix — the mode-partial hom/g sums stay
+    partial through the linear conv/mixdown and reduce together with the
+    object-axis sum (parallel/sharding.py::make_sharded_span) — and to
+    NO other collective at all. The sustained AR(2) channel and complex
+    transfer rows must not add communication."""
+    import re
+
+    from openpbso_tpu.ops.forces import ar_impulse_g
+    from openpbso_tpu.ops.span import build_span_tables
+    from openpbso_tpu.parallel.sharding import make_sharded_span
+    from openpbso_tpu.runtime.state import make_solver_state
+
+    md = synth_mode_data(48, 4, seed=1)
+    lam64, _, _ = lambda_from_modes(CERAMIC.density, md.omega_squared,
+                                    CERAMIC.alpha, CERAMIC.beta)
+    o, s, nb = 8, 128, 8
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta, num_objects=o,
+                              block_size=s, pad_modes_to=256)
+    tables = build_span_tables(lam64, nb * s, num_modes=bank.num_modes)
+    mesh = make_mesh(4, 2)
+    state = make_solver_state(o, bank.num_modes, num_slots=4,
+                              dtype=jnp.float32)
+    gains = jnp.ones((o, 2), jnp.float32)
+    args = [state, bank, tables, gains]
+    kw = {}
+    if case == "sustained":
+        kw["with_sustained"] = True
+        args.append(jnp.asarray(ar_impulse_g((0.783, 0.116), s),
+                                jnp.float32))
+    if case == "complex":
+        kw["complex_rows"] = True
+        import dataclasses
+        rng = np.random.default_rng(3)
+        args[0] = dataclasses.replace(
+            state,
+            transfer=jnp.asarray(rng.uniform(0.5, 1.5, (o, bank.num_modes)),
+                                 jnp.float32),
+            transfer_im=jnp.asarray(
+                rng.uniform(-0.5, 0.5, (o, bank.num_modes)), jnp.float32))
+    step = make_sharded_span(mesh, bank, tables, n_blocks=nb,
+                             block_size=s, **kw)
+    hlo = jax.jit(step).lower(*args).compile().as_text()
+    n_ar = len(re.findall(r"\ball-reduce\b(?!-start|-done)", hlo))
+    assert n_ar == 1, f"{case}: expected exactly 1 all-reduce, got {n_ar}"
+    shapes = re.findall(r"= (\S+) all-reduce\(", hlo)
+    assert shapes == [f"f32[{nb * s},2]{{1,0}}"], shapes
+    for op in ("all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        assert not re.search(rf"\b{op}\b", hlo), f"{case}: stray {op}"
