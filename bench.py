@@ -133,7 +133,7 @@ def time_pipelined(bank, state, gains, s, backend, iters=64):
 
 
 def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
-              num_slots=1, sustained=False):
+              num_slots=1, sustained=False, hetero_superchunk=False):
     """Span dispatch (ops/span.py): one MXU dispatch per n_blocks.
 
     The headline path for both bank layouts: the chunked span renders
@@ -153,7 +153,8 @@ def time_span(bank, lam64, state, gains, s, n_blocks=128, iters=4,
     from openpbso_tpu.ops.span import build_span_tables
     from openpbso_tpu.runtime.solver import step_span
     tables = build_span_tables(lam64, n_blocks * s,
-                               num_modes=bank.num_modes)
+                               num_modes=bank.num_modes,
+                               hetero_superchunk=hetero_superchunk)
     ar_g = None
     if sustained:
         from openpbso_tpu.ops.forces import ar_impulse_g, span_group
@@ -272,6 +273,7 @@ def main():
     backend = "blocked"
     hetero = False
     sustained = False
+    hsc = False
     nblocks = 32
     listeners = 1
     for arg in sys.argv[1:]:
@@ -287,6 +289,8 @@ def main():
             hetero = True
         elif arg == "--sustained":
             sustained = True
+        elif arg == "--hetero-superchunk":
+            hsc = True
         elif arg.startswith("--listeners="):
             listeners = int(arg.split("=", 1)[1])
         elif arg.startswith("--nblocks="):
@@ -373,7 +377,7 @@ def main():
                                           need_tables=False,
                                           listeners=listeners)
         sps = time_span(bank, lam64, state, gains, s, n_blocks=nb,
-                        sustained=sustained)
+                        sustained=sustained, hetero_superchunk=hsc)
         how = f"span dispatch ({nb} blocks, "
         how += ("sustained-only bucket)" if sustained else "1-slot bucket)")
         if sustained:

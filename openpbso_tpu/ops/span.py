@@ -187,6 +187,7 @@ def build_span_tables(
     shared: bool | None = None,
     dtype=jnp.float32,
     form: str = "auto",
+    hetero_superchunk: bool = False,
 ):
     """Span tables from the float64 eigenvalues (NOT the bank's f32 cast:
     lam^N amplifies base rounding by N, so the f64 source is required —
@@ -220,13 +221,16 @@ def build_span_tables(
         b = np.moveaxis(_power_table(src, r), -1, 1)
         x = span // r
         # two-level hierarchy: group G chunks per superchunk so the
-        # X-step serial scan shrinks to X/G (the [G, G] within-group
-        # mixing becomes matmuls). SHARED banks only: measured +3% RTF
-        # (84-85 -> 87.4 at 256x1024 nb=512); for hetero banks the
-        # per-object [O, G, G, M] mixing einsums cost MORE than the scan
-        # they replace (nb=512 RTF 73-76 -> 55.8 measured at G=8), so
-        # hetero spans keep the single-level scan.
-        g_cap = 32 if shared else 1
+        # X-step serial scan shrinks to X/G (shared banks: the [G, G]
+        # within-group mixing becomes matmuls; measured +3% RTF,
+        # 84-85 -> 87.4 at 256x1024 nb=512). For PER-OBJECT banks the
+        # round-3 einsum form was reverted (its [O, G, G, M] mixing
+        # tables cost more than the scan, nb=512 RTF 73-76 -> 55.8 at
+        # G=8); the round-4 scan-mix form (_chunk_start_states pass
+        # A/C: 2G + X/G serial steps, no blowup table) is OPT-IN via
+        # ``hetero_superchunk`` pending a TPU A/B — parity is
+        # contract-tested either way (tests/test_span.py).
+        g_cap = 32 if (shared or hetero_superchunk) else 1
         g = 1
         if x >= 64:
             for cand in range(min(g_cap, x), 1, -1):
@@ -419,26 +423,44 @@ def _chunk_start_states(z_re, z_im, inj_re, inj_im,
     if not decay:
         ir = inj_re.reshape(o, xg, g, m)
         ii = inj_im.reshape(o, xg, g, m)
-        # group injection: INJ_g = sum_j lam^((G-1-j)C) inj[g, j]
-        wfr = jnp.flip(s_re[:, :g], axis=1)            # [Og, G, M]
-        wfi = jnp.flip(s_im[:, :g], axis=1)
-        def esum(spec, a, b):
-            # these contract up to G=32 bf16-rounded products into the
-            # CHUNK-START STATES feeding the whole span's homogeneous
-            # render — the same -52.6 dB default-precision trap as every
-            # other correctness-critical contraction (docs/PERF.md)
-            return jnp.einsum(spec, a, b, precision=PRECISION)
-
         if shared:
+            # group injection: INJ_g = sum_j lam^((G-1-j)C) inj[g, j]
+            wfr = jnp.flip(s_re[:, :g], axis=1)        # [1, G, M]
+            wfi = jnp.flip(s_im[:, :g], axis=1)
+
+            def esum(spec, a, b):
+                # these contract up to G=32 bf16-rounded products into
+                # the CHUNK-START STATES feeding the whole span's
+                # homogeneous render — the same -52.6 dB default-
+                # precision trap as every other correctness-critical
+                # contraction (docs/PERF.md)
+                return jnp.einsum(spec, a, b, precision=PRECISION)
+
             inj_g_re = (esum("oxjm,jm->oxm", ir, wfr[0])
                         - esum("oxjm,jm->oxm", ii, wfi[0]))
             inj_g_im = (esum("oxjm,jm->oxm", ir, wfi[0])
                         + esum("oxjm,jm->oxm", ii, wfr[0]))
         else:
-            inj_g_re = (esum("oxjm,ojm->oxm", ir, wfr)
-                        - esum("oxjm,ojm->oxm", ii, wfi))
-            inj_g_im = (esum("oxjm,ojm->oxm", ir, wfi)
-                        + esum("oxjm,ojm->oxm", ii, wfr))
+            # PER-OBJECT banks, three-pass scan form (round 4): the
+            # einsum form's [O, G, G, M] mixing tables cost more HBM
+            # than the single-level scan they replaced (the round-3
+            # hetero revert). Group-aggregated injections instead ride
+            # a G-step scan over [O, X/G, M] — every group in parallel,
+            # only lam^C needed — cutting the serial length to
+            # 2G + X/G (pass C below emits the interiors the same way).
+            pc_re = b_re[:, c][:, None, :]             # lam^C [O, 1, M]
+            pc_im = b_im[:, c][:, None, :]
+            ir_j = jnp.moveaxis(ir, 2, 0)              # [G, O, XG, M]
+            ii_j = jnp.moveaxis(ii, 2, 0)
+
+            def abody(carry, inj_j):
+                ar, ai = carry
+                return (pc_re * ar - pc_im * ai + inj_j[0],
+                        pc_im * ar + pc_re * ai + inj_j[1]), None
+
+            zero = jnp.zeros((o, xg, m), ir.dtype)
+            (inj_g_re, inj_g_im), _ = jax.lax.scan(
+                abody, (zero, zero), (ir_j, ii_j))
 
     def gbody(carry, inj_x):
         zr, zi = carry
@@ -456,6 +478,22 @@ def _chunk_start_states(z_re, z_im, inj_re, inj_im,
     zg_re = jnp.moveaxis(zg_re, 0, 1)                  # [O, XG, M]
     zg_im = jnp.moveaxis(zg_im, 0, 1)
 
+    if not decay and not shared:
+        # pass C: re-run the within-group recurrence from every group's
+        # start state simultaneously, emitting the interior chunk starts
+        # (z emitted BEFORE the update = start-of-chunk state)
+        def cbody(carry, inj_j):
+            wr, wi = carry
+            return (pc_re * wr - pc_im * wi + inj_j[0],
+                    pc_im * wr + pc_re * wi + inj_j[1]), (wr, wi)
+
+        _, (ws_re, ws_im) = jax.lax.scan(cbody, (zg_re, zg_im),
+                                         (ir_j, ii_j))
+        # ws [G, O, XG, M] -> x-major [O, X, M] with x = q*G + j
+        zs_re = jnp.moveaxis(ws_re, 0, 2).reshape(o, x, m)
+        zs_im = jnp.moveaxis(ws_im, 0, 2).reshape(o, x, m)
+        return zr_f, zi_f, zs_re, zs_im
+
     # interior starts: lam^(jC) Z_g (carry term) + within-group mixing
     car_re = (zg_re[:, :, None, :] * s_re[:, None, :g, :]
               - zg_im[:, :, None, :] * s_im[:, None, :g, :])
@@ -470,21 +508,16 @@ def _chunk_start_states(z_re, z_im, inj_re, inj_im,
     gp2_im = jnp.concatenate([jnp.zeros_like(s_im[:, :1]), s_im], axis=1)
     delta = np.arange(g)[:, None] - np.arange(g)[None, :]   # j - i
     didx = jnp.asarray(delta.clip(0))
-    t2_re = jnp.take(gp2_re, didx, axis=1)             # [Og, G, G, M]
+    t2_re = jnp.take(gp2_re, didx, axis=1)             # [1, G, G, M]
     t2_im = jnp.take(gp2_im, didx, axis=1)
+
     def esum2(spec, a, b):
         return jnp.einsum(spec, a, b, precision=PRECISION)
 
-    if shared:
-        mix_re = (esum2("oxim,jim->oxjm", ir, t2_re[0])
-                  - esum2("oxim,jim->oxjm", ii, t2_im[0]))
-        mix_im = (esum2("oxim,jim->oxjm", ir, t2_im[0])
-                  + esum2("oxim,jim->oxjm", ii, t2_re[0]))
-    else:
-        mix_re = (esum2("oxim,ojim->oxjm", ir, t2_re)
-                  - esum2("oxim,ojim->oxjm", ii, t2_im))
-        mix_im = (esum2("oxim,ojim->oxjm", ir, t2_im)
-                  + esum2("oxim,ojim->oxjm", ii, t2_re))
+    mix_re = (esum2("oxim,jim->oxjm", ir, t2_re[0])
+              - esum2("oxim,jim->oxjm", ii, t2_im[0]))
+    mix_im = (esum2("oxim,jim->oxjm", ir, t2_im[0])
+              + esum2("oxim,jim->oxjm", ii, t2_re[0]))
     zs_re = (car_re + mix_re).reshape(o, x, m)
     zs_im = (car_im + mix_im).reshape(o, x, m)
     return zr_f, zi_f, zs_re, zs_im

@@ -270,19 +270,14 @@ def test_superchunk_hierarchy_matches_single_level(layout, dberr):
         assert tables.superchunk > 1, "expected superchunk tables at X=64"
     else:
         # hetero spans keep the single-level scan by default (the
-        # per-object mixing measured slower, ops/span.py); build the
-        # hierarchy manually so its hetero math path stays covered
-        from openpbso_tpu.ops.coeffs import _power_table
+        # round-3 einsum mixing measured slower, ops/span.py); the
+        # round-4 scan-mix form (pass A/C in _chunk_start_states) is
+        # opt-in via hetero_superchunk pending its TPU A/B
         assert tables.superchunk == 1
-        g = 8
-        lam_pad = np.pad(np.atleast_2d(lam64),
-                         ((0, 0), (0, bank.num_modes - lam64.shape[-1])))
-        s = np.moveaxis(_power_table(
-            lam_pad, np.arange(g + 1, dtype=np.int64) * S), -1, 1)
-        tables = dc.replace(tables,
-                            s_re=jnp.asarray(s.real, jnp.float32),
-                            s_im=jnp.asarray(s.imag, jnp.float32))
-        assert tables.superchunk == g
+        tables = build_span_tables(lam64, n_blocks * S,
+                                   num_modes=bank.num_modes, radix=S,
+                                   hetero_superchunk=True)
+        assert tables.superchunk == 32
     flat = dc.replace(tables, s_re=None, s_im=None)   # single-level ref
 
     state = _seeded_state(bank, n_blocks)
