@@ -274,6 +274,7 @@ def main():
     hetero = False
     sustained = False
     hsc = False
+    platform = None
     nblocks = 32
     listeners = 1
     for arg in sys.argv[1:]:
@@ -291,10 +292,18 @@ def main():
             sustained = True
         elif arg == "--hetero-superchunk":
             hsc = True
+        elif arg.startswith("--platform="):
+            platform = arg.split("=", 1)[1]
         elif arg.startswith("--listeners="):
             listeners = int(arg.split("=", 1)[1])
         elif arg.startswith("--nblocks="):
             nblocks = int(arg.split("=", 1)[1])
+    if platform:
+        # CI / smoke runs: force a backend before first device use (env
+        # vars are too late — the image's sitecustomize pre-imports jax
+        # with JAX_PLATFORMS=axon). Children inherit the flag via argv.
+        import jax
+        jax.config.update("jax_platforms", platform)
     explicit_mode = any(f in sys.argv
                         for f in ("--multi", "--pipelined", "--span"))
     if not explicit_mode:
@@ -342,8 +351,12 @@ def main():
                     _forward_mfu(r.stderr)
                     print(line, flush=True)
                     if not hetero and not sustained:
-                        _hetero_stderr_line()
-                        _sustained_stderr_line()
+                        keep = ("--objects=", "--modes=", "--block=",
+                                "--platform=", "--hetero-superchunk")
+                        thru = [a for a in child_args
+                                if a.startswith(keep)]
+                        _hetero_stderr_line(thru)
+                        _sustained_stderr_line(thru)
                     return
             # child exited WITHOUT a result line — usually the TPU
             # backend was unavailable (tunnel outage), which recovers
@@ -431,7 +444,7 @@ def _forward_mfu(child_stderr: str, prefix: str = ""):
             return
 
 
-def _hetero_stderr_line():
+def _hetero_stderr_line(thru=()):
     """Track the heterogeneous-bank gap every round alongside the shared
     headline (round-1 judge request): guarded children, stderr only so the
     stdout JSON contract stays single-line.
@@ -457,7 +470,7 @@ def _hetero_stderr_line():
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--skip-single",
-                 "--hetero"] + args,
+                 "--hetero"] + args + list(thru),
                 capture_output=True, text=True, timeout=budget)
         except subprocess.TimeoutExpired:
             continue
@@ -472,7 +485,7 @@ def _hetero_stderr_line():
           file=sys.stderr, flush=True)
 
 
-def _sustained_stderr_line():
+def _sustained_stderr_line(thru=()):
     """Track the sustained-drag span rate per round (round-2 VERDICT
     item 2: the AR(2) channel is span-formed; its RTF should sit within
     ~2x of the impact headline). Guarded children with one retry (the
@@ -484,7 +497,8 @@ def _sustained_stderr_line():
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--span",
-                 "--skip-single", "--sustained", "--nblocks=512"],
+                 "--skip-single", "--sustained", "--nblocks=512"]
+                + list(thru),
                 capture_output=True, text=True, timeout=budget)
         except subprocess.TimeoutExpired:
             print(f"sustained: attempt timed out ({budget}s)",
