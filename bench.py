@@ -366,7 +366,7 @@ def main():
             print(f"{mode} child exited rc={r.returncode} with no result"
                   + (f" ({tail[-1][:160]})" if tail else ""),
                   file=sys.stderr, flush=True)
-            if time.perf_counter() - t_child < 60:
+            if time.perf_counter() - t_child < 60 and _outage(r.stderr):
                 time.sleep(120)
         # even the guarded pipelined children failed: emit an HONEST
         # last-resort line so the driver's record is never empty
@@ -435,6 +435,15 @@ def main():
           f"{s / SAMPLE_RATE * 1e3:.2f} ms deadline)", file=sys.stderr)
 
 
+def _outage(child_stderr: str | None) -> bool:
+    """True when a child's fast failure looks like a TPU-tunnel outage
+    (which recovers with idle time and earns a pause) rather than a
+    deterministic crash (which should fail fast — a regression that
+    insta-crashes every child must not burn 10 min of sleeps)."""
+    s = child_stderr or ""
+    return "UNAVAILABLE" in s or "Unable to initialize backend" in s
+
+
 def _forward_mfu(child_stderr: str, prefix: str = ""):
     """Relay a guarded child's mfu stderr line (children run with
     capture_output, so their breakdown would otherwise be dropped)."""
@@ -479,7 +488,7 @@ def _hetero_stderr_line(thru=()):
                 print(f"hetero: {label}{line}", file=sys.stderr, flush=True)
                 _forward_mfu(r.stderr, "hetero ")
                 return
-        if time.perf_counter() - t_child < 60:
+        if time.perf_counter() - t_child < 60 and _outage(r.stderr):
             time.sleep(90)   # fast crash = backend outage; let it recover
     print("hetero: no result (all fallbacks lost the compile race)",
           file=sys.stderr, flush=True)
@@ -510,7 +519,7 @@ def _sustained_stderr_line(thru=()):
                       flush=True)
                 _forward_mfu(r.stderr, "sustained ")
                 return
-        if time.perf_counter() - t_child < 60:
+        if time.perf_counter() - t_child < 60 and _outage(r.stderr):
             time.sleep(90)   # fast crash = backend outage; let it recover
     print("sustained: no result (compile race lost twice)",
           file=sys.stderr, flush=True)

@@ -998,6 +998,11 @@ class BroadcastAudioServer(AudioServer):
             if ll is not None and getattr(session, "listener_frame",
                                           None) is None:
                 ll = np.asarray(ll, np.float64)
+                if ll.ndim == 2 and ll.shape == (1, 3):
+                    # a single point in row form — unambiguous (either
+                    # one listener's world point or an O==1 per-object
+                    # row, which is the same point)
+                    ll = ll[0]
                 # only shapes that are unambiguously world positions: one
                 # point, or one point per listener (per-object relative
                 # rows share neither shape unless O == L, which we skip)

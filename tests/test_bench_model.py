@@ -21,6 +21,9 @@ from openpbso_tpu.runtime.state import make_solver_state
 from openpbso_tpu.utils.synth import CERAMIC, synth_mode_data
 
 
+@pytest.mark.slow   # compiles two 64x256 span executables — the
+#   heaviest CPU compiles in the suite; a telemetry guard, not core
+#   correctness, so it stays out of the driver's in-round budget
 @pytest.mark.parametrize("sustained", [False, True])
 def test_span_flop_model_matches_xla_cost_analysis(sustained):
     o, m, s, nb = 64, 256, 512, 32
