@@ -17,20 +17,37 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_recovery.log
 stamp() { date -u +%H:%M:%S; }
-run() {
-  local label="$1"; shift
+run() {  # run <budget_s> <label> <cmd...>
+  local budget="$1" label="$2"; shift 2
   echo "=== $(stamp) $label: $*" >> "$LOG"
-  timeout 700 "$@" >> "$LOG" 2>&1
+  timeout "$budget" "$@" >> "$LOG" 2>&1
   echo "--- $(stamp) rc=$?" >> "$LOG"
 }
 echo "==== $(stamp) recovery run start ====" >> "$LOG"
-run "warm+measure shared (precision-pinned HLO)" \
+run 700 "warm+measure shared (precision-pinned HLO)" \
     python bench.py --span --skip-single
-run "warm+measure sustained (precision-pinned HLO)" \
+run 700 "warm+measure sustained (precision-pinned HLO)" \
     python bench.py --span --sustained --nblocks=512 --skip-single
-run "warm+measure hetero nb=1024 (unchanged HLO)" \
+run 700 "warm+measure hetero nb=1024 (unchanged HLO)" \
     python bench.py --span --hetero --nblocks=1024 --skip-single
-run "A/B hetero scan-mix superchunk" \
+run 700 "A/B hetero scan-mix superchunk" \
     python bench.py --span --hetero --nblocks=1024 --skip-single \
     --hetero-superchunk
+# 5. device parity at the library-default HIGHEST precision: first
+#    end-to-end validation of the precision pins on the real MXU; also
+#    warms the bench ladder's nb=64 fallback executables.
+run 1200 "device parity (HIGHEST)" python tools/tpu_parity.py
+# 6-7 (opt-in, RUN_HIGH=1): the PRECISION=high experiment. Decision rule
+#    for flipping the library default (ops/integrator.PRECISION):
+#    (a) compile service healthy (steps 1-5 fast), (b) parity at HIGH
+#    <= -70 dB on ALL rungs, (c) shared RTF win >= 5%. All-new HLOs:
+#    only run while plenty of round time remains.
+if [ "${RUN_HIGH:-0}" = "1" ]; then
+  run 1200 "device parity (HIGH)" env OPENPBSO_MATMUL_PRECISION=high \
+      python tools/tpu_parity.py
+  run 700 "shared RTF at HIGH" env OPENPBSO_MATMUL_PRECISION=high \
+      python bench.py --span --skip-single
+  run 700 "sustained RTF at HIGH" env OPENPBSO_MATMUL_PRECISION=high \
+      python bench.py --span --sustained --nblocks=512 --skip-single
+fi
 echo "==== $(stamp) recovery run done ====" >> "$LOG"
