@@ -380,6 +380,10 @@ def main():
             "value": 0.0,
             "unit": "samples/s",
             "vs_baseline": 0.0,
+            # machine-readable outage marker so consumers that trend the
+            # numbers can drop this line instead of reading a tunnel
+            # outage as a performance collapse (round-4 advisor finding)
+            "status": "no_measurement",
         }), flush=True)
         return
 

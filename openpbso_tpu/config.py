@@ -31,6 +31,14 @@ DEFAULT_AUDIBLE_FREQ = 20000.0   # Hz             (real_time_modal_sound.cpp:328
 
 FILE_NOT_EXIST = "__NA_FILE"     # CLI sentinel   (config.h:11)
 
+REBASE_PERIOD = 1 << 30          # samples between device-clock re-zeroes
+#   (~6.7 h at 44.1 kHz; 2x headroom before int32 wrap even if a rebase
+#   is missed for a full extra period). Shared by the session's rebase
+#   (runtime/session.py::_maybe_rebase) and the counter-derived sustained
+#   noise index (ops/forces.py::_noise_for_blocks), which wraps modulo
+#   this period so live stepping and timeline bakes stay bit-identical
+#   across the boundary.
+
 SOUND_SPEED = 343.0              # m/s, air at ~20C; the value implied by the
 #   FFAT wavenumbers k = omega/c the offline wavesolver fits against
 #   (ffat_solver.h:44-53 h0(kr) kernel). Used by the beyond-reference

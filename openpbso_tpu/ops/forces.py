@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import REBASE_PERIOD
 from .integrator import PRECISION
 
 FORCE_NONE = 0
@@ -261,6 +262,24 @@ def make_sustained_state(num_objects: int, num_modes: int, seed: int = 0,
     )
 
 
+def ar_stability_radius(a) -> float:
+    """Largest characteristic-root magnitude of the AR(2) recurrence
+    mu[n] = a1 mu[n-1] + a2 mu[n-2] (roots of r^2 - a1 r - a2 = 0).
+
+    < 1 means the tuning is stable. set_ar_params rejects radius >= 1
+    before mutating any state: an unstable tuning makes ar_impulse_g's
+    r^(d+1) tables (up to ~262k samples) overflow to inf/NaN under
+    errstate(over='ignore') and silently poison the span output — and
+    the ``arparam`` command is reachable from the wire (round-4 advisor
+    finding). The reference never validates (forces.h:130-137) but its
+    per-sample recurrence merely diverges audibly instead of NaN-ing a
+    whole span."""
+    a = np.asarray(a, np.float64).reshape(2)
+    half = a[0] / 2.0
+    root = np.sqrt(np.complex128(half * half + a[1]))
+    return float(max(abs(half + root), abs(half - root)))
+
+
 def ar_impulse_g(a: np.ndarray, length: int) -> np.ndarray:
     """Host float64 impulse response of the AR(2) recurrence: g[d] for
     d in [0, length], with g[0] = 1, g[1] = a1, g[d] = a1 g[d-1] +
@@ -333,10 +352,22 @@ def _noise_for_blocks(key_data: jax.Array, block_start: jax.Array,
     noise stream repeats with that period — statistically irrelevant and
     inaudible (different AR state, different contact), documented for
     exactness.
+
+    The index is taken MODULO the rebase period in blocks (when the block
+    size divides it, which every power-of-two block size does): the
+    session's rebase quantizes its subtraction to whole REBASE_PERIOD
+    multiples (runtime/session.py::_maybe_rebase), so ``block_start`` at a
+    dispatch start is exactly ``absolute_clock mod REBASE_PERIOD`` — but a
+    span whose blocks straddle a period boundary would otherwise fold in
+    un-wrapped indices past the period while a live block-by-block engine
+    folds in wrapped ones. The mod makes the two streams bit-identical
+    across the boundary regardless of dispatch chunking.
     """
     keys = jax.vmap(jax.random.wrap_key_data)(key_data)          # [O]
     idx0 = (block_start // block_size).astype(jnp.int32)
     bidx = idx0 + jnp.arange(n_blocks, dtype=jnp.int32)          # [X]
+    if REBASE_PERIOD % block_size == 0:
+        bidx = bidx % jnp.int32(REBASE_PERIOD // block_size)
     nkeys = jax.vmap(
         lambda k: jax.vmap(lambda i: jax.random.fold_in(k, i))(bidx))(keys)
     return jax.vmap(jax.vmap(

@@ -244,6 +244,13 @@ class StreamingEngine:
         a = tuple(float(v) for v in a)
         if len(a) != 2:
             raise ValueError(f"AR(2) needs exactly 2 coefficients, got {a}")
+        from ..ops.forces import ar_stability_radius
+        if ar_stability_radius(a) >= 1.0:
+            # reject at enqueue (caller thread) — the session would raise
+            # on the synthesis thread, after the event was already queued
+            raise ValueError(
+                f"unstable AR(2) tuning a={a}: characteristic root "
+                f"magnitude >= 1")
         self._arprm.put(ArParamEvent(self._check_obj(obj), a,
                                      float(sigma), float(mu)))
 

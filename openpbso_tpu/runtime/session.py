@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT_BLOCK, UNIT_TRANSFER
+from ..config import DEFAULT_BLOCK, REBASE_PERIOD, UNIT_TRANSFER
 from ..ops.coeffs import ModalBank
 from ..ops.ffat import FFATMaps, compute_transfer
 from ..ops.forces import FORCE_GAUSSIAN, FORCE_POINT, ForceSlots
@@ -61,9 +61,11 @@ def _rebase_clock(state, delta: jax.Array):
             slots, t0=jnp.maximum(slots.t0 - delta, -(1 << 30))))
 
 
-# rebase the device clock origin after ~6.7 h of audio (headroom of 2x
-# before int32 wrap even if a rebase is missed for another full period)
-REBASE_PERIOD = 1 << 30
+# REBASE_PERIOD (re-exported from config.py above): the device clock
+# re-zeroes after ~6.7 h of audio, with 2x headroom before int32 wrap
+# even if a rebase is missed for another full period. It lives in
+# config.py because the sustained noise counter
+# (ops/forces._noise_for_blocks) wraps modulo the same period.
 
 
 @partial(jax.jit, donate_argnames=("slots",))
@@ -284,7 +286,17 @@ class ModalSession:
 
     def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
                       mu=0.142) -> None:
-        """Retune the AR(2) model live (forces.h:130-137; resets history)."""
+        """Retune the AR(2) model live (forces.h:130-137; resets history).
+
+        Rejects unstable tunings (characteristic root magnitude >= 1)
+        before mutating anything — see ops/forces.ar_stability_radius."""
+        from ..ops.forces import ar_stability_radius
+        radius = ar_stability_radius(a)
+        if radius >= 1.0:
+            raise ValueError(
+                f"unstable AR(2) tuning a={tuple(float(v) for v in a)}: "
+                f"characteristic root magnitude {radius:.4f} >= 1 (the "
+                f"impulse tables would overflow)")
         sus = self.state.sustained
         self.state = dataclasses.replace(
             self.state,
@@ -446,12 +458,25 @@ class ModalSession:
 
     def _maybe_rebase(self) -> None:
         """Re-zero the device clock origin before int32 wrap (see
-        _rebase_clock). Called at dispatch sites; cheap host compare."""
+        _rebase_clock). Called at dispatch sites; cheap host compare.
+
+        The subtraction is QUANTIZED to whole multiples of REBASE_PERIOD
+        (never the raw delta): the device clock is therefore always
+        ``absolute_clock mod REBASE_PERIOD`` at a dispatch start, no matter
+        how the stream was chunked into dispatches. Together with the
+        modular block index in ops/forces._noise_for_blocks this keeps the
+        counter-derived sustained noise bit-identical between a live engine
+        (block-sized dispatches) and a timeline bake (span-sized
+        dispatches) even across the ~6.7 h rebase boundary (round-4
+        advisor finding: an un-quantized rebase reset the noise counter at
+        chunking-dependent positions, silently breaking replay for
+        sessions longer than 2^30 samples)."""
         delta = self._clock - self._clock_base
         if delta >= REBASE_PERIOD:
+            sub = (delta // REBASE_PERIOD) * REBASE_PERIOD
             self.state = _rebase_clock(self.state,
-                                       jnp.asarray(delta, jnp.int32))
-            self._clock_base = self._clock
+                                       jnp.asarray(sub, jnp.int32))
+            self._clock_base += sub
 
     def decay_eligible(self) -> bool:
         """Whether this session can ever take the idle fast path: it needs
