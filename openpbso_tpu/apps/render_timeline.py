@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+from functools import partial
 
 import numpy as np
 
@@ -130,8 +131,11 @@ def bake(session, timeline: dict, model=None,
     split at each entry's block, the state change applies at the
     boundary, and the drag noise — keyed by (timeline ``seed``, block
     index) — matches a live session seeded identically, sample for
-    sample. Not combinable with ``doppler`` (the global delay resample
-    cannot be split at event boundaries)."""
+    sample. Combines with ``doppler``: the sound GENERATION splits at
+    event blocks (render_doppler's ``state_events``) while the global
+    delay resample still sees the complete pre-delay stream — a dragged
+    object under a moving listener bakes exactly like it played
+    (round-4 VERDICT item 4; drag semantics modal_solver.h:190-240)."""
     block = session.config.block_size
     n_blocks = int(np.ceil(float(timeline["duration_s"])
                            * SAMPLE_RATE / block))
@@ -140,11 +144,6 @@ def bake(session, timeline: dict, model=None,
     smooth = bool(timeline.get("smooth", True))
     sustained = sorted(timeline.get("sustained", []),
                        key=lambda e: float(e.get("t", 0.0)))
-    # validate BEFORE any session mutation: a caller that catches the
-    # error must get its session back unaltered (same drag noise keys)
-    if sustained and doppler:
-        raise ValueError("sustained timeline events cannot be combined "
-                         "with doppler (global delay resample)")
     schedule_events(session, timeline.get("events", []), model)
     if sustained and "seed" in timeline:
         _reseed_sustained(session, timeline["seed"])
@@ -152,9 +151,14 @@ def bake(session, timeline: dict, model=None,
     if keyframes:
         per_block = listener_blocks(keyframes, n_blocks, block)
         if doppler:
+            state_events = [
+                (min(int(round(float(ev.get("t", 0.0))
+                               * SAMPLE_RATE / block)), n_blocks),
+                 partial(_apply_sustained, ev=ev))
+                for ev in sustained]
             return session.render_doppler(
                 per_block, blocks_per_dispatch=blocks_per_dispatch,
-                smooth=smooth)
+                smooth=smooth, state_events=state_events)
         if session.ffat is None or not session.use_transfer:
             # no transfer maps: the listener path only matters for Doppler
             session.set_listener(per_block[0])

@@ -279,6 +279,11 @@ class StreamingEngine:
         if not self._record:
             raise ValueError("engine was not constructed with record=True")
         block_s = self.session.config.block_size / SAMPLE_RATE
+        # an engine streaming through a live-Doppler post-mix exports a
+        # Doppler timeline: "bake what you played" must replay the delay
+        # physics, not just the amplitude (round-4 VERDICT item 4)
+        doppler_live = (self._post_mix is not None
+                        and hasattr(self._post_mix, "on_listener"))
         events, listener, sustained, skipped = [], [], [], 0
         prev_pos = (self._initial_listener.tolist()
                     if self._initial_listener is not None else None)
@@ -296,12 +301,30 @@ class StreamingEngine:
                     skipped += 1   # per-object listener rows have no
                     #   single-keyframe representation in the schema
                     continue
-                if prev_pos is not None and t > 0:
+                if doppler_live:
+                    # live Doppler ramps the delay across the dispatch
+                    # AFTER the event applies (DopplerPostMix._run), so
+                    # the baked keyframes hold the OLD position at the
+                    # applied block and reach the new one a block later —
+                    # np.interp then reproduces the live delay trajectory
+                    # (exactly, for block-sized dispatches / lookahead=1;
+                    # span dispatches stretch the live ramp over the span
+                    # and the bake remains the block-accurate render).
+                    # The FFAT amplitude step consequently lands one
+                    # block later than live — delay-exact is the priority
+                    # (amplitude varies smoothly, delay errors decorrelate
+                    # waveforms).
+                    if prev_pos is not None and t > 0:
+                        listener.append({"t": t, "pos": prev_pos})
+                    listener.append({"t": t + block_s, "pos": pos.tolist()})
+                elif prev_pos is not None and t > 0:
                     # hold until one block before the move -> np.interp
                     # reproduces the live step at block granularity
                     listener.append({"t": max(t - block_s, 0.0),
                                      "pos": prev_pos})
-                listener.append({"t": t, "pos": pos.tolist()})
+                    listener.append({"t": t, "pos": pos.tolist()})
+                else:
+                    listener.append({"t": t, "pos": pos.tolist()})
                 prev_pos = pos.tolist()
             elif isinstance(ev, SustainedEvent):
                 rec = {"t": t, "obj": ev.obj, "action": ev.action}
@@ -327,6 +350,8 @@ class StreamingEngine:
                     / SAMPLE_RATE)
         out = {"duration_s": duration, "events": events,
                "smooth": self.session.config.smooth_transfer}
+        if doppler_live and listener:
+            out["doppler"] = True
         if listener:
             out["listener"] = listener
         if sustained:

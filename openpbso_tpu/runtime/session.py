@@ -1066,7 +1066,8 @@ class ModalSession:
     def render_doppler(self, positions: np.ndarray,
                        blocks_per_dispatch: int = 64,
                        smooth: bool | None = None,
-                       c: float | None = None) -> np.ndarray:
+                       c: float | None = None,
+                       state_events=None) -> np.ndarray:
         """Moving-listener render with physical Doppler (beyond-reference).
 
         Like render_moving, but the received signal is delayed by the
@@ -1091,6 +1092,17 @@ class ModalSession:
         length of the render ([O, T*S] — the global delay resample needs
         it whole), which bounds practical single-call length to what host
         memory holds (~40 min of 256-object audio per 10 GB).
+
+        ``state_events``: optional [(block_index, fn)] sorted ascending;
+        each ``fn(session)`` is applied when generation reaches that block
+        (the sound-generation loop splits its dispatch chunks at event
+        boundaries). This is how timeline bakes replay sustained AR drags
+        under Doppler (apps/render_timeline.bake): the state change lands
+        at the exact block it did live, while the delay resample still
+        operates on the COMPLETE pre-delay stream — the resample needs the
+        whole buffer, but nothing about it requires the *generation* to be
+        un-split (round-4 VERDICT item 4; the live drag semantics being
+        baked are modal_solver.h:190-240).
         """
         from ..config import SOUND_SPEED
         from ..ops.doppler import (delay_indices, delay_resample,
@@ -1109,10 +1121,15 @@ class ModalSession:
             self.state = dataclasses.replace(self.state,
                                              transfer=self._xfade_from[0])
         self._xfade_from = None
+        pending = list(state_events or [])
         sounds = []
         done = 0
         while done < t_total:
+            while pending and pending[0][0] <= done:
+                pending.pop(0)[1](self)
             n = min(blocks_per_dispatch, t_total - done)
+            if pending:
+                n = min(n, pending[0][0] - done)
             if has_ffat:
                 rows = self._transfer_rows(positions[done:done + n])
             else:
@@ -1128,6 +1145,10 @@ class ModalSession:
             self._clock += n * self.config.block_size
             sounds.append(np.asarray(snd))
             done += n
+        for _, fn in pending:
+            fn(self)   # events at/past the end: no audio effect, but the
+            #            session state (host mirrors included) must land
+            #            where a live run would leave it
         sound = np.concatenate(sounds, axis=-1)      # [(L,) O, N]
         if nl > 1:
             # per-listener delay trajectories: listener l resamples ITS

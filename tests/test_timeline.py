@@ -214,6 +214,133 @@ def test_record_and_bake_listener_moves(synth_model_root):
                                rtol=0, atol=1e-9)
 
 
+def _drag_timeline(duration=0.4, r=None):
+    """A sustained-drag timeline (start / arparam / end on obj 1, one hit
+    on obj 0) with a static listener keyframe at distance ``r`` on z."""
+    space = np.linspace(0.3, 1.0, 10)
+    tl = {"duration_s": duration, "seed": 0,
+          "events": [{"t": 0.02, "obj": 0, "space": space.tolist(),
+                      "kind": "gaussian", "width_us": 300.0}],
+          "sustained": [
+              {"t": 0.05, "obj": 1, "action": "start",
+               "space": (-space).tolist()},
+              {"t": 0.15, "obj": 1, "action": "arparam",
+               "a": [0.85, 0.08], "sigma": 0.002, "mu": 0.12},
+              {"t": 0.3, "obj": 1, "action": "end"}]}
+    if r is not None:
+        tl["listener"] = [{"t": 0.0, "pos": [0.0, 0.0, float(r)]}]
+    return tl
+
+
+def test_bake_sustained_doppler_static_parity():
+    """Round-4 VERDICT item 4: sustained + doppler bake together. A static
+    listener at an integer-delay distance hears the SAME drag, delayed by
+    r/c — the delay resample applies to the reseeded drag stream (the
+    fractional gather is exact at integer delays)."""
+    from openpbso_tpu.config import SOUND_SPEED
+    delay = 64
+    r = delay * SOUND_SPEED / SAMPLE_RATE
+    a, _ = _session()
+    got = bake(a, {**_drag_timeline(r=r), "doppler": True},
+               blocks_per_dispatch=16)
+    b, _ = _session()
+    ref = bake(b, _drag_timeline(r=r), blocks_per_dispatch=16)
+    assert np.abs(ref).max() > 0
+    assert np.abs(got[:delay]).max() == 0.0      # wavefront not yet arrived
+    n = ref.shape[0]
+    err = np.abs(got[delay:, 0] - ref[: n - delay, 0]).max()
+    db = 20 * np.log10(err / np.abs(ref).max()) if err > 0 else -np.inf
+    assert db <= -60.0, f"doppler vs plain drag bake {db:.1f} dB"
+
+
+def test_bake_sustained_doppler_chunking_invariant():
+    """The sustained-event split of render_doppler's generation loop is
+    independent of blocks_per_dispatch (bitwise, like the hit-only case —
+    the blocked scan does the same per-block math however chunked)."""
+    from openpbso_tpu.config import SOUND_SPEED
+    outs = []
+    for bpd in (4, 64):
+        sess, _ = _session()
+        outs.append(bake(sess, {**_drag_timeline(r=0.5), "doppler": True},
+                         blocks_per_dispatch=bpd))
+    assert np.abs(outs[0]).max() > 0
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_record_and_bake_drag_under_moving_listener():
+    """Round-4 VERDICT item 4, the live half: a drag under a moving
+    listener with LIVE Doppler (DopplerPostMix) exports a doppler
+    timeline whose bake reproduces the live wav. The export aligns the
+    keyframes to the post-mix's ramp (delay ramps across the dispatch
+    AFTER the move applies; lookahead=1 makes that one block, which the
+    baked per-sample interp reproduces)."""
+    import time
+
+    from openpbso_tpu.config import SOUND_SPEED
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+
+    s_big = 512
+    md = synth_mode_data(10, 8, seed=2)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=1, block_size=s_big,
+                              dtype=jnp.float32)
+
+    def make():
+        return ModalSession(bank, config=SolverConfig(block_size=s_big,
+                                                      backend="blocked"))
+
+    p0 = np.asarray([0.5, 0.0, 0.0])
+    p1 = np.asarray([0.52, 0.0, 0.0])   # small radial move: ~2.6 samples
+    live = make()
+    live.set_listener(p0)               # pre-stream anchor (recorded)
+    pm = DopplerPostMix(np.zeros((1, 3)), max_distance=2.0)
+    pm.on_listener(p0)
+    pm.reset()                          # start settled at p0 (no chirp)
+    sink = RawCollectorSink()
+    engine = StreamingEngine(live, sink, record=True, lookahead=1,
+                             post_mix=pm)
+    engine.start()
+    space = np.linspace(0.2, 1.0, md.num_modes)
+    engine.sustained_start(0, space)
+    deadline = time.time() + 60
+    while time.time() < deadline and engine._blocks_done < 8:
+        time.sleep(0.02)
+    engine.set_listener(p1)             # mid-drag move
+    while time.time() < deadline and len(
+            [1 for _, e in engine.recorded if hasattr(e, "listener")]) < 1:
+        time.sleep(0.02)
+    target = engine._blocks_done + 6
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.sustained_end(0)
+    while time.time() < deadline and len(
+            [1 for _, e in engine.recorded
+             if getattr(e, "action", "") == "end"]) < 1:
+        time.sleep(0.02)
+    target = engine._blocks_done + 2
+    while time.time() < deadline and engine._blocks_done < target:
+        time.sleep(0.02)
+    engine.stop()
+    tl = engine.export_timeline()
+    assert tl.get("doppler") is True
+    assert [e["action"] for e in tl["sustained"]] == ["start", "end"]
+    live_audio = sink.concatenated()
+
+    baked = bake(make(), tl)
+    n = min(live_audio.shape[0], baked.shape[0])
+    assert n >= 10 * s_big
+    assert np.abs(baked).max() > 0
+    if _underran(engine, live_audio):
+        return   # stale-block replay: live stream no longer aligned
+    err = np.abs(baked[:n] - live_audio[:n]).max()
+    ref = np.abs(live_audio[:n]).max()
+    db = 20 * np.log10(err / ref) if err > 0 else -np.inf
+    assert db <= -60.0, f"doppler bake vs live {db:.1f} dB"
+
+
 def test_record_and_bake_sustained_drag():
     """Round-3 VERDICT item 7: sustained AR drags replay in the bake.
     The drag noise is a pure function of (seed, block index)
