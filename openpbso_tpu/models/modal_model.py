@@ -13,7 +13,7 @@ import dataclasses
 import numpy as np
 
 from ..config import DEFAULT_AUDIBLE_FREQ
-from ..io.fatcube import FatcubeMap, load_all_fatcubes
+from ..io.fatcube import FatcubeMap
 from ..io.material import ModalMaterial, read_material
 from ..io.meta import ModelPaths, read_freq_threshold
 from ..io.mode_data import ModeData, read_modes
@@ -75,7 +75,12 @@ def load_model(paths: ModelPaths, name: str = "",
         audible_freq = read_freq_threshold(paths.ffat_dir,
                                            DEFAULT_AUDIBLE_FREQ)
     n_aud = modes.num_modes_audible(material.density, audible_freq)
-    maps = load_all_fatcubes(paths.ffat_dir)
+    # bulk-decode through the native C decoder when the shared lib is
+    # present (LoadAllFFAT_Maps, ffat_map_serialize.h:267-279 is the
+    # reference's dataset-scale load); native/bindings falls back to the
+    # Python codec per file, so behavior is identical without the lib
+    from ..native.bindings import load_all_fatcubes_native
+    maps = load_all_fatcubes_native(paths.ffat_dir)
     if modes.num_dof != v.shape[0] * 3:
         raise ValueError(
             f"DOF mismatch: mesh has {v.shape[0] * 3}, modes have "
