@@ -29,6 +29,11 @@ granularity (ModalSolver::step dequeues at most one force message per
 block, modal_solver.h:184). The listener path is linearly interpolated
 between keyframes at block rate; ``doppler`` adds the r(t)/c propagation
 delay (session.render_doppler), ``smooth`` ramps the transfer per block.
+An optional ``objects`` key ([O, 3] centers, exported by
+StreamingEngine.export_timeline for DopplerPostMix streams with
+non-origin object positions) offsets the DELAY distances only — the
+amplitude transfer keeps the session frame, matching the live engine's
+composition.
 
     python -m openpbso_tpu.apps.render_timeline --demo-synth \
         --timeline events.json --out baked.wav
@@ -144,6 +149,11 @@ def bake(session, timeline: dict, model=None,
     smooth = bool(timeline.get("smooth", True))
     sustained = sorted(timeline.get("sustained", []),
                        key=lambda e: float(e.get("t", 0.0)))
+    if doppler and not keyframes:
+        # validate BEFORE any session mutation: a caller that catches
+        # the error must get its session back unaltered (same force
+        # slots, same drag noise keys)
+        raise ValueError("doppler needs a listener path")
     schedule_events(session, timeline.get("events", []), model)
     if sustained and "seed" in timeline:
         _reseed_sustained(session, timeline["seed"])
@@ -158,13 +168,12 @@ def bake(session, timeline: dict, model=None,
                 for ev in sustained]
             return session.render_doppler(
                 per_block, blocks_per_dispatch=blocks_per_dispatch,
-                smooth=smooth, state_events=state_events)
+                smooth=smooth, state_events=state_events,
+                object_centers=timeline.get("objects"))
         if session.ffat is None or not session.use_transfer:
             # no transfer maps: the listener path only matters for Doppler
             session.set_listener(per_block[0])
             per_block = None
-    elif doppler:
-        raise ValueError("doppler needs a listener path")
 
     def render_range(b0: int, b1: int) -> np.ndarray | None:
         if b1 <= b0:

@@ -273,8 +273,15 @@ def ar_stability_radius(a) -> float:
     the ``arparam`` command is reachable from the wire (round-4 advisor
     finding). The reference never validates (forces.h:130-137) but its
     per-sample recurrence merely diverges audibly instead of NaN-ing a
-    whole span."""
+    whole span.
+
+    Non-finite coefficients (json.loads accepts ``NaN`` on the wire)
+    return inf so every ``radius < 1.0`` stability check rejects them —
+    a bare ``radius >= 1.0`` comparison is False for NaN and would
+    silently admit the tuning."""
     a = np.asarray(a, np.float64).reshape(2)
+    if not np.all(np.isfinite(a)):
+        return float("inf")
     half = a[0] / 2.0
     root = np.sqrt(np.complex128(half * half + a[1]))
     return float(max(abs(half + root), abs(half - root)))

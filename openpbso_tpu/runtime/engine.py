@@ -245,7 +245,7 @@ class StreamingEngine:
         if len(a) != 2:
             raise ValueError(f"AR(2) needs exactly 2 coefficients, got {a}")
         from ..ops.forces import ar_stability_radius
-        if ar_stability_radius(a) >= 1.0:
+        if not (ar_stability_radius(a) < 1.0):   # NaN-safe rejection
             # reject at enqueue (caller thread) — the session would raise
             # on the synthesis thread, after the event was already queued
             raise ValueError(
@@ -281,9 +281,12 @@ class StreamingEngine:
         block_s = self.session.config.block_size / SAMPLE_RATE
         # an engine streaming through a live-Doppler post-mix exports a
         # Doppler timeline: "bake what you played" must replay the delay
-        # physics, not just the amplitude (round-4 VERDICT item 4)
+        # physics, not just the amplitude (round-4 VERDICT item 4).
+        # Detect the DOPPLER post-mix specifically by its velocity state
+        # (ops/doppler.DopplerPostMix) — ``on_listener`` alone also
+        # matches HRTFPostMix, whose streams must bake amplitude-only.
         doppler_live = (self._post_mix is not None
-                        and hasattr(self._post_mix, "on_listener"))
+                        and hasattr(self._post_mix, "velocities"))
         events, listener, sustained, skipped = [], [], [], 0
         prev_pos = (self._initial_listener.tolist()
                     if self._initial_listener is not None else None)
@@ -352,6 +355,15 @@ class StreamingEngine:
                "smooth": self.session.config.smooth_transfer}
         if doppler_live and listener:
             out["doppler"] = True
+            # non-origin object centers change the live delay frame
+            # (DopplerPostMix measures |center - listener| / c); export
+            # them so the bake's delay resample uses the same distances.
+            # Live object MOTION (set_velocity integrating the centers)
+            # has no timeline representation — the snapshot is the
+            # centers as of export, like every other live-only effect.
+            centers = np.asarray(self._post_mix.positions, np.float64)
+            if centers.any():
+                out["objects"] = centers.tolist()
         if listener:
             out["listener"] = listener
         if sustained:

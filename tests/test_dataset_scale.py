@@ -105,7 +105,14 @@ def test_sixteen_model_pipeline(tmp_path):
     # ---- 3. native bulk decode of the staged bytes, bit-parity vs the
     # Python codec (spot-check two models; load_model itself routes
     # through the native decoder)
-    assert load_native() is not None, "committed native lib failed to load"
+    # the .so is BUILT ON DEMAND by load_native (gitignored, not
+    # committed); without a g++ toolchain the production path falls back
+    # to the Python codec — skip the native leg instead of failing
+    if load_native() is None:
+        import shutil
+        if shutil.which("g++"):
+            pytest.fail("native decoder failed to build with g++ present")
+        pytest.skip("native decoder unavailable (no g++ toolchain)")
     for mid in ("m00", "m09"):
         d = os.path.join(out_root, f"{mid}_tetmesh", "ffat_map-fdtd")
         nat = load_all_fatcubes_native(d)

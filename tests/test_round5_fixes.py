@@ -132,3 +132,26 @@ def test_bench_outage_line_carries_status(monkeypatch, capsys):
     parsed = json.loads(out[0])
     assert parsed["status"] == "no_measurement"
     assert parsed["value"] == 0.0
+
+
+def test_ar_stability_radius_nonfinite_is_inf():
+    """json.loads accepts NaN/Infinity, so a wire ``arparam`` can carry
+    them; ``nan >= 1.0`` is False, so the radius itself must collapse
+    non-finite tunings to inf for every ``< 1`` check to reject."""
+    assert ar_stability_radius((float("nan"), 0.0)) == float("inf")
+    assert ar_stability_radius((0.3, float("nan"))) == float("inf")
+    assert ar_stability_radius((float("inf"), 0.1)) == float("inf")
+
+
+def test_set_ar_params_rejects_nan_tuning():
+    sess = _session()
+    before_a = np.asarray(sess.state.sustained.a).copy()
+    with pytest.raises(ValueError, match="unstable"):
+        sess.set_ar_params(0, a=(float("nan"), 0.0))
+    np.testing.assert_array_equal(np.asarray(sess.state.sustained.a),
+                                  before_a)
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine
+    engine = StreamingEngine(_session(), RawCollectorSink())
+    with pytest.raises(ValueError, match="unstable"):
+        engine.set_ar_params(0, a=(float("nan"), 0.0))

@@ -395,3 +395,93 @@ def test_record_and_bake_sustained_drag():
     ref = np.abs(live_audio[:n]).max()
     db = 20 * np.log10(err / ref) if err > 0 else -np.inf
     assert db <= -60.0, f"bake vs live {db:.1f} dB"
+
+
+def test_hrtf_stream_exports_amplitude_timeline():
+    """An HRTF post-mix stream is NOT a Doppler stream: its export must
+    carry plain amplitude keyframes (hold at t-block + move at t) and no
+    ``doppler`` flag. HRTFPostMix also defines on_listener, so detection
+    keyed on that hook alone would mislabel every HRTF stream and bake
+    it with a propagation delay it never had (round-5 review)."""
+    from openpbso_tpu.ops.hrtf import HRTFPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine, TransferEvent
+
+    sess, _ = _session()
+    sess.set_listener(np.array([0.5, 0.0, 0.0]))
+    pm = HRTFPostMix(np.zeros((2, 3)), block_size=S)
+    engine = StreamingEngine(sess, RawCollectorSink(), record=True,
+                             post_mix=pm)
+    engine.recorded.append((4 * S,
+                            TransferEvent(np.array([0.2, 0.1, 0.0]))))
+    engine._blocks_done = 8
+    tl = engine.export_timeline()
+    assert "doppler" not in tl and "objects" not in tl
+    # amplitude pairing ends AT the move time; the Doppler pairing would
+    # reach the target one block later (t + S/sr)
+    assert tl["listener"][-1]["t"] == pytest.approx(4 * S / SAMPLE_RATE)
+
+
+def test_doppler_export_carries_object_centers():
+    """DopplerPostMix streams with non-origin object centers export them
+    (``objects``) so the bake measures the live delay frame
+    |center - listener| / c; origin centers stay implicit."""
+    from openpbso_tpu.ops.doppler import DopplerPostMix
+    from openpbso_tpu.runtime.audio import RawCollectorSink
+    from openpbso_tpu.runtime.engine import StreamingEngine, TransferEvent
+
+    def export_with(centers):
+        sess, _ = _session()
+        sess.set_listener(np.array([0.5, 0.0, 0.0]))
+        pm = DopplerPostMix(centers, max_distance=4.0)
+        engine = StreamingEngine(sess, RawCollectorSink(), record=True,
+                                 post_mix=pm)
+        engine.recorded.append((4 * S,
+                                TransferEvent(np.array([0.2, 0.1, 0.0]))))
+        engine._blocks_done = 8
+        return engine.export_timeline()
+
+    centers = np.array([[0.0, 0.0, 0.5], [0.1, 0.0, -0.4]])
+    tl = export_with(centers)
+    assert tl.get("doppler") is True
+    np.testing.assert_allclose(tl["objects"], centers)
+    tl0 = export_with(np.zeros((2, 3)))
+    assert tl0.get("doppler") is True and "objects" not in tl0
+
+
+def test_render_doppler_object_centers_shift_delay_frame():
+    """``object_centers`` offsets the DELAY distances only: with no FFAT
+    (the transfer never reads the path), a world path + centers renders
+    bitwise identically to the center-relative path."""
+    path = np.tile(np.array([0.3, -0.1, 0.9]), (6, 1))
+    centers = np.array([[0.1, -0.2, 0.4], [0.0, 0.1, -0.2]])
+    outs = []
+    for use_centers in (True, False):
+        sess, md = _session()
+        sess.hit(0, np.linspace(0.3, 1.0, md.num_modes))
+        if use_centers:
+            outs.append(sess.render_doppler(path, blocks_per_dispatch=3,
+                                            object_centers=centers))
+        else:
+            outs.append(sess.render_doppler(
+                path[:, None, :] - centers[None],
+                blocks_per_dispatch=3))
+    assert np.abs(outs[0]).max() > 0
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_bake_doppler_validation_before_mutation():
+    """A sustained+doppler timeline with no listener path fails BEFORE
+    any session mutation — a caller that catches the error keeps its
+    force slots and drag noise keys intact (round-4 invariant, regressed
+    and restored in round 5)."""
+    import jax
+
+    sess, _ = _session()
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(sess.state)]
+    with pytest.raises(ValueError, match="listener"):
+        bake(sess, {**_drag_timeline(), "doppler": True})
+    after = jax.tree.leaves(sess.state)
+    assert len(after) == len(before)
+    for a, b in zip(after, before):
+        np.testing.assert_array_equal(np.asarray(a), b)
