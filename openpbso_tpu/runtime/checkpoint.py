@@ -53,6 +53,18 @@ def load_state(path: str, template: SolverState,
             "slot/clock mirrors); restore it with load_session(path, "
             "session) so the mirrors stay in sync with the device state")
     leaves, treedef = jax.tree.flatten(template)
+    n_data = len([k for k in data.files if k.startswith("leaf_")])
+    if n_data != len(leaves):
+        # e.g. a snapshot saved with a complex transfer (transfer_im is
+        # an extra leaf) restored into a real-transfer template, or vice
+        # versa: enumerating the template's leaves would silently drop
+        # the phase leaf / die with a bare KeyError — fail structurally
+        raise ValueError(
+            f"checkpoint has {n_data} state leaves but the template has "
+            f"{len(leaves)} — the state STRUCTURES differ (a snapshot "
+            f"with set_complex_transfer installed must be restored into "
+            f"a session with a complex transfer installed, and vice "
+            f"versa)")
     restored = []
     for i, leaf in enumerate(leaves):
         arr = data[f"leaf_{i}"]
@@ -78,6 +90,10 @@ def save_session(path: str, session) -> None:
     # origin-rebased so its int32 never wraps; see session._maybe_rebase)
     data["_session_clock"] = np.asarray(session._clock, np.int64)
     data["_session_clock_base"] = np.asarray(session._clock_base, np.int64)
+    # the float64 AR(2) host mirror: the span path builds its impulse
+    # tables from THIS, not from the f32 device copy — restoring only
+    # the device state would render retuned drags with default tables
+    data["_session_ar_host"] = session._ar_host
     np.savez_compressed(path, **data)
 
 
@@ -101,6 +117,16 @@ def load_session(path: str, session) -> None:
         session._clock = int(np.asarray(session.state.block_start))
         session._clock_base = 0
     session._sus_active[...] = np.asarray(session.state.sustained.active)
+    # AR(2) retunes live in a float64 host mirror (the span impulse
+    # tables are built from it; session.py _ar_host). Old snapshots
+    # predate the key: fall back to the f32 device copy (a hair of
+    # rounding vs the original tuning, but consistent g/a2).
+    if "_session_ar_host" in data:
+        session._ar_host[...] = data["_session_ar_host"]
+    else:
+        session._ar_host[...] = np.asarray(session.state.sustained.a,
+                                           np.float64)
+    session._ar_g = {}   # length-keyed cache of tables built from _ar_host
     session._xfade_from = None  # any pending smooth move predates the load
 
 
@@ -134,6 +160,18 @@ def swap_model(engine, new_session) -> None:
             engine._sound.get_nowait()
         except _queue.Empty:
             break
+    # drop pending COMMAND events too: they were validated against the
+    # OLD model (a hit on object 200 of a 256-object bank would raise on
+    # the synth thread after a swap to a 16-object model and kill the
+    # new stream). Listener rows are re-seeded by the callers that swap
+    # (the broadcast server re-applies per-client rows after restart).
+    try:
+        while True:
+            engine._events.get_nowait()
+    except _queue.Empty:
+        pass
+    engine._arprm.take()
+    engine._transfer.take()
     engine._last_block = None
     engine.session = new_session
     engine.profiler = type(engine.profiler)(

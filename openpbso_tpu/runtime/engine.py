@@ -70,6 +70,11 @@ class ClearEvent:
     obj: int | None = None
 
 
+@dataclasses.dataclass
+class ControlEvent:
+    fn: Callable                     # called with the session, synth thread
+
+
 class LatestWins:
     """Capacity-1 slot: writers overwrite, reader takes-and-clears.
 
@@ -90,6 +95,30 @@ class LatestWins:
             v = self._value
             self._value = None
             return v
+
+
+class LatestWinsPerObject:
+    """Per-OBJECT capacity-1 slots: the newest retune per object wins.
+
+    The reference's capacity-1 arprm queue (modal_solver.h:107-109) was
+    safe only because it has a single object; with many objects a global
+    slot would let retunes of two different objects within one apply
+    window silently drop the first. take() drains all pending objects.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._values: dict[int, object] = {}
+
+    def put(self, ev) -> None:
+        with self._lock:
+            self._values[ev.obj] = ev
+
+    def take(self) -> list:
+        with self._lock:
+            vs = list(self._values.values())
+            self._values.clear()
+            return vs
 
 
 class BufferHealth:
@@ -160,7 +189,7 @@ class StreamingEngine:
         self.lookahead = max(1, int(lookahead))
         self._events: queue.Queue = queue.Queue(maxsize=force_queue_depth)
         self._transfer = LatestWins()
-        self._arprm = LatestWins()
+        self._arprm = LatestWinsPerObject()
         self._sound: queue.Queue = queue.Queue(maxsize=sound_queue_depth)
         self._qnorm: queue.Queue = queue.Queue(maxsize=2)
         self._qnorm_every = qnorm_every
@@ -208,9 +237,17 @@ class StreamingEngine:
             raise IndexError(
                 f"object {obj} out of range "
                 f"[0, {self.session.bank.num_objects})")
+        return self._put_event(HitEvent(int(obj), np.asarray(space),
+                                        kind, width_us, amp))
+
+    def _put_event(self, ev) -> bool:
+        """Non-blocking enqueue, drop-on-full — the reference's semantics
+        for EVERY force message (modal_solver.h:330-333). A blocking put
+        here would wedge the caller (a server rx thread) for as long as
+        the synthesis thread is stalled; the queue only fills when the
+        stream is already broken (healthy goes false)."""
         try:
-            self._events.put_nowait(HitEvent(int(obj), np.asarray(space),
-                                             kind, width_us, amp))
+            self._events.put_nowait(ev)
             return True
         except queue.Full:
             return False
@@ -228,16 +265,16 @@ class StreamingEngine:
     def set_listener(self, pos: np.ndarray) -> None:
         self._transfer.put(TransferEvent(np.asarray(pos)))
 
-    def sustained_start(self, obj: int, space: np.ndarray) -> None:
-        self._events.put(SustainedEvent(self._check_obj(obj), "start",
-                                        np.asarray(space)))
+    def sustained_start(self, obj: int, space: np.ndarray) -> bool:
+        return self._put_event(SustainedEvent(self._check_obj(obj),
+                                              "start", np.asarray(space)))
 
-    def sustained_update(self, obj: int, space: np.ndarray) -> None:
-        self._events.put(SustainedEvent(self._check_obj(obj), "update",
-                                        np.asarray(space)))
+    def sustained_update(self, obj: int, space: np.ndarray) -> bool:
+        return self._put_event(SustainedEvent(self._check_obj(obj),
+                                              "update", np.asarray(space)))
 
-    def sustained_end(self, obj: int) -> None:
-        self._events.put(SustainedEvent(self._check_obj(obj), "end"))
+    def sustained_end(self, obj: int) -> bool:
+        return self._put_event(SustainedEvent(self._check_obj(obj), "end"))
 
     def set_ar_params(self, obj: int, a=(0.783, 0.116), sigma=0.00148,
                       mu=0.142) -> None:
@@ -254,9 +291,42 @@ class StreamingEngine:
         self._arprm.put(ArParamEvent(self._check_obj(obj), a,
                                      float(sigma), float(mu)))
 
-    def clear_forces(self, obj: int | None = None) -> None:
-        self._events.put(ClearEvent(
+    def clear_forces(self, obj: int | None = None) -> bool:
+        return self._put_event(ClearEvent(
             None if obj is None else self._check_obj(obj)))
+
+    def control(self, fn: Callable, timeout: float = 60.0) -> bool:
+        """Run ``fn(session)`` on the SYNTHESIS thread and wait for it.
+
+        session.state is owned by the synthesis loop (read -> compute ->
+        assign per block): a session mutation made directly from another
+        thread can be silently lost to a concurrent block assignment.
+        Mutations with no dedicated event type (e.g. the wire transfer
+        toggles) route through here instead. An exception inside ``fn``
+        re-raises HERE, on the caller thread — never on the stream.
+        Falls back to an inline call when the engine is not running (no
+        concurrent owner to race). Returns False when the event could
+        not be applied within ``timeout`` (stalled/dead synthesis)."""
+        if self._synth_thread is None or not self._synth_thread.is_alive():
+            fn(self.session)
+            return True
+        done = threading.Event()
+        box: dict[str, BaseException] = {}
+
+        def wrapped(sess):
+            try:
+                fn(sess)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                box["err"] = e
+            finally:
+                done.set()
+
+        if not self._put_event(ControlEvent(wrapped)):
+            return False
+        ok = done.wait(timeout)
+        if "err" in box:
+            raise box["err"]
+        return ok
 
     def export_timeline(self) -> dict:
         """Recorded events -> the render_timeline JSON schema.
@@ -404,6 +474,9 @@ class StreamingEngine:
                     self.session.sustained_end(ev.obj)
             elif isinstance(ev, ClearEvent):
                 self.session.clear_forces(ev.obj)
+            elif isinstance(ev, ControlEvent):
+                ev.fn(self.session)   # pre-wrapped: exceptions stay with
+                #                       the caller, never kill the stream
         tr = self._transfer.take()
         if tr is not None:
             if self._record:
@@ -412,8 +485,7 @@ class StreamingEngine:
             if self._post_mix is not None and \
                     hasattr(self._post_mix, "on_listener"):
                 self._post_mix.on_listener(tr.listener)
-        ar = self._arprm.take()
-        if ar is not None:
+        for ar in self._arprm.take():
             if self._record:
                 self.recorded.append((self.session.sample_clock, ar))
             self.session.set_ar_params(ar.obj, ar.a, ar.sigma, ar.mu)
@@ -556,6 +628,16 @@ class StreamingEngine:
             raise RuntimeError("engine already running (stop() first) — a "
                                "second synth thread would race the first "
                                "for the session state")
+        # after a synthesis failure the CONSUME thread of the old run can
+        # still be draining (it only observes the stop flag at its next
+        # 0.2 s queue timeout) — join both old threads under a SET flag
+        # before clearing it, or a quick restart would leave two
+        # consumers interleaving one sound queue into the sink
+        self._stop.set()
+        for t in (self._synth_thread, self._consume_thread):
+            if t is not None:
+                while t.is_alive():
+                    t.join(timeout=5.0)
         self.error = None   # a restart after a failure starts clean
         self._stop.clear()
         # Warm EVERY jit variant the steady-state loop will use BEFORE

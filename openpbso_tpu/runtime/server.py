@@ -236,6 +236,9 @@ class AudioServer:
         self._post_mix_factory = post_mix_factory
         self._motion_rate = float(motion_rate_hz)
         self._motion: _MotionTicker | None = None
+        # two rx threads sending object_vel concurrently must not each
+        # start a ticker (both would integrate positions -> 2x velocity)
+        self._motion_lock = threading.Lock()
         self._session_loader = session_loader
         self._lookahead = lookahead
         self._qnorm_every = qnorm_every
@@ -319,11 +322,12 @@ class AudioServer:
         """The object_vel kinematics thread (lazily started). Single-client
         servers bind it to THIS connection's engine; BroadcastAudioServer
         overrides the getter to track its persistent/restartable engine."""
-        if self._motion is None or not self._motion.is_alive():
-            self._motion = _MotionTicker(self, lambda: engine,
-                                         rate_hz=self._motion_rate)
-            self._motion.start()
-        return self._motion
+        with self._motion_lock:
+            if self._motion is None or not self._motion.is_alive():
+                self._motion = _MotionTicker(self, lambda: engine,
+                                             rate_hz=self._motion_rate)
+                self._motion.start()
+            return self._motion
 
     def _stop_motion_ticker(self, force: bool = False) -> None:
         """Connection teardown: stop a per-connection ticker. Persistent
@@ -617,12 +621,28 @@ class AudioServer:
                 # useCompressed flag (modal_solver.h:84-98, ImGui toggle
                 # real_time_modal_sound.cpp:835-853)
                 sess = engine.session
-                if "on" in msg:
-                    sess.set_use_transfer(bool(msg["on"]))
-                if "compressed" in msg:
-                    sess.set_use_compressed(bool(msg["compressed"]))
-                sink.send_json({"transfer": bool(sess.use_transfer),
-                                "compressed": bool(sess.use_compressed)})
+                on = msg.get("on")
+                comp = msg.get("compressed")
+
+                def _toggle(s, on=on, comp=comp):
+                    if on is not None:
+                        s.set_use_transfer(bool(on))
+                    if comp is not None:
+                        s.set_use_compressed(bool(comp))
+
+                # session.state is owned by the synthesis thread: run the
+                # toggle there and wait (a direct call from this rx
+                # thread could lose the new state to a concurrent block
+                # assignment). Validation errors (e.g. no compressed Psi
+                # set) re-raise here and become the error reply below.
+                if engine.control(_toggle):
+                    sink.send_json({"transfer": bool(sess.use_transfer),
+                                    "compressed":
+                                        bool(sess.use_compressed)})
+                else:
+                    sink.send_json({"error": "transfer toggle not "
+                                             "applied (synthesis "
+                                             "stalled)"})
             elif cmd == "load_model":
                 # live hot-swap (the reference's LoadNewModel flow,
                 # real_time_modal_sound.cpp:347-474, served over the wire)
@@ -914,11 +934,12 @@ class BroadcastAudioServer(AudioServer):
     def _ensure_motion_ticker(self, engine) -> _MotionTicker:
         # track the CURRENT engine through restarts/grows, not the one
         # that happened to receive the first object_vel command
-        if self._motion is None or not self._motion.is_alive():
-            self._motion = _MotionTicker(self, lambda: self._engine,
-                                         rate_hz=self._motion_rate)
-            self._motion.start()
-        return self._motion
+        with self._motion_lock:
+            if self._motion is None or not self._motion.is_alive():
+                self._motion = _MotionTicker(self, lambda: self._engine,
+                                             rate_hz=self._motion_rate)
+                self._motion.start()
+            return self._motion
 
     def _begin_swap(self) -> None:
         self._swapping = True

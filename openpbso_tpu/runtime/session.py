@@ -444,9 +444,13 @@ class ModalSession:
         (modal_solver.h:249-255)."""
         self.use_transfer = use and self.ffat is not None
         if not use:
+            # the unit transfer is pure-real: a previously installed
+            # complex row's phase term must clear too, or the "unit"
+            # output would keep mixing im_old * Re(z)
             self.state = dataclasses.replace(
                 self.state,
-                transfer=jnp.full_like(self.state.transfer, UNIT_TRANSFER))
+                transfer=jnp.full_like(self.state.transfer, UNIT_TRANSFER),
+                transfer_im=None)
         elif self._last_listener is not None:
             # re-enable must take effect immediately (the reference's toggle
             # just resumes consuming computeTransfer results; here we

@@ -64,6 +64,10 @@ class _FrameReader:
         self._conn = conn
         self._buf = b""
         self._max_len = max_len
+        # in-progress fragmented message (RFC 6455 section 5.4): control
+        # frames may interleave, so the reassembly lives on the reader
+        self._frag_op: int | None = None
+        self._frag = b""
 
     def _need(self, n: int) -> bytes:
         while len(self._buf) < n:
@@ -75,8 +79,37 @@ class _FrameReader:
         return out
 
     def read_frame(self) -> tuple[int, bytes]:
-        """Returns (opcode, unmasked payload) of the next complete frame."""
+        """Returns (opcode, unmasked payload) of the next complete
+        MESSAGE. Fragmented messages (FIN=0 + CONTINUATION frames, RFC
+        6455 section 5.4 — some proxies/client libraries fragment larger
+        commands) reassemble here; control frames may interleave between
+        fragments and return immediately (the in-progress reassembly
+        persists on the reader across those returns)."""
+        while True:
+            fin, opcode, payload = self._read_raw()
+            if opcode >= OP_CLOSE:   # control frames never fragment
+                return opcode, payload
+            if self._frag_op is None:
+                if fin:
+                    return opcode, payload
+                self._frag_op, self._frag = opcode, payload
+                continue
+            if opcode != 0:
+                raise ConnectionError(
+                    "websocket protocol violation: new data frame before "
+                    "the previous fragmented message finished")
+            self._frag += payload
+            if len(self._frag) > self._max_len:
+                raise ConnectionError("websocket message too large")
+            if fin:
+                op, out = self._frag_op, self._frag
+                self._frag_op, self._frag = None, b""
+                return op, out
+
+    def _read_raw(self) -> tuple[bool, int, bytes]:
+        """One wire frame: (fin, opcode, unmasked payload)."""
         b0, b1 = self._need(2)
+        fin = bool(b0 & 0x80)
         opcode = b0 & 0x0F
         masked = bool(b1 & 0x80)
         n = b1 & 0x7F
@@ -92,7 +125,7 @@ class _FrameReader:
             payload = (np.frombuffer(payload, np.uint8)
                        ^ np.resize(np.frombuffer(mask, np.uint8),
                                    n)).tobytes() if n else b""
-        return opcode, payload
+        return fin, opcode, payload
 
 
 class _WSSink:
