@@ -70,7 +70,6 @@ def delay_indices(dist, c: float = SOUND_SPEED,
     i0 + frac == n - dist * SR / c computed at full double precision
     (see delay_resample's precision note).
     """
-    import numpy as np
     dist = np.asarray(dist, np.float64)
     n = dist.shape[-1]
     idx = np.arange(n, dtype=np.float64)[None, :] - dist * (sample_rate / c)
@@ -165,7 +164,11 @@ class DopplerPostMix:
         events carry [L, 3] world rows (the server's merged latest-wins
         per-client moves), the mix is [N, L] per-client columns, and
         ``gains`` is [O, L]."""
-        self.positions = np.asarray(positions, np.float64)
+        # explicit COPY: _run and set_position mutate this in place (the
+        # live audio-clock positions; server code reads pm.positions as
+        # the source of truth). asarray would alias a float64 ndarray
+        # input and silently drift the CALLER's array as objects move.
+        self.positions = np.array(positions, np.float64)
         o = self.positions.shape[0]
         ll = int(num_listeners)
         self._nl = ll
@@ -275,7 +278,6 @@ def sample_distances(
     and held constant through the final block (matching the block-constant
     tail of the transfer schedule).
     """
-    import numpy as np
     positions = np.asarray(positions, np.float64)
     t, o, _ = positions.shape
     r = np.linalg.norm(positions, axis=-1)        # [T, O]

@@ -101,6 +101,7 @@ def build_ffat(
     n_elements = np.ones((1, m, 6, 2), np.int32)
     strides = np.zeros((1, m, 6), np.int32)
     mask = np.zeros((1, m), np.float64)
+    cell = np.ones((1, m), np.float64)
 
     for mode_id, mm in maps.items():
         if mode_id >= m:
@@ -115,10 +116,7 @@ def build_ffat(
         n_elements[0, mode_id] = s.n_elements
         strides[0, mode_id] = s.strides
         mask[0, mode_id] = 1.0
-    cell = np.ones((1, m), np.float64)
-    for mode_id, mm in maps.items():
-        if mode_id < m:
-            cell[0, mode_id] = mm.shell.cell_size
+        cell[0, mode_id] = s.cell_size
 
     psi_c = None
     if compressed_maps:
@@ -207,7 +205,12 @@ def compute_transfer(ffat: FFATMaps, listener: jax.Array,
                              "Psi set (build_ffat compressed_maps=...)")
         g = dataclasses.replace(g, psi=g.psi_c)
     p = jnp.atleast_2d(listener)                    # [O, 3]
-    o = p.shape[0]
+    # per-object maps (Og = O > 1) with a [3] listener: the broadcast
+    # must widen to the GEOMETRY's object count, not the listener's
+    # (round-5 review: o = p.shape[0] crashed the documented [3] form)
+    o = max(p.shape[0], g.psi.shape[0])
+    if p.shape[0] != o:
+        p = jnp.broadcast_to(p, (o, 3))
     eps = jnp.asarray(1e-30, p.dtype)
 
     pm = p[:, None, :]                              # [O, 1, 3]

@@ -77,13 +77,18 @@ def reconstruct_amplitude(k: float, r: float, psi: float) -> float:
 
 def power_scaling(k: float, radii: np.ndarray, pressures: np.ndarray,
                   psi: np.ndarray) -> tuple[np.ndarray, float]:
-    """Global power correction (FFAT_Solver<T,3>::Scaling semantics):
-    scale Psi so total reconstructed power matches the measured power."""
+    """Global power correction (FFAT_Solver<T,3>::Scaling,
+    ffat_solver.h:908-930): scale = sqrt(sum |P|^2 / sum (Psi/kr)^2), so
+    the TOTAL reconstructed power over all samples equals the measured
+    power. (A least-squares amplitude projection sum(recon*|P|)/
+    sum(recon^2) is always <= this by Cauchy-Schwarz and systematically
+    under-amplifies maps whenever |P| is not exactly proportional to
+    1/kr — round-5 review finding.)"""
     basis = 1.0 / (k * np.asarray(radii, np.float64))
-    recon = psi[:, None] * basis
-    meas = np.abs(pressures)
+    recon = (psi[:, None] if basis.ndim == 2 else psi) * basis
     denom = float(np.sum(recon * recon))
-    scale = float(np.sum(recon * meas) / denom) if denom > 0 else 1.0
+    numer = float(np.sum(np.abs(pressures) ** 2))
+    scale = float(np.sqrt(numer / denom)) if denom > 0 else 1.0
     return psi * scale, scale
 
 
@@ -186,7 +191,9 @@ def batch_map_val(m: FatcubeMap, points: np.ndarray) -> np.ndarray:
     psi = np.sum(m.psi[flat] * w, axis=1)
     kr = m.k * np.linalg.norm(np.asarray(points, np.float64)
                               - m.center[None, :], axis=1)
-    return np.abs(psi / kr)
+    # mirror the device path's eps clamp (ops/ffat.compute_transfer): a
+    # query at the map center must return large-but-finite, not inf/nan
+    return np.abs(psi / np.maximum(kr, 1e-30))
 
 
 def fit_ffat_map(mode_id: int, k: float,

@@ -192,13 +192,13 @@ def step_block_pallas(
 
     # within-chunk causal convolution in XLA:
     # sound[k, cc] = hom[k, cc] + sum_{j<=cc} G[cc-j] f[k, j]
+    # (gather, not a [C,C,C] one-hot contraction: the einsum form burned
+    # O(O*C^3) MACs per dispatch on this latency-sensitive per-block path
+    # just to place g on diagonals — the span path's idiom, span.py)
     idx = np.arange(chunk)
     delta = idx[:, None] - idx[None, :]
-    eye_sub = np.zeros((chunk, chunk, chunk), np.float32)
-    for d in range(chunk):
-        eye_sub[d][delta == d] = 1.0
-    toep = jnp.einsum("od,dcj->ocj", g, jnp.asarray(eye_sub, dtype),
-                  precision=PRECISION)
+    toep = jnp.take(g, jnp.asarray(delta.clip(0)), axis=-1) \
+        * jnp.asarray(delta >= 0, dtype)             # [O, C(out), C(in)]
     f_chunks = f_p.reshape(o_pad, sc, chunk)
     conv = jnp.einsum("ocj,okj->okc", toep, f_chunks,
                   precision=PRECISION)

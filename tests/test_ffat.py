@@ -149,3 +149,22 @@ def test_session_compressed_toggle(maps):
                          config=SolverConfig(block_size=64))
     with pytest.raises(ValueError, match="compressed"):
         sess2.set_use_compressed(True)
+
+
+def test_compute_transfer_hetero_listener_broadcast():
+    """The documented [3]-listener broadcast must widen to the GEOMETRY's
+    per-object count for hetero maps (round-5 review: o = p.shape[0]
+    crashed this form with 'incompatible shapes for broadcasting')."""
+    from openpbso_tpu.ops.ffat import build_ffat_hetero
+    per_obj = [{i: synth_fatcube(i, 180.0 * (i + 1) + 37.0 * o, n=8,
+                                 seed=10 * o + i) for i in range(3)}
+               for o in range(2)]
+    maps = build_ffat_hetero(per_obj, 3)
+    p = np.asarray([2.0, 0.3, 0.1])
+    rows_b = np.asarray(compute_transfer(maps, jnp.asarray(p)))
+    rows_t = np.asarray(compute_transfer(
+        maps, jnp.asarray(np.tile(p, (2, 1)))))
+    assert rows_b.shape == (2, 3)
+    np.testing.assert_array_equal(rows_b, rows_t)
+    # the two objects' maps differ, so the rows must too
+    assert np.abs(rows_b[0] - rows_b[1]).max() > 0

@@ -243,3 +243,21 @@ def test_fit_ffat_map_vectorized_speed():
     # pure-numpy batched fit: ~10 ms/map here; 5 s leaves 100x headroom
     # for the loaded 1-core CI box
     assert dt < 5.0, f"32-map fit took {dt:.1f}s"
+
+
+def test_power_scaling_matches_reference_power():
+    """The reference's Scaling (ffat_solver.h:908-930) matches TOTAL
+    reconstructed power to measured power: after scaling,
+    sum((Psi/kr)^2) == sum(|P|^2) — NOT a least-squares amplitude fit
+    (which is always <= by Cauchy-Schwarz; round-5 review finding)."""
+    rng = np.random.default_rng(7)
+    psi = rng.uniform(0.5, 2.0, 6)
+    radii = rng.uniform(0.2, 1.0, (6, 3))
+    # pressures NOT proportional to 1/kr (the identity test covers that)
+    pres = (rng.uniform(0.5, 3.0, (6, 3))
+            * np.exp(1j * rng.uniform(0, 2 * np.pi, (6, 3))))
+    scaled, s = power_scaling(K, radii, pres, psi)
+    recon_power = np.sum((scaled[:, None] / (K * radii)) ** 2)
+    assert recon_power == pytest.approx(np.sum(np.abs(pres) ** 2),
+                                        rel=1e-12)
+    assert s > 0
