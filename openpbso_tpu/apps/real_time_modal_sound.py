@@ -304,13 +304,8 @@ def interactive_loop(engine, model, args) -> None:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    if args.platform:
-        import jax
-        try:
-            jax.config.update("jax_platforms",
-                              "cpu" if args.platform == "cpu" else "")
-        except Exception:
-            pass
+    from ..utils.platform import force_platform
+    force_platform(args.platform)
     if args.print_frequencies:
         # metadata-only query: load the model WITHOUT building the device
         # session (construction costs minutes of jit compiles on a

@@ -91,6 +91,21 @@ def _mode_shape_frames(model, mode_indices, frames: int, scale: float):
         yield model.vertices + scale * disp
 
 
+def decode_field_plane(data: np.ndarray, nx: int, ny: int, nz: int,
+                       z: int) -> np.ndarray | None:
+    """Raw float32 field file -> one [ny, nx] plane, or None on a size
+    mismatch. The reference memcpys the raw floats into a column-major
+    Eigen (nx, ny) matrix (render_fields.cpp:121-127), so raw index
+    ii = x + y*nx — x FASTEST — i.e. plane[y, x] = data[x + y*nx]
+    (a Fortran reshape transposed every frame; round-5 review fix,
+    consistent with the volume branch)."""
+    if data.size == nx * ny:
+        return data.reshape(ny, nx)
+    if data.size >= nx * ny * nz:
+        return data[: nx * ny * nz].reshape(nz, ny, nx)[z]
+    return None
+
+
 def render_field_slices(field_dir: str, out_dir: str, *,
                         nx: int = 424, ny: int = 424, nz: int = 88,
                         z_slice: int | None = None,
@@ -111,14 +126,8 @@ def render_field_slices(field_dir: str, out_dir: str, *,
     z = nz // 2 if z_slice is None else z_slice
     for i, name in enumerate(files):
         data = np.fromfile(os.path.join(field_dir, name), "<f4")
-        if data.size == nx * ny:
-            # one plane per file, column-major like the Eigen matrix the
-            # reference memcpys into (render_fields.cpp:121-127)
-            plane = data.reshape(ny, nx, order="F")
-        elif data.size >= nx * ny * nz:
-            grid = data[: nx * ny * nz].reshape(nz, ny, nx)
-            plane = grid[z]
-        else:
+        plane = decode_field_plane(data, nx, ny, nz, z)
+        if plane is None:
             print(f"skipping {name}: {data.size} floats is neither a "
                   f"{nx}x{ny} plane nor a {nx}x{ny}x{nz} volume")
             continue
@@ -219,6 +228,16 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--fields", default=None,
                    help="directory of binary float32 field slices")
+    p.add_argument("--field-dims", default="424,424,88",
+                   help="nx,ny,nz of the field files (reference default)")
+    p.add_argument("--z-slice", type=int, default=None,
+                   help="volume files: which z plane (default nz//2)")
+    p.add_argument("--vmin", type=float, default=None,
+                   help="pin the color scale floor (the reference pins "
+                        "plane_vmin; default per-frame 2nd percentile)")
+    p.add_argument("--vmax", type=float, default=None,
+                   help="pin the color scale ceiling (default per-frame "
+                        "98th percentile)")
     p.add_argument("--ffat-images", action="store_true")
     p.add_argument("--transfer-ball", action="store_true")
     args = p.parse_args(argv)
@@ -243,8 +262,12 @@ def main(argv=None) -> int:
             frames=args.frames)
         print(f"wrote {len(paths)} matcap stills")
     if args.fields:
+        nx, ny, nz = (int(v) for v in args.field_dims.split(","))
         paths = render_field_slices(args.fields,
-                                    os.path.join(args.out_dir, "fields"))
+                                    os.path.join(args.out_dir, "fields"),
+                                    nx=nx, ny=ny, nz=nz,
+                                    z_slice=args.z_slice,
+                                    vmin=args.vmin, vmax=args.vmax)
         print(f"wrote {len(paths)} field slices")
     if args.ffat_images:
         if model is None:

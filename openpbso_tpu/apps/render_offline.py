@@ -54,20 +54,25 @@ def _session_for(num_modes, num_objects, block, backend, with_ffat,
     return md, sess
 
 
-def run_config(n: int, backend: str, out_dir: str,
-               doppler: bool = False) -> dict:
+def _prepared(n: int, backend: str, doppler: bool = False):
+    """Build config ``n``'s session with its events scheduled and return
+    (session, render_fn). Separating setup from the render lets
+    run_config warm the jit cache with a throwaway identical render and
+    time ONLY the real one — otherwise a cold run reports compile
+    latency as render throughput (round-5 review; config 5 always
+    warmed, making the report internally inconsistent)."""
     rng = np.random.default_rng(100 + n)
-    t_start = time.perf_counter()
     if n == 1:
         md, sess = _session_for(20, 1, 512, backend, with_ffat=False)
         sess.hit(0, rng.standard_normal(20), kind="point")
-        audio = sess.render_multi(SAMPLE_RATE // 512)
-    elif n == 2:
+        return sess, lambda: sess.render_multi(SAMPLE_RATE // 512)
+    if n == 2:
         md, sess = _session_for(48, 1, 512, backend, with_ffat=True)
         sess.set_listener(np.asarray([0.8, 0.5, 0.4]))
-        sess.hit(0, rng.standard_normal(48), kind="gaussian", width_us=150.0)
-        audio = sess.render_multi(SAMPLE_RATE // 512)
-    elif n == 3:
+        sess.hit(0, rng.standard_normal(48), kind="gaussian",
+                 width_us=150.0)
+        return sess, lambda: sess.render_multi(SAMPLE_RATE // 512)
+    if n == 3:
         md, sess = _session_for(48, 1, 512, backend, with_ffat=True)
         # moving listener + impact train, fully scheduled up front: hits
         # are future-dated slots and the listener path is a per-block
@@ -87,22 +92,30 @@ def run_config(n: int, backend: str, out_dir: str,
         if doppler:
             # beyond-reference: same render with physical propagation
             # delay (time-varying r/c -> Doppler shift; ops/doppler.py)
-            audio = sess.render_doppler(per_block, blocks_per_dispatch=100)
-        else:
-            audio = sess.render_moving(per_block, blocks_per_dispatch=100)
-    elif n == 4:
+            return sess, lambda: sess.render_doppler(
+                per_block, blocks_per_dispatch=100)
+        return sess, lambda: sess.render_moving(per_block,
+                                                blocks_per_dispatch=100)
+    if n == 4:
         md, sess = _session_for(128, 8, 512, backend, with_ffat=True)
         sess.set_listener(np.asarray([1.0, 0.6, 0.2]))
         for o in range(8):
             sess.hit(o, rng.standard_normal(128), kind="point")
-        audio = sess.render_multi(SAMPLE_RATE // 512)
-    elif n == 5:
+        return sess, lambda: sess.render_multi(SAMPLE_RATE // 512)
+    raise ValueError(f"unknown config {n}")
+
+
+def run_config(n: int, backend: str, out_dir: str,
+               doppler: bool = False, warm: bool = True) -> dict:
+    rng = np.random.default_rng(100 + n)
+    if n == 5:
         from ..runtime.audio import RawCollectorSink
         from ..runtime.engine import StreamingEngine
         md, sess = _session_for(64, 1, 128, backend, with_ffat=False)
         sess.step()  # warm the jit cache so the stream isn't compile-bound
         sink = RawCollectorSink()
         engine = StreamingEngine(sess, sink)
+        t_start = time.perf_counter()
         engine.start()
         for k in range(6):
             engine.hit(0, rng.standard_normal(64),
@@ -111,7 +124,14 @@ def run_config(n: int, backend: str, out_dir: str,
         engine.stop()
         audio = sink.concatenated()
     else:
-        raise ValueError(f"unknown config {n}")
+        if warm:
+            # throwaway identical render: same shapes -> warm jit cache,
+            # so the timed render measures throughput, not compile
+            _, render0 = _prepared(n, backend, doppler)
+            np.asarray(render0())
+        sess, render = _prepared(n, backend, doppler)
+        t_start = time.perf_counter()
+        audio = render()
     wall = time.perf_counter() - t_start
 
     duration = audio.shape[0] / SAMPLE_RATE

@@ -70,7 +70,13 @@ def schedule_events(session, events: list[dict], model=None) -> int:
 
     Times quantize to block starts (modal_solver.h:184 granularity).
     Events address a mesh vertex (needs ``model``) or raw modal
-    amplitudes (``space``). Returns the number scheduled."""
+    amplitudes (``space``). Returns the number scheduled.
+
+    CAP: the per-object slot table holds ``num_slots`` concurrent
+    future-dated hits — scheduling more than that on one object up
+    front evicts the earliest unplayed ones (session._alloc_slot
+    overwrites the oldest t0). ``bake`` therefore schedules in
+    slot-budgeted WAVES (_hit_waves) instead of calling this once."""
     block = session.config.block_size
     count = 0
     for ev in sorted(events, key=lambda e: float(e.get("t", 0.0))):
@@ -90,6 +96,42 @@ def schedule_events(session, events: list[dict], model=None) -> int:
                     when=max(when, session.sample_clock))
         count += 1
     return count
+
+
+def _hit_waves(session, events: list[dict],
+               n_blocks: int) -> list[tuple[int, list[dict]]]:
+    """Group timeline hits into [(schedule_block, [event, ...])] waves
+    that fit the per-object force-slot table.
+
+    One wave is future-dated in one go (an impact train inside a wave
+    still costs zero extra dispatches); a new wave starts at the block
+    of the first event that would OVERFLOW an object's slot count —
+    by then every earlier hit (sorted order) has fired, so scheduling
+    there can never evict an unplayed hit (round-5 review: >num_slots
+    hits on one object up front silently dropped the earliest)."""
+    block = session.config.block_size
+    slots = session._expiry.shape[1]
+    waves: list[tuple[int, list[dict]]] = []
+    cur: list[dict] = []
+    cur_block = 0
+    counts: dict[int, int] = {}
+    for ev in sorted(events, key=lambda e: float(e.get("t", 0.0))):
+        obj = int(ev.get("obj", 0))
+        b = min(int(round(float(ev.get("t", 0.0)) * SAMPLE_RATE / block)),
+                n_blocks)
+        if counts.get(obj, 0) >= slots:
+            waves.append((cur_block, cur))
+            cur, counts, cur_block = [], {}, b
+        cur.append(ev)
+        counts[obj] = counts.get(obj, 0) + 1
+    if cur:
+        waves.append((cur_block, cur))
+    return waves
+
+
+def _schedule_wave(session, evs: list[dict], model=None) -> None:
+    """Future-date one wave of hits (see _hit_waves)."""
+    schedule_events(session, evs, model)
 
 
 def _apply_sustained(session, ev: dict) -> None:
@@ -154,25 +196,33 @@ def bake(session, timeline: dict, model=None,
         # the error must get its session back unaltered (same force
         # slots, same drag noise keys)
         raise ValueError("doppler needs a listener path")
-    schedule_events(session, timeline.get("events", []), model)
     if sustained and "seed" in timeline:
         _reseed_sustained(session, timeline["seed"])
+    # merged (block, fn) actions: slot-budgeted hit waves (waves first at
+    # equal blocks — hits at an action block must be in their slots when
+    # that block renders) + sustained state changes
+    actions = [(b, 0, partial(_schedule_wave, evs=evs, model=model))
+               for b, evs in _hit_waves(session,
+                                        timeline.get("events", []),
+                                        n_blocks)]
+    actions += [(min(int(round(float(ev.get("t", 0.0))
+                              * SAMPLE_RATE / block)), n_blocks),
+                 1, partial(_apply_sustained, ev=ev))
+                for ev in sustained]
+    actions.sort(key=lambda a: (a[0], a[1]))
     per_block = None
     if keyframes:
         per_block = listener_blocks(keyframes, n_blocks, block)
         if doppler:
-            state_events = [
-                (min(int(round(float(ev.get("t", 0.0))
-                               * SAMPLE_RATE / block)), n_blocks),
-                 partial(_apply_sustained, ev=ev))
-                for ev in sustained]
             return session.render_doppler(
                 per_block, blocks_per_dispatch=blocks_per_dispatch,
-                smooth=smooth, state_events=state_events,
+                smooth=smooth,
+                state_events=[(b, fn) for b, _, fn in actions],
                 object_centers=timeline.get("objects"))
         if session.ffat is None or not session.use_transfer:
             # no transfer maps: the listener path only matters for Doppler
-            session.set_listener(per_block[0])
+            if per_block.shape[0]:   # zero-duration: nothing to seed
+                session.set_listener(per_block[0])
             per_block = None
 
     def render_range(b0: int, b1: int) -> np.ndarray | None:
@@ -186,17 +236,17 @@ def bake(session, timeline: dict, model=None,
             b1 - b0, blocks_per_dispatch=blocks_per_dispatch)
 
     out, done = [], 0
-    for ev in sustained:
-        b = min(int(round(float(ev.get("t", 0.0)) * SAMPLE_RATE / block)),
-                n_blocks)
+    for b, _, fn in actions:
         seg = render_range(done, b)
         if seg is not None:
             out.append(seg)
         done = max(done, b)
-        _apply_sustained(session, ev)
+        fn(session)
     seg = render_range(done, n_blocks)
     if seg is not None:
         out.append(seg)
+    if not out:   # zero-duration timeline: empty audio, not a crash
+        return np.zeros((0, int(session.gains.shape[-1])), np.float32)
     return np.concatenate(out, axis=0) if len(out) != 1 else out[0]
 
 
@@ -222,13 +272,8 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--blocks-per-dispatch", type=int, default=64)
     args = p.parse_args(argv)
-    if args.platform:
-        import jax
-        try:
-            jax.config.update("jax_platforms",
-                              "cpu" if args.platform == "cpu" else "")
-        except Exception:
-            pass
+    from ..utils.platform import force_platform
+    force_platform(args.platform)
     with open(args.timeline) as f:
         timeline = json.load(f)
     model, session = make_session(args)

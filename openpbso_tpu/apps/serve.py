@@ -88,13 +88,8 @@ def parse_args(argv=None):
             raise SystemExit("--live-doppler needs a STATIC "
                              "--per-client-listeners count (dynamic "
                              "buckets rebuild at a new L)")
-    if args.platform:
-        import jax
-        try:
-            jax.config.update("jax_platforms",
-                              "cpu" if args.platform == "cpu" else "")
-        except Exception:
-            pass
+    from ..utils.platform import force_platform
+    force_platform(args.platform)
     return args
 
 

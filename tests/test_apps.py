@@ -368,3 +368,23 @@ def test_serve_scene_restart_carries_world_state(tmp_path):
     finally:
         srv.close()
         t.join(timeout=10)
+
+
+def test_decode_field_plane_is_x_fastest():
+    """The reference fills a column-major Eigen (nx, ny) matrix from the
+    raw floats (render_fields.cpp:121-127), so raw index = x + y*nx —
+    the plane decode must be C-order (ny, nx), not a Fortran reshape
+    (which transposed every frame; round-5 review)."""
+    import numpy as np
+
+    from openpbso_tpu.apps.render_fields import decode_field_plane
+    nx, ny, nz = 5, 3, 2
+    data = np.arange(nx * ny, dtype=np.float32)
+    plane = decode_field_plane(data, nx, ny, nz, 0)
+    assert plane.shape == (ny, nx)
+    assert plane[1, 2] == 2 + 1 * nx       # (x=2, y=1) -> x + y*nx
+    # volume branch agrees with the plane branch on layout
+    vol = np.concatenate([data, data + 100.0])
+    vplane = decode_field_plane(vol, nx, ny, nz, 1)
+    np.testing.assert_array_equal(vplane, plane + 100.0)
+    assert decode_field_plane(data[:-1], nx, ny, nz, 0) is None

@@ -550,3 +550,60 @@ def test_record_and_bake_with_object_centers():
     ref = np.abs(live_audio[:n]).max()
     db = 20 * np.log10(err / ref) if err > 0 else -np.inf
     assert db <= -60.0, f"centers bake vs live {db:.1f} dB"
+
+
+def _slots_session(num_slots):
+    md = synth_mode_data(10, 8, seed=2)
+    bank = bank_from_material(CERAMIC.density, md.omega_squared,
+                              CERAMIC.alpha, CERAMIC.beta,
+                              num_objects=2, block_size=S,
+                              dtype=jnp.float32)
+    return ModalSession(bank, config=SolverConfig(block_size=S,
+                                                  backend="blocked"),
+                        num_slots=num_slots)
+
+
+def test_bake_more_hits_than_slots():
+    """A timeline with more hits on one object than its force-slot table
+    holds must still play EVERY hit: bake schedules in slot-budgeted
+    waves (round-5 review — up-front scheduling evicted the earliest
+    unplayed hits with no warning)."""
+    rng = np.random.default_rng(5)
+    hits = [{"t": 0.02 + 0.03 * i, "obj": 0,
+             "space": rng.uniform(0.3, 1.0, 10).tolist(),
+             "kind": "point"} for i in range(10)]
+    tl = {"duration_s": 0.4, "events": hits}
+    got = bake(_slots_session(4), dict(tl), blocks_per_dispatch=16)
+    ref = bake(_slots_session(16), dict(tl), blocks_per_dispatch=16)
+    assert np.abs(ref).max() > 0
+    # identical hit content through different slot-table sizes: equal up
+    # to f32 slot-sum ordering
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=1e-6 * float(np.abs(ref).max()))
+    # every hit's onset block carries fresh energy in BOTH renders
+    for ev in hits:
+        b = int(round(ev["t"] * SAMPLE_RATE / S))
+        seg = got[b * S:(b + 1) * S]
+        assert np.abs(seg).max() > 0, f"hit at t={ev['t']} went silent"
+
+
+def test_hit_waves_split_on_slot_budget():
+    from openpbso_tpu.apps.render_timeline import _hit_waves
+    sess = _slots_session(4)
+    events = [{"t": 0.01 * (i + 1), "obj": 0} for i in range(10)]
+    waves = _hit_waves(sess, events, n_blocks=1000)
+    assert [len(evs) for _, evs in waves] == [4, 4, 2]
+    assert waves[0][0] == 0
+    # wave 2 schedules at the overflowing event's own block (all earlier
+    # hits have fired by then)
+    assert waves[1][0] == int(round(0.05 * SAMPLE_RATE / S))
+    # under-budget timelines stay a single up-front wave (bitwise the
+    # old behavior)
+    assert len(_hit_waves(sess, events[:4], n_blocks=1000)) == 1
+
+
+def test_bake_zero_duration_returns_empty():
+    sess, _ = _session()
+    out = bake(sess, {"duration_s": 0.0, "events": [],
+                      "listener": [{"t": 0.0, "pos": [1.0, 0.0, 0.0]}]})
+    assert out.shape == (0, sess.gains.shape[-1])
